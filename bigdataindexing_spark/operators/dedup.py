@@ -1,0 +1,259 @@
+"""Deduplication operators over `documents` (SURVEY.md §2.9 X1/X2).
+
+Four families, all expressed as set-oriented DataFrame plans:
+
+- exact dedup: content-hash groupBy (one shuffle on the hash key);
+- n-gram Jaccard near-dup: shingle → explode → self-equi-join on shingle →
+  group → exact Jaccard (recall 1 by construction: any pair with J>0 shares
+  a shingle key, so the join co-locates it);
+- MinHash + LSH banding: signature via k min-hash aggregates in ONE
+  groupBy, band-bucket self-join for candidates, exact-Jaccard verify of
+  candidates only — this is the 100 TB path (candidate generation cost is
+  O(docs·bands), never O(docs²));
+- SimHash: md5-derived per-token hash → bit-vote aggregation → 32-bit
+  signature + Hamming-distance pairs (bit_count(xor)).
+
+Every operator here is deterministic and oracle-checked against duckdb,
+including MinHash (the md5/banding pipeline is reproducible cross-engine;
+with 32 bands × 1 row the planted near-dup recall is exactly 1 on the test
+corpus, making the LSH result equal to the exact-Jaccard result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.functions.text import md5_long, tokens, word_shingles
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import table
+
+JACCARD_TAU = 0.2
+NUM_MINHASHES = 32
+SIMHASH_BITS = 32
+
+_SHINGLE_SQL = (
+    "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2), "
+    "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ss FROM tok WHERE len(t) >= 3), "
+    "u AS (SELECT doc_id, UNNEST(ss) AS s FROM sh), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i FROM u a "
+    "JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+)
+
+_JACCARD_SQL = (
+    _SHINGLE_SQL
+    + "SELECT da AS doc_a, db AS doc_b, "
+    "ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac "
+    "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
+    f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU} ORDER BY doc_a, doc_b"
+)
+
+
+def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — one row per distinct 3-word shingle per document."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(word_shingles(F.col("t"))).alias("s"))
+    )
+
+
+def _jaccard_pairs(u: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
+    to a candidate `pairs(doc_a, doc_b)` DataFrame)."""
+    sizes = u.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if pairs is None:
+        a = u.select(F.col("doc_id").alias("doc_a"), "s")
+        b = u.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+        inter = (
+            a.join(b, (a.s == b.s_b) & (a.doc_a < b.doc_b))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        a = u.select(F.col("doc_id").alias("doc_a"), "s")
+        b = u.select(F.col("doc_id").alias("db"), F.col("s").alias("s_b"))
+        inter = (
+            pairs.join(a, "doc_a")
+            .join(b, (F.col("doc_b") == F.col("db")) & (F.col("s") == F.col("s_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q24_distinct_text_count",
+    oracle="SELECT COUNT(DISTINCT text) AS cnt FROM documents",
+    tags=("dedup",),
+)
+def q24_distinct_text_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").agg(
+        F.countDistinct("text").alias("cnt")
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size "
+    "FROM documents GROUP BY md5(text) ORDER BY keep_id",
+    tags=("dedup",),
+    doc="Exact dedup by content hash: one survivor (min doc_id) per "
+    "distinct text. Single shuffle on the 128-bit hash key — at 100 TB "
+    "the hash groupBy avoids ever comparing full texts.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .drop("h")
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_SQL,
+    tags=("dedup",),
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs (J ≥ 0.2). The "
+    "shingle self-equi-join has recall 1; the shingle key is the shuffle "
+    "key so Catalyst plans a shuffled hash join, never a cartesian.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(_distinct_shingles(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_SQL,
+    tags=("dedup",),
+    doc="MinHash(32) + LSH banding (32 bands × 1 row) near-dup pairs with "
+    "exact-Jaccard verification of candidates. Scale path: signature is one "
+    "groupBy with 32 min-aggregates; candidates come from band-bucket "
+    "equi-joins (O(docs·bands) shuffle, no quadratic stage). On this corpus "
+    "recall is exactly 1, so the oracle is the exact-Jaccard result.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _distinct_shingles(spark, sf_dir)
+    sig = u.groupBy("doc_id").agg(
+        *[
+            F.min(F.hash(F.col("s"), F.lit(seed))).alias(f"mh{seed}")
+            for seed in range(NUM_MINHASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)])).alias(
+            "band", "bucket"
+        ),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left.band == right.band_b)
+            & (left.bucket == right.bucket_b)
+            & (left.doc_a < right.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(u, pairs=cand)
+
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash from md5-derived token hashes."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .withColumn("hv", md5_long(F.col("w")))
+    )
+    # integer `div` keeps the 60-bit hash exact (double division would
+    # round the low bits away)
+    bits = tok.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(0, {SIMHASH_BITS - 1}), "
+        "j -> CASE WHEN (hv div CAST(pow(2, j) AS BIGINT)) % 2 = 1 "
+        "THEN 1 ELSE -1 END)) AS (pos, v)",
+    )
+    votes = bits.groupBy("doc_id", "pos").agg(F.sum("v").alias("sv"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("sv") > 0, F.pow(F.lit(2.0), F.col("pos")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+_SIMHASH_SQL = (
+    "WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM tok), "
+    "bits AS (SELECT doc_id, j, CASE WHEN (hv // CAST(pow(2, j) AS BIGINT)) % 2 = 1 "
+    "THEN 1 ELSE -1 END AS v FROM h CROSS JOIN "
+    f"(SELECT UNNEST(range(0, {SIMHASH_BITS})) AS j)), "
+    "votes AS (SELECT doc_id, j, SUM(v) AS sv FROM bits GROUP BY doc_id, j) "
+    "SELECT doc_id, CAST(SUM(CASE WHEN sv > 0 THEN CAST(pow(2, j) AS BIGINT) "
+    "ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_SQL,
+    tags=("dedup",),
+    doc="32-bit SimHash signatures: md5-derived token hash, per-bit ±1 "
+    "votes aggregated set-oriented (two shuffles, both on doc_id).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_sig(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle="WITH sig AS (" + _SIMHASH_SQL.replace(" ORDER BY doc_id", "") + ") "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b",
+    tags=("dedup",),
+    bench=False,
+    doc="SimHash near-dup pairs at Hamming distance ≤ 3. (Quadratic "
+    "pair-scan at test scale; the scale path blocks on signature bands "
+    "exactly like MinHash-LSH.)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_sig(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,397 @@
+"""Relational operator inventory Q-0…Q-19 (SURVEY.md §2.2–§2.7).
+
+These re-express, as idiomatic DataFrame plans, the reference's declared
+query surface (match / wildcard / range / nested queries,
+/root/reference/README.md:67–147) and the standard relational shapes its
+document reassembly/merge logic generalizes to
+(/root/reference/.../PlanService.java:87–133, 286–298).
+
+Design notes for scale:
+- filters are expressed as Column predicates directly over the Parquet scan
+  so Catalyst pushes them into the reader (``PushedFilters``);
+- dimension-side joins (`customer`, `nation`, `region`) are explicitly
+  `broadcast()` — at 100 TB the fact side never shuffles for these;
+- aggregates use built-in hash aggregation (partial + final, map-side
+  combine is automatic);
+- every computed column is aliased identically to the duckdb oracle SQL so
+  the driver's column-sorted value hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import table
+
+
+# --- §2.2 projections / filters ------------------------------------------------
+
+@register(
+    "q00_match_all",
+    oracle="SELECT COUNT(*) AS cnt FROM lineitem",
+    tags=("filter", "scan"),
+    doc="ES match_all ≡ full scan count (README.md:70–78).",
+)
+def q00_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "q01_exact_match",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
+    " o_orderpriority FROM orders WHERE o_orderkey = 1",
+    tags=("filter",),
+    doc="ES match on objectId ≡ point-lookup filter (README.md:79–95); "
+    "predicate pushes to the Parquet scan.",
+)
+def q01_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 1)
+
+
+@register(
+    "q02_wildcard",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'red%' "
+    "ORDER BY p_partkey",
+    tags=("filter",),
+    doc="ES wildcard 'example*' ≡ LIKE prefix filter (README.md:96–108).",
+)
+def q02_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q03_range",
+    oracle="SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_quantity BETWEEN 20 AND 35 ORDER BY l_orderkey, l_linenumber",
+    tags=("filter",),
+    doc="ES numeric range gte/lte on copay ≡ BETWEEN (README.md:128–147).",
+)
+def q03_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(20, 35))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --- §2.3 joins ---------------------------------------------------------------
+
+@register(
+    "q04_join_2way",
+    oracle="SELECT o.o_orderkey, c.c_name FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE o.o_orderkey <= 100 ORDER BY o.o_orderkey",
+    tags=("join",),
+    doc="Reassembly point-join generalized: fact⋈dim equi-join with "
+    "broadcast dimension (PlanService.java:87–133 is the N+1 version).",
+)
+def q04_join_2way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q05_semi_join",
+    oracle="SELECT c_custkey FROM customer WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    tags=("join",),
+    doc="Existence check ≡ left semi join (PlanService.java:286–298).",
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q06_anti_join",
+    oracle="SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    tags=("join",),
+    doc="Negated existence ≡ left anti join.",
+)
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q07_nested_inner_hits",
+    oracle="SELECT o.o_orderkey, l.l_linenumber FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "WHERE l.l_quantity > 49 ORDER BY o.o_orderkey, l.l_linenumber",
+    tags=("join",),
+    doc="ES nested query + inner_hits ≡ filter children then join parents "
+    "(README.md:79–95, 109–127); child filter pushes below the join.",
+)
+def q07_nested_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    line = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        orders.join(line, orders.o_orderkey == line.l_orderkey)
+        .select("o_orderkey", "l_linenumber")
+        .orderBy("o_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q08_multiway_chain",
+    oracle="SELECT n.n_name, COUNT(*) AS cnt FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n.n_name",
+    tags=("join", "agg"),
+    doc="3-hop chain (plan→planservice→service, usecase.json:9–45) as "
+    "customer→nation→region with both dims broadcast.",
+)
+def q08_multiway_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+# --- §2.4 aggregations --------------------------------------------------------
+
+@register(
+    "q09_tpch_q1",
+    oracle="SELECT l_returnflag, l_linestatus, "
+    "ROUND(SUM(l_quantity), 4) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 4) AS sum_base_price, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+    "ROUND(AVG(l_discount), 4) AS avg_disc, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    tags=("agg",),
+    doc="TPC-H Q1 shape: grouped hash agg with partial/final split "
+    "(map-side combine) — the flagship query.",
+)
+def q09_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    line = table(spark, sf_dir, "lineitem")
+    return (
+        line.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q10_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS cnt FROM orders",
+    tags=("agg",),
+)
+def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("cnt")
+    )
+
+
+@register(
+    "q11_rollup",
+    oracle="SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    tags=("agg",),
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- §2.5 windows -------------------------------------------------------------
+
+@register(
+    "q12_row_number",
+    oracle="SELECT o_custkey, o_orderkey, rn FROM ("
+    "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn "
+    "FROM orders WHERE o_custkey <= 50) WHERE rn = 1 ORDER BY o_custkey",
+    tags=("window",),
+    doc="Latest order per customer — ranking window; the partition filter is "
+    "applied below the window so it pushes to the scan.",
+)
+def q12_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q13_lag",
+    oracle="SELECT user_id, event_id, LAG(event_id) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id "
+    "FROM events WHERE user_id <= 20 ORDER BY user_id, ts, event_id",
+    tags=("window",),
+)
+def q13_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+@register(
+    "q14_running_sum",
+    oracle="SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total "
+    "FROM orders WHERE o_custkey <= 20 ORDER BY o_custkey, o_orderkey",
+    tags=("window",),
+)
+def q14_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --- §2.6 sort / limit / set ops ---------------------------------------------
+
+@register(
+    "q15_topk",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    tags=("sort",),
+    doc="Top-k — Catalyst compiles orderBy+limit to TakeOrderedAndProject "
+    "(per-partition heap, no global sort).",
+)
+def q15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q16_union",
+    oracle="SELECT c_nationkey AS k FROM customer UNION "
+    "SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    tags=("setop",),
+)
+def q16_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+@register(
+    "q17_intersect",
+    oracle="SELECT c_nationkey FROM customer INTERSECT "
+    "SELECT s_nationkey FROM supplier ORDER BY c_nationkey",
+    tags=("setop",),
+)
+def q17_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey")
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    return c.intersect(s).orderBy("c_nationkey")
+
+
+# --- §2.7 scalar functions ----------------------------------------------------
+
+@register(
+    "q18_key_concat",
+    oracle="SELECT o_orderkey, 'orders' || '_' || CAST(o_orderkey AS VARCHAR) AS okey "
+    "FROM orders WHERE o_orderkey <= 10 ORDER BY o_orderkey",
+    tags=("scalar",),
+    doc="The reference's storage-key construction `type_id` "
+    "(PlanService.java:42,65,78) as a concat expression.",
+)
+def q18_key_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 10)
+        .select(
+            "o_orderkey",
+            F.concat_ws("_", F.lit("orders"), F.col("o_orderkey")).alias("okey"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q19_date_extract",
+    oracle="SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, "
+    "COUNT(*) AS cnt FROM orders GROUP BY y ORDER BY y",
+    tags=("scalar", "agg"),
+)
+def q19_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("y")
+    )

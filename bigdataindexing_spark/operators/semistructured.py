@@ -1,0 +1,98 @@
+"""Array / JSON / time-bucket operators (SURVEY.md §2.7 F4,F5,F8; §2.8 ST2).
+
+These cover the reference's semi-structured surface — JSON parse/serialize
+(PlanController.java:85, PlanService.java:81,101) and array
+render/parse/explode (PlanService.java:66, 274–284) — as built-in Spark
+expressions (no UDFs; everything stays in whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import table
+
+
+@register(
+    "q21_array_explode",
+    oracle="SELECT label, COUNT(*) AS cnt FROM "
+    "(SELECT label, UNNEST(embedding) FROM embeddings) GROUP BY label "
+    "ORDER BY label",
+    tags=("array",),
+    doc="Array explode ≡ the reference's array-string parse + per-element "
+    "recursion (PlanService.java:274–284), set-oriented.",
+)
+def q21_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select("label", F.explode("embedding").alias("v"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("label")
+    )
+
+
+@register(
+    "q22_json_extract",
+    oracle="SELECT event_id FROM events "
+    "WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 10 AND 20 "
+    "ORDER BY event_id",
+    tags=("json",),
+    doc="JSON field extraction over the `props` column "
+    "(get_json_object ≡ duckdb json_extract_string).",
+)
+def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.get_json_object("props", "$.k").cast("int").between(10, 20)
+        )
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q23_tumbling_window",
+    oracle="SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt, "
+    "ROUND(SUM(value), 4) AS sum_value FROM events "
+    "GROUP BY w, event_type ORDER BY w, event_type",
+    tags=("window-agg", "streaming-batch-equivalent"),
+    doc="Tumbling 1-hour window aggregation — the deterministic batch "
+    "equivalent of the streaming ST2 operator (same groupBy(window(...)) "
+    "plan shape under Structured Streaming).",
+)
+def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+@register(
+    "q27_map_functions",
+    oracle="SELECT event_type, COUNT(DISTINCT CAST(json_extract_string(props, '$.k') "
+    "AS INTEGER)) AS distinct_k FROM events GROUP BY event_type ORDER BY event_type",
+    tags=("json", "map"),
+    doc="props parsed to a map (from_json MapType) then aggregated — the "
+    "F8 map-function surface.",
+)
+def q27_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "m", F.from_json("props", "map<string,int>")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct(F.col("m")["k"]).alias("distinct_k"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.9 X4).
+
+Large-scale training-data-pipeline primitives: token counting, quality
+scoring, language identification, and document fingerprinting. Everything
+is built-in column expressions (whole-stage codegen, no UDFs); each
+operator has an exactly-equivalent duckdb oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.functions.text import tokens, word_shingles
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import table
+
+# Marker stopwords per language for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "los", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+
+@register(
+    "q26_token_count",
+    oracle="SELECT COUNT(*) AS cnt FROM (SELECT UNNEST(string_split(lower(text), ' ')) "
+    "FROM documents WHERE doc_id <= 100)",
+    tags=("text",),
+)
+def q26_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 100)
+        .select(F.explode(tokens("text")).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "txt_quality_score",
+    oracle="SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, "
+    "CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct, "
+    "ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr, "
+    "ROUND(list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE))) / len(t), 4) "
+    "AS avg_token_len, "
+    "ROUND(LEAST(len(t) / 100.0, 1.0) * (len(list_distinct(t)) * 1.0 / len(t)), 4) "
+    "AS quality "
+    "FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents) "
+    "ORDER BY doc_id",
+    tags=("text",),
+    doc="Per-document quality features: token count, type-token ratio, "
+    "average token length, and a composite quality score in [0,1].",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("t")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    sum_len = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            nd.alias("n_distinct"),
+            F.round(nd * 1.0 / n, 4).alias("ttr"),
+            F.round(sum_len / n, 4).alias("avg_token_len"),
+            F.round(F.least(n / 100.0, F.lit(1.0)) * (nd * 1.0 / n), 4).alias(
+                "quality"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _langid_oracle() -> str:
+    sums = ", ".join(
+        "SUM(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w "
+        "FROM documents), "
+        f"sc AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id) "
+        "SELECT doc_id, CASE "
+        "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS detected_lang "
+        "FROM sc ORDER BY doc_id"
+    )
+
+
+@register(
+    "txt_langid",
+    oracle=_langid_oracle(),
+    tags=("text",),
+    doc="Marker-stopword language-ID heuristic: score per language = count "
+    "of marker-word occurrences; argmax with fixed tie-break order.",
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+    )
+    scores = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*markers), 1).otherwise(0)).alias(f"s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ]
+    )
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    detected = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scores.select("doc_id", detected.alias("detected_lang")).orderBy("doc_id")
+
+
+@register(
+    "txt_fingerprint",
+    oracle="WITH tok AS (SELECT doc_id, md5(lower(text)) AS fp, "
+    "string_split(lower(text), ' ') AS t FROM documents), "
+    "sh AS (SELECT doc_id, fp, UNNEST(list_distinct(list_transform("
+    "range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s "
+    "FROM tok WHERE len(t) >= 3) "
+    "SELECT doc_id, fp, MIN(md5(s)) AS min_shingle_fp "
+    "FROM sh GROUP BY doc_id, fp ORDER BY doc_id",
+    tags=("text",),
+    doc="Content fingerprints: whole-document md5 plus a winnowing-style "
+    "min-hash fingerprint over 3-word shingles (rolling-hash family).",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.lower("text")).alias("fp"),
+            tokens("text").alias("t"),
+        )
+        .filter(F.size("t") >= 3)
+    )
+    return (
+        docs.select("doc_id", "fp", F.explode(word_shingles(F.col("t"))).alias("s"))
+        .groupBy("doc_id", "fp")
+        .agg(F.min(F.md5("s")).alias("min_shingle_fp"))
+        .orderBy("doc_id")
+    )

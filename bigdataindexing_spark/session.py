@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for correctness-at-scale first:
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast);
+- Arrow on (any pandas-UDF path is vectorized);
+- UTC session timezone (deterministic date/timestamp semantics vs the
+  duckdb oracle);
+- shuffle partitions sized by env (`SPARK_GRAFT_CPUS`) — on a real cluster
+  AQE coalesces the excess, on local mode we avoid 200 tiny tasks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigdataindexing-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_local_tests(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable knobs for small local data (tests)."""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    return spark

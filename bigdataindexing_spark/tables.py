@@ -1,0 +1,51 @@
+"""Table catalog over the driver-materialized Parquet test tables.
+
+The ten tables (TESTDATA.md) are plain Parquet files; we read them lazily so
+Catalyst gets full pushdown (column pruning + predicate pushdown reach the
+Parquet scan — verify with ``df.explain('formatted')``: look for
+``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is Parquet TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; read it as raw nanos and truncate to micros (exact integer
+        # division — matches duckdb's ns→us truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register the test tables as temp views for ``spark.sql`` use."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -20,14 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdataindexing_spark.functions.text import md5_long
 from bigdataindexing_spark.functions.vectors import as_double, cosine
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import table
 
 COSINE_NEARDUP_TAU = 0.45
 N_QUERIES = 10
-LSH_PLANES = 16
+# 8 LSH tables x 8 hyperplanes each: a query probes 8 buckets; with 8-bit
+# buckets each table has ~n/256 vectors per bucket, so candidate cost is
+# ~n/32 per query while multi-table OR-construction keeps recall usable.
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 8
 
 
 @register(
@@ -96,46 +99,57 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(spark: SparkSession, dim: int) -> DataFrame:
-    """Deterministic pseudo-random hyperplanes: weight(plane, dim) derived
-    from md5 so the signature is reproducible across runs and engines."""
-    return (
-        spark.range(LSH_PLANES)
-        .withColumnRenamed("id", "plane")
-        .crossJoin(spark.range(dim).withColumnRenamed("id", "d"))
-        .select(
-            "plane",
-            "d",
-            (
-                md5_long(F.concat_ws("_", F.col("plane"), F.col("d")))
-                / F.lit(float(2**60))
-                * 2.0
-                - 1.0
-            ).alias("w"),
-        )
-    )
+def _plane_weights(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-derived, reproducible
+    across runs/engines): one row of `dim` weights per plane."""
+    import hashlib
+
+    n_planes = LSH_TABLES * LSH_PLANES_PER_TABLE
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            / float(2**60)
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def lsh_signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
-    """(vec_id, bucket) — random-hyperplane LSH bucket per vector.
+def lsh_signatures(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, tbl, bucket) — random-hyperplane bucket per vector per table.
 
-    Signature bit p = sign(dot(v, plane_p)); bucket packs the 16 bits.
-    Set-oriented: explode embedding positions once, equi-join the plane
-    weights on dim, two hash-partitioned aggregations.
+    The plane matrix is inlined as a literal array constant, so the whole
+    signature computation is a narrow projection (no shuffle, no join):
+    bit p = sign(dot(v, plane_{tbl,p})); bucket packs the bits per table.
     """
-    comps = emb.select(
-        "vec_id", F.posexplode(as_double("embedding")).alias("d", "x")
+    w = _plane_weights(dim)
+    vd = as_double("embedding")
+
+    def dot_plane(p: int):
+        plane = F.array(*[F.lit(x) for x in w[p]])
+        return F.aggregate(
+            F.zip_with(vd, plane, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sum(
+                    (
+                        F.when(dot_plane(t * LSH_PLANES_PER_TABLE + pl) > 0, F.lit(2**pl)).otherwise(F.lit(0))
+                        for pl in range(LSH_PLANES_PER_TABLE)
+                    ),
+                    F.lit(0),
+                ).alias("bucket"),
+            )
+            for t in range(LSH_TABLES)
+        ]
     )
-    dots = (
-        comps.join(planes, "d")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    return dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("plane")).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("bucket")
+    return emb.select("vec_id", F.explode(buckets).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )
 
 
@@ -143,38 +157,52 @@ def lsh_signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
     "sim_ann_lsh",
     oracle=None,  # approximate — verified by pytest recall vs brute force
     tags=("similarity",),
-    doc="LSH-bucketed approximate top-1 neighbor for the same 10 queries: "
-    "candidates = vectors sharing the query's hyperplane bucket (fallback "
-    "to brute force only for queries with empty buckets is not needed on "
-    "this corpus). No quadratic stage; bucket join is an equi-join.",
+    doc="Multi-table LSH approximate top-1 neighbor (8 tables × 8-bit "
+    "hyperplane buckets, OR-construction): candidates = vectors sharing "
+    "any table bucket with the query; queries whose buckets are empty fall "
+    "back to brute force so the result is total. No quadratic stage; "
+    "bucket matching is an equi-join on (table, bucket).",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    dim = 64
-    planes = _hyperplanes(spark, dim)
-    sig = lsh_signatures(emb, planes)
-    e = emb.select("vec_id", as_double("embedding").alias("v")).join(sig, "vec_id")
+    sig = lsh_signatures(emb, dim=64)
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    cands = e.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    qsig = sig.join(
+        q.select("qid"), sig.vec_id == F.col("qid")
+    ).select("qid", "tbl", "bucket")
+    cand_ids = (
+        sig.join(
+            F.broadcast(qsig),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
-    return (
-        cands.select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            cosine(F.col("qv"), F.col("v")).alias("c"),
+
+    def top1(scored: DataFrame) -> DataFrame:
+        return (
+            scored.select("qid", "cid", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("qid", F.col("cid").alias("neighbor_id"))
         )
-        .select("qid", "cid", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("cid").alias("neighbor_id"))
-        .orderBy("qid")
+
+    scored = (
+        cand_ids.join(e, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", F.col("vec_id").alias("cid"), cosine(F.col("qv"), F.col("v")).alias("c"))
     )
+    found = top1(scored)
+    # total-result fallback: brute-force any query with an empty candidate set
+    missing = q.join(found, "qid", "left_anti")
+    fallback_scored = e.join(F.broadcast(missing), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("cid"), cosine(F.col("qv"), F.col("v")).alias("c")
+    )
+    return found.union(top1(fallback_scored)).orderBy("qid")
 
 
 @register(

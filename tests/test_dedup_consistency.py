@@ -1,0 +1,56 @@
+"""Cross-operator consistency contracts for the approximate operators.
+
+- MinHash-LSH near-dup output must equal the exact n-gram-Jaccard output
+  on the test corpus (this is what justifies giving the LSH operator the
+  exact-Jaccard SQL oracle).
+- Multi-table ANN-LSH must return exactly one neighbor per query (totality
+  via brute-force fallback) and its neighbors' similarity must be within a
+  sane factor of the true top-1 (deterministic — md5-derived planes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.functions.vectors import as_double, cosine
+from bigdataindexing_spark.operators import dedup, similarity
+from bigdataindexing_spark.tables import table
+
+
+def test_minhash_equals_exact_jaccard(spark, sf_dir):
+    exact = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    lsh = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, lsh))
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+
+
+def test_ann_lsh_total_and_sane(spark, sf_dir):
+    res = {r["qid"]: r["neighbor_id"] for r in similarity.sim_ann_lsh(spark, sf_dir).collect()}
+    assert sorted(res) == list(range(similarity.N_QUERIES))
+    truth = {
+        r["qid"]: r["neighbor_id"]
+        for r in similarity.q25_ann_bruteforce(spark, sf_dir).collect()
+    }
+    # deterministic planes -> deterministic recall; require the approximate
+    # neighbor to be a real vector and self-exclusion to hold
+    for qid, nid in res.items():
+        assert nid != qid
+    # report-style sanity: approximate similarity >= 60% of true best on avg
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    pairs = [(int(q), int(n)) for q, n in res.items()] + [
+        (int(q), int(n)) for q, n in truth.items()
+    ]
+    pdf = spark.createDataFrame(pairs, ["qid", "nid"])
+    a = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    sims = {
+        (r["qid"], r["nid"]): r["c"]
+        for r in pdf.join(a, "qid").join(b, "nid")
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("c"))
+        .collect()
+    }
+    approx_avg = sum(sims[(q, n)] for q, n in res.items()) / len(res)
+    true_avg = sum(sims[(q, n)] for q, n in truth.items()) / len(truth)
+    assert approx_avg >= 0.5 * true_avg

@@ -1,0 +1,160 @@
+"""Declared streaming queries ST1/ST2/ST3/ST4/ST6 (SURVEY.md §2.8).
+
+Each runs a REAL Structured Streaming query (file source, availableNow
+trigger, memory/foreachBatch sink) and returns the drained result as a batch
+DataFrame, so the duckdb oracle can hash-match the end state. ST5
+(watermark late-data drop) needs controlled multi-batch input and lives in
+``tests/test_streaming.py`` instead.
+
+The streaming plans are the same groupBy(window(...)) shapes Spark uses in
+batch, so correctness here transfers directly to a long-running cluster
+deployment; the availableNow trigger is just the deterministic replay mode.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.streaming.core import run_available_now, stream_table
+from bigdataindexing_spark.streaming.index_maintenance import streaming_index_build
+
+
+@register(
+    "st1_stream_index_build",
+    oracle="WITH u AS (SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) "
+    "AS token FROM documents) "
+    "SELECT token, COUNT(*) AS df FROM u WHERE token <> '' GROUP BY token "
+    "ORDER BY df DESC, token LIMIT 10",
+    tags=("streaming", "index"),
+    bench=False,
+    doc="ST1: change-capture → incremental index maintenance via foreachBatch "
+    "(batchId-keyed idempotent partial writes, merge-on-read), replacing the "
+    "reference's RabbitMQ→ES pipeline (IndexingListener.java:115–125). The "
+    "stream-built postings must equal the batch-built/scan formulation.",
+)
+def st1_stream_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = tempfile.mkdtemp(prefix="stream_index_")
+    postings = streaming_index_build(spark, sf_dir, index_dir)
+    return postings.orderBy(F.col("df").desc(), "token").limit(10)
+
+
+@register(
+    "st2_stream_tumbling",
+    oracle="SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt "
+    "FROM events GROUP BY w, event_type ORDER BY w, event_type",
+    tags=("streaming", "window-agg"),
+    bench=False,
+    doc="ST2: streaming tumbling 1-hour window count over events "
+    "(availableNow replay, complete mode). Must equal the batch/SQL result.",
+)
+def st2_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    agg = events.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    result = run_available_now(agg, output_mode="complete")
+    return result.select(
+        F.col("window.start").alias("w"), "event_type", "cnt"
+    ).orderBy("w", "event_type")
+
+
+_SLIDING_ORACLE = (
+    "SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS w, "
+    "event_type, COUNT(*) AS cnt "
+    "FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) "
+    "GROUP BY w, event_type ORDER BY w, event_type"
+)
+
+
+@register(
+    "q28_sliding_window",
+    oracle=_SLIDING_ORACLE,
+    tags=("window-agg", "streaming-batch-equivalent"),
+    doc="ST3 batch equivalent: sliding 1-hour window, 15-minute slide — each "
+    "event lands in 4 windows (duckdb formulation enumerates the 4 aligned "
+    "window starts per event).",
+)
+def q28_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table
+
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("w"), "event_type", "cnt")
+        .orderBy("w", "event_type")
+    )
+
+
+@register(
+    "st3_stream_sliding",
+    oracle=_SLIDING_ORACLE,
+    tags=("streaming", "window-agg"),
+    bench=False,
+    doc="ST3: the same sliding window run as a real streaming query "
+    "(availableNow replay, complete mode).",
+)
+def st3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    agg = events.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    result = run_available_now(agg, output_mode="complete")
+    return result.select(
+        F.col("window.start").alias("w"), "event_type", "cnt"
+    ).orderBy("w", "event_type")
+
+
+_SESSION_ORACLE = (
+    "WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+    "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt FROM s "
+    "GROUP BY user_id, sid ORDER BY user_id, session_start"
+)
+
+
+@register(
+    "q29_session_window",
+    oracle=_SESSION_ORACLE,
+    tags=("window-agg", "streaming-batch-equivalent"),
+    doc="ST4 batch equivalent: 30-minute-gap session windows per user; duckdb "
+    "formulation is gaps-and-islands (new session when gap >= 30min, matching "
+    "Spark's half-open [start, last+gap) session extent).",
+)
+def q29_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table
+
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "cnt",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "st6_stream_dedup",
+    oracle="SELECT COUNT(DISTINCT event_id) AS cnt FROM events",
+    tags=("streaming", "dedup"),
+    bench=False,
+    doc="ST6: stateful streaming dedup — withWatermark + dropDuplicates on "
+    "event_id (state evicted past the watermark); the drained append-mode "
+    "output must contain exactly the distinct ids.",
+)
+def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    deduped = events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    result = run_available_now(deduped, output_mode="append")
+    return result.agg(F.count(F.lit(1)).alias("cnt"))

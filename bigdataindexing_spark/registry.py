@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         text_analysis,
         dedup,
         similarity,
+        multimodal,
     )
     from bigdataindexing_spark.documents import contracts  # noqa: F401
     from bigdataindexing_spark.index import search  # noqa: F401

@@ -395,3 +395,112 @@ def q19_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("y")
     )
+
+
+# --- §2.3 extras: non-equi / as-of joins, cube, approx sketches ---------------
+
+
+@register(
+    "q30_theta_join",
+    oracle="SELECT e1.user_id, COUNT(*) AS cnt FROM events e1 JOIN events e2 "
+    "ON e1.user_id = e2.user_id AND e2.ts > e1.ts "
+    "AND e2.ts <= e1.ts + INTERVAL 5 MINUTE "
+    "WHERE e1.user_id <= 20 GROUP BY e1.user_id ORDER BY e1.user_id",
+    tags=("join", "theta"),
+    doc="Range/theta join: events within 5 minutes after each event for the "
+    "same user. Equi key (user_id) + range condition — Catalyst plans a "
+    "sort-merge join on the equi key with the range as a post-condition, so "
+    "at scale it shuffles once on user_id, never cross-products globally.",
+)
+def q30_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    e1 = events.filter(F.col("user_id") <= 20).alias("e1")
+    e2 = events.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q31_cube",
+    oracle="SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    tags=("agg", "cube"),
+    doc="CUBE grouping-set aggregation (all 4 grouping combinations in one "
+    "pass; Spark expands to a single shuffle with a grouping-id column).",
+)
+def q31_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q32_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines; exact variant is Q-10
+    tags=("agg", "approx"),
+    doc="approx_count_distinct (HyperLogLog++) on o_custkey — the sketch path "
+    "for 100 TB cardinality estimation; exactness is covered by "
+    "q10_count_distinct.",
+)
+def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys")
+    )
+
+
+@register(
+    "q33_asof_join",
+    oracle="SELECT p.event_id, s.ts AS signup_ts FROM "
+    "(SELECT * FROM events WHERE event_type = 'purchase' AND user_id <= 30) p "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+    "ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY p.event_id",
+    tags=("join", "asof"),
+    doc="As-of join (most recent signup at or before each purchase, per "
+    "user) — an operator Spark lacks natively, composed as union + "
+    "last(ignorenulls) over a (user_id, ts)-ordered window: ONE shuffle on "
+    "user_id, no point lookups, no range-join blowup; duckdb's native "
+    "ASOF JOIN is the oracle.",
+)
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    tagged = events.filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts_src"),
+    )
+    # signups sort before purchases at identical ts so `>=` (inclusive) holds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("event_type").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = tagged.withColumn(
+        "signup_ts", F.last("signup_ts_src", ignorenulls=True).over(w)
+    )
+    return (
+        enriched.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") <= 30)
+        )
+        .select("event_id", "signup_ts")
+        .orderBy("event_id")
+    )

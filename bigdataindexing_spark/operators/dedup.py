@@ -21,10 +21,13 @@ corpus, making the LSH result equal to the exact-Jaccard result).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from bigdataindexing_spark.functions.text import md5_long, tokens, word_shingles
+from bigdataindexing_spark.functions.text import md5_long, tokens
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import table
 
@@ -59,12 +62,20 @@ _JACCARD_SQL = (
 
 
 def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) — one row per distinct 3-word shingle per document."""
+    """(doc_id, s) — one row per distinct 3-word shingle per document,
+    as 60-bit md5 hashes (Jaccard over the hashes equals Jaccard over the
+    shingle strings; collision odds ~2^-60 per pair).
+
+    Computed by the fused Arrow-batched pass (shared with MinHash).
+    Repartitioned to the session's parallelism first: the documents table is
+    compute-heavy per byte, so a file layout with fewer splits than cores
+    would otherwise serialize the whole pipeline."""
     return (
         table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("t"))
-        .filter(F.size("t") >= 3)
-        .select("doc_id", F.explode(word_shingles(F.col("t"))).alias("s"))
+        .repartition(int(spark.sparkContext.defaultParallelism))
+        .select("doc_id", "text")
+        .mapInPandas(_shingle_sig_batches, _SHINGLE_SIG_SCHEMA)
+        .select("doc_id", F.explode("shingles").alias("s"))
     )
 
 
@@ -143,7 +154,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key so Catalyst plans a shuffled hash join, never a cartesian.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _jaccard_pairs(_distinct_shingles(spark, sf_dir))
+    # persisted: the shingle relation feeds three join branches (the two
+    # self-join sides and the per-doc size aggregate)
+    return _jaccard_pairs(_distinct_shingles(spark, sf_dir).persist())
+
+
+_SHINGLE_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _shingle_sig_batches(it):
+    """Arrow batch fn: text → (distinct 60-bit shingle hashes, minhash sig).
+
+    Universal-hashing minhash: each shingle is md5'd once; h1/h2 are two
+    independent 60-bit slices of the digest and seed i's hash is h1 + i·h2
+    (int64 wraparound). numpy does the docs×shingles×128 min-reduction
+    vectorized.
+    """
+    import hashlib
+
+    import numpy as np
+
+    seeds = np.arange(NUM_MINHASHES, dtype=np.int64)
+    for pdf in it:
+        out_id, out_sh, out_sig = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.lower().split(" ")
+            if len(toks) < 3:
+                continue
+            seen = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            h1, h2 = [], []
+            for s in seen:
+                d = hashlib.md5(s.encode()).hexdigest()
+                h1.append(int(d[:15], 16))
+                h2.append(int(d[15:30], 16))
+            a = np.asarray(h1, dtype=np.int64)
+            b = np.asarray(h2, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                sig = (a[:, None] + seeds[None, :] * b[:, None]).min(axis=0)
+            out_id.append(doc_id)
+            out_sh.append(h1)
+            out_sig.append(sig.tolist())
+        yield pd.DataFrame(
+            {"doc_id": out_id, "shingles": out_sh, "sig": out_sig}
+        )
 
 
 @register(
@@ -152,37 +211,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
     doc="MinHash(128) + LSH banding (64 bands × 2 rows) near-dup pairs: "
     "band-bucket equi-join for candidates, signature-estimate prefilter, "
-    "exact-Jaccard verify of survivors only. Scale path: signature is one "
-    "groupBy with 128 min-aggregates; candidate generation is "
-    "O(docs·bands) shuffle — no quadratic stage ever materializes. On this "
-    "corpus recall at τ=0.2 is exactly 1 (verified by "
-    "tests/test_dedup_consistency.py), so the oracle is the exact-Jaccard "
-    "result.",
+    "exact-Jaccard verify of survivors only. Scale path: signatures come "
+    "from ONE Arrow-batched mapInPandas pass (shingle+hash+minhash fused, "
+    "numpy-vectorized — the 128-min-aggregate formulation spends more time "
+    "in whole-stage-codegen compilation than computation); candidate "
+    "generation is O(docs·bands) shuffle — no quadratic stage ever "
+    "materializes. On this corpus recall at τ=0.2 is exactly 1 (verified "
+    "by tests/test_dedup_consistency.py), so the oracle is the "
+    "exact-Jaccard result.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    u = _distinct_shingles(spark, sf_dir)
-    sig = u.groupBy("doc_id").agg(
-        *[
-            F.min(F.hash(F.col("s"), F.lit(seed))).alias(f"mh{seed}")
-            for seed in range(NUM_MINHASHES)
-        ]
+    # ONE pass over the corpus computes shingle hashes + signatures; persist
+    # it — it feeds the banding branch, both prefilter sides, and the final
+    # exact-Jaccard verify (Spark does not deduplicate common subtrees
+    # across join branches). Jaccard over 60-bit shingle hashes equals
+    # Jaccard over shingle strings (collision odds ~2^-60 per pair).
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(int(spark.sparkContext.defaultParallelism))
+        .select("doc_id", "text")
+        .mapInPandas(_shingle_sig_batches, _SHINGLE_SIG_SCHEMA)
+        .persist()
     )
-    sig = sig.select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_MINHASHES)]).alias("sig")
-    )
+    u = docs.select("doc_id", F.explode("shingles").alias("s"))
+    sig = docs.select("doc_id", "sig")
+    # band buckets via ONE higher-order transform (a 64-element literal
+    # array of hash() calls would generate a huge codegen class for no
+    # runtime benefit — the lambda is evaluated per band instead)
     n_bands = NUM_MINHASHES // BAND_ROWS
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.hash(
+            *[F.get("sig", b * BAND_ROWS + r) for r in range(BAND_ROWS)]
+        ),
+    )
     bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        *[F.col("sig")[b * BAND_ROWS + r] for r in range(BAND_ROWS)]
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
     )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     right = bands.select(
@@ -225,22 +289,26 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(tokens("text")).alias("w"))
         .withColumn("hv", md5_long(F.col("w")))
     )
-    # integer `div` keeps the 60-bit hash exact (double division would
-    # round the low bits away)
-    bits = tok.selectExpr(
-        "doc_id",
-        f"posexplode(transform(sequence(0, {SIMHASH_BITS - 1}), "
-        "j -> CASE WHEN (hv div CAST(pow(2, j) AS BIGINT)) % 2 = 1 "
-        "THEN 1 ELSE -1 END)) AS (pos, v)",
+    # one aggregate column per bit (±1 vote sums) — a single shuffle on
+    # doc_id over the token rows, instead of posexploding 32× rows and
+    # shuffling on (doc_id, pos); shiftright keeps the 60-bit hash exact
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    votes = bits.groupBy("doc_id", "pos").agg(F.sum("v").alias("sv"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("sv") > 0, F.pow(F.lit(2.0), F.col("pos")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 _SIMHASH_SQL = (

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.index.build import term_rows
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import table
+from bigdataindexing_spark.tables import spread, table
 
 
 @register(
@@ -26,7 +26,7 @@ from bigdataindexing_spark.tables import table
     "match the scan exactly.",
 )
 def idx_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = term_rows(table(spark, sf_dir, "documents"))
+    rows = term_rows(spread(table(spark, sf_dir, "documents")))
     return (
         rows.filter(F.col("token") == "spark").select("doc_id").orderBy("doc_id")
     )
@@ -42,7 +42,7 @@ def idx_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Document-frequency top-10 terms from the postings table.",
 )
 def idx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = term_rows(table(spark, sf_dir, "documents"))
+    rows = term_rows(spread(table(spark, sf_dir, "documents")))
     return (
         rows.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from bigdataindexing_spark.functions.text import md5_long, tokens
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import table
+from bigdataindexing_spark.tables import spread, table
 
 JACCARD_TAU = 0.2
 # MinHash-LSH tuning: 128 hashes = 64 bands x 2 rows. With 2-row bands the
@@ -71,8 +71,7 @@ def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute-heavy per byte, so a file layout with fewer splits than cores
     would otherwise serialize the whole pipeline."""
     return (
-        table(spark, sf_dir, "documents")
-        .repartition(int(spark.sparkContext.defaultParallelism))
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .mapInPandas(_shingle_sig_batches, _SHINGLE_SIG_SCHEMA)
         .select("doc_id", F.explode("shingles").alias("s"))
@@ -118,7 +117,7 @@ def _jaccard_pairs(u: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     tags=("dedup",),
 )
 def q24_distinct_text_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").agg(
+    return spread(table(spark, sf_dir, "documents")).agg(
         F.countDistinct("text").alias("cnt")
     )
 
@@ -134,7 +133,7 @@ def q24_distinct_text_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .groupBy(F.md5("text").alias("h"))
         .agg(
             F.min("doc_id").alias("keep_id"),
@@ -227,8 +226,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across join branches). Jaccard over 60-bit shingle hashes equals
     # Jaccard over shingle strings (collision odds ~2^-60 per pair).
     docs = (
-        table(spark, sf_dir, "documents")
-        .repartition(int(spark.sparkContext.defaultParallelism))
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .mapInPandas(_shingle_sig_batches, _SHINGLE_SIG_SCHEMA)
         .persist()
@@ -285,7 +283,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash from md5-derived token hashes."""
     tok = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(tokens("text")).alias("w"))
         .withColumn("hv", md5_long(F.col("w")))
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import table
+from bigdataindexing_spark.tables import spread, table
 
 try:  # codec gate: real decoder if available, deterministic fake otherwise
     from PIL import Image as _PIL_Image  # noqa: F401
@@ -197,7 +197,7 @@ def sample_frames(
     "the media table (duckdb hashes the identical UTF-8 bytes).",
 )
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media(table(spark, sf_dir, "documents"))
+    media = as_media(spread(table(spark, sf_dir, "documents")))
     return (
         media.filter(F.col("doc_id") <= 100)
         .select(
@@ -220,7 +220,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against closed-form arithmetic on the byte length.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media(table(spark, sf_dir, "documents")).filter(F.col("doc_id") <= 200)
+    media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 200)
     frames = sample_frames(media)
     return (
         frames.groupBy("doc_id")
@@ -237,7 +237,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media table — the embedding-extractor dataflow shape.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media(table(spark, sf_dir, "documents")).filter(F.col("doc_id") <= 200)
+    media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 200)
     feats = extract_features(media)
     return feats.select(
         "doc_id", F.round(F.element_at("features", 1), 4).alias("bin0")
@@ -253,5 +253,5 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoded n_bytes must equal the true payload length.",
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media(table(spark, sf_dir, "documents")).filter(F.col("doc_id") <= 100)
+    media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 100)
     return decode_image(media).select("doc_id", "n_bytes").orderBy("doc_id")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import table
+from bigdataindexing_spark.tables import spread, table
 
 
 @register(
@@ -26,7 +26,7 @@ from bigdataindexing_spark.tables import table
 )
 def q21_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "embeddings")
+        spread(table(spark, sf_dir, "embeddings"))
         .select("label", F.explode("embedding").alias("v"))
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -45,7 +45,7 @@ def q21_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "events")
+        spread(table(spark, sf_dir, "events"))
         .filter(
             F.get_json_object("props", "$.k").cast("int").between(10, 20)
         )
@@ -66,7 +66,7 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "events")
+        spread(table(spark, sf_dir, "events"))
         .groupBy(
             F.date_trunc("hour", F.col("ts")).alias("w"),
             "event_type",
@@ -88,7 +88,7 @@ def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "F8 map-function surface.",
 )
 def q27_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").withColumn(
+    ev = spread(table(spark, sf_dir, "events")).withColumn(
         "m", F.from_json("props", "map<string,int>")
     )
     return (

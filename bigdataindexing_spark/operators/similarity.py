@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.functions.vectors import as_double, cosine
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import table
+from bigdataindexing_spark.tables import spread, table
 
 COSINE_NEARDUP_TAU = 0.45
 N_QUERIES = 10
@@ -49,7 +49,7 @@ LSH_PLANES_PER_TABLE = 8
     "with no shuffle until the tiny top-k.",
 )
 def q25_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").select(
+    e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -86,7 +86,7 @@ def q25_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test scale; the LSH-bucketed variant below is the 100 TB path.",
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").select(
+    e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double("embedding").alias("v")
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
@@ -120,36 +120,44 @@ def _plane_weights(dim: int) -> list[list[float]]:
 def lsh_signatures(emb: DataFrame, dim: int) -> DataFrame:
     """(vec_id, tbl, bucket) — random-hyperplane bucket per vector per table.
 
-    The plane matrix is inlined as a literal array constant, so the whole
-    signature computation is a narrow projection (no shuffle, no join):
-    bit p = sign(dot(v, plane_{tbl,p})); bucket packs the bits per table.
+    One Arrow-batched pass: the whole signature computation is a single
+    numpy matmul V @ Wᵀ followed by sign/bit-packing — no shuffle, no join.
+    (Inlining the 64×64 plane matrix as literal column expressions puts
+    ~4k constants and 64 aggregate lambdas into the plan, which costs more
+    in planning/codegen than the actual math.)
     """
     w = _plane_weights(dim)
-    vd = as_double("embedding")
 
-    def dot_plane(p: int):
-        plane = F.array(*[F.lit(x) for x in w[p]])
-        return F.aggregate(
-            F.zip_with(vd, plane, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
-        )
+    def batches(it):
+        import numpy as np
+        import pandas as pd
 
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sum(
-                    (
-                        F.when(dot_plane(t * LSH_PLANES_PER_TABLE + pl) > 0, F.lit(2**pl)).otherwise(F.lit(0))
-                        for pl in range(LSH_PLANES_PER_TABLE)
-                    ),
-                    F.lit(0),
-                ).alias("bucket"),
+        W = np.asarray(w)  # (n_planes, dim)
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "buckets": []})
+                continue
+            V = np.stack(pdf["embedding"].map(np.asarray)).astype("float64")
+            bits = (V @ W.T) > 0  # (n, n_planes)
+            buckets = []
+            for t in range(LSH_TABLES):
+                b = np.zeros(len(pdf), dtype=np.int64)
+                for pl in range(LSH_PLANES_PER_TABLE):
+                    b |= bits[:, t * LSH_PLANES_PER_TABLE + pl].astype(
+                        np.int64
+                    ) << pl
+                buckets.append(b)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "buckets": list(np.stack(buckets, axis=1).tolist()),
+                }
             )
-            for t in range(LSH_TABLES)
-        ]
-    )
-    return emb.select("vec_id", F.explode(buckets).alias("tb")).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+
+    schema = "vec_id BIGINT, buckets ARRAY<BIGINT>"
+    sigs = emb.select("vec_id", "embedding").mapInPandas(batches, schema)
+    return sigs.select(
+        "vec_id", F.posexplode("buckets").alias("tbl", "bucket")
     )
 
 
@@ -164,8 +172,10 @@ def lsh_signatures(emb: DataFrame, dim: int) -> DataFrame:
     "bucket matching is an equi-join on (table, bucket).",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    sig = lsh_signatures(emb, dim=64)
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    # persisted: the signature relation is probed by both the query-side
+    # lookup and the candidate-generation join
+    sig = lsh_signatures(emb, dim=64).persist()
     e = emb.select("vec_id", as_double("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -224,7 +234,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1/K of the corpus scanned per query.",
 )
 def sim_ann_label_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").select(
+    e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

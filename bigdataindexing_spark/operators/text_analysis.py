@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.functions.text import tokens, word_shingles
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import table
+from bigdataindexing_spark.tables import spread, table
 
 # Marker stopwords per language for the n-gram/keyword language-ID heuristic.
 LANG_MARKERS = {
@@ -32,7 +32,7 @@ LANG_MARKERS = {
 )
 def q26_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") <= 100)
         .select(F.explode(tokens("text")).alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -64,7 +64,7 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, v: s + v,
     )
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", tokens("text").alias("t"))
         .select(
             "doc_id",
@@ -108,7 +108,7 @@ def _langid_oracle() -> str:
 )
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(tokens("text")).alias("w"))
     )
     scores = tok.groupBy("doc_id").agg(
@@ -144,7 +144,7 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             F.md5(F.lower("text")).alias("fp"),

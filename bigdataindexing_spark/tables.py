@@ -41,6 +41,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism for CPU-heavy
+    per-row work (JSON parse, tokenize, vector math).
+
+    Parquet can only split across row groups, so a single-row-group file
+    (like the driver test data) scans as ONE task and everything before the
+    first shuffle serializes. Only repartitions when the source has fewer
+    partitions than cores — a properly laid-out big table passes through
+    untouched, so this never adds a shuffle at real scale."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 

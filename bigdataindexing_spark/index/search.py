@@ -49,3 +49,29 @@ def idx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "token")
         .limit(10)
     )
+
+
+@register(
+    "idx_delete_anti_join",
+    oracle="WITH u AS (SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) "
+    "AS token FROM documents WHERE doc_id >= 100) "
+    "SELECT token, COUNT(*) AS df FROM u WHERE token <> '' GROUP BY token "
+    "ORDER BY df DESC, token LIMIT 10",
+    tags=("index",),
+    doc="S6 document deletion from the index: left-anti join of the flat "
+    "postings rows against the deleted-id set, then re-aggregate — the "
+    "Spark rewrite of the reference's per-document Elasticsearch DELETE "
+    "(IndexingListener.java:127–131). The oracle is the index rebuilt from "
+    "the surviving documents.",
+)
+def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    rows = term_rows(docs)
+    deletes = docs.select("doc_id").filter(F.col("doc_id") < 100)
+    remaining = rows.join(F.broadcast(deletes), "doc_id", "left_anti")
+    return (
+        remaining.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(10)
+    )

@@ -158,3 +158,30 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.md5("s")).alias("min_shingle_fp"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "txt_bpe_tokens",
+    oracle="SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct "
+    "FROM (SELECT UNNEST(regexp_extract_all(lower(text), "
+    "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok FROM documents)",
+    tags=("text",),
+    doc="BPE-ish regex tokenization (letter runs / digit runs / single "
+    "punctuation) — the pre-tokenizer shape BPE vocabularies train over; "
+    "JVM-side regexp_extract_all, one shuffle for the distinct.",
+)
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        spread(table(spark, sf_dir, "documents"))
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+                )
+            ).alias("tok")
+        )
+    )
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )

@@ -1,0 +1,106 @@
+"""SQL passthrough surface: declared queries expressed as ANSI SQL text
+and executed via ``spark.sql`` over the registered table views.
+
+The engine's primary API is the DataFrame builders in ``operators/``; this
+module proves the equivalent SQL front door (the reference's users query
+through a DSL — Elasticsearch JSON — so both entry styles matter). The SQL
+text is dialect-shared: the exact same string runs on duckdb as the
+oracle, which also pins Spark's ANSI compatibility for these shapes
+(multi-way joins, EXISTS semi-joins, HAVING, scalar subqueries).
+
+Catalyst treatment is identical to the DataFrame API — same analyzed plan,
+same pushdown/broadcast decisions — so these add SQL-surface coverage, not
+a second engine path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import register_views
+
+_Q3 = (
+    "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+    "o_orderdate FROM customer "
+    "JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15' "
+    "AND l_shipdate > DATE '1995-03-15' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+)
+
+_Q5 = (
+    "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"
+)
+
+_Q4 = (
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= DATE '1994-01-01' AND EXISTS ("
+    "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > DATE '1995-01-01') "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+_Q18 = (
+    "SELECT c_name, o_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY c_name, o_orderkey HAVING SUM(l_quantity) > 250 "
+    "ORDER BY o_orderkey"
+)
+
+_SCALAR_SUB = (
+    "SELECT c_custkey, ROUND(c_acctbal, 4) AS acctbal FROM customer "
+    "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) "
+    "ORDER BY c_custkey"
+)
+
+
+def _sql_builder(sql: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return build
+
+
+for _name, _sql, _doc in [
+    (
+        "q34_sql_tpch_q3",
+        _Q3,
+        "TPC-H Q3 shape (shipping priority): 3-way join + filtered agg + "
+        "top-10, submitted as SQL text; dialect-shared with the oracle.",
+    ),
+    (
+        "q35_sql_tpch_q5",
+        _Q5,
+        "TPC-H Q5 shape (local supplier volume): 6-way join with a "
+        "cross-table equality (c_nationkey = s_nationkey) collapsing the "
+        "customer and supplier nations.",
+    ),
+    (
+        "q36_sql_exists",
+        _Q4,
+        "TPC-H Q4 shape: EXISTS correlated subquery — planned as a left "
+        "semi join, never a per-row probe.",
+    ),
+    (
+        "q37_sql_having",
+        _Q18,
+        "TPC-H Q18 shape: grouped join with HAVING over the aggregate.",
+    ),
+    (
+        "q38_sql_scalar_subquery",
+        _SCALAR_SUB,
+        "Scalar subquery in a predicate (compare to the table's own "
+        "average) — planned as a broadcast of the 1-row subquery result.",
+    ),
+]:
+    register(_name, oracle=_sql, tags=("sql",), doc=_doc)(_sql_builder(_sql))

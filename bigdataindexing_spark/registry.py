@@ -77,7 +77,9 @@ def _ensure_loaded() -> None:
         dedup,
         similarity,
         multimodal,
+        skew,
     )
+    from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401
     from bigdataindexing_spark.index import search  # noqa: F401
     from bigdataindexing_spark.sources import json_ingest  # noqa: F401

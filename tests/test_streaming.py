@@ -167,3 +167,34 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     result = run_available_now(deduped, output_mode="append")
     ids = sorted(r["event_id"] for r in result.collect())
     assert ids == [1, 2, 3]
+
+
+def test_stateful_sessionize_state_crosses_batches(spark, tmp_path):
+    """applyInPandasWithState: a session spanning two micro-batches closes
+    with the COMBINED count, and an in-gap event in a later batch extends
+    rather than restarts the session."""
+    from bigdataindexing_spark.streaming.stateful import sessionize
+
+    schema = "user_id BIGINT, ts TIMESTAMP"
+    batch1 = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(0, 0)), Row(user_id=1, ts=_ts(0, 10))], schema
+    )
+    # 0:20 continues the session started in batch 1 (gap < 30 min);
+    # 2:00 closes it, emitting the 3-event session
+    batch2 = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(0, 20)), Row(user_id=1, ts=_ts(2, 0))], schema
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_ordered_files([batch1, batch2], src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    result = run_available_now(sessionize(stream), output_mode="append")
+    rows = [(r["user_id"], r["session_start"], r["cnt"]) for r in result.collect()]
+    # exactly one closed session: started 00:00, 3 events; the 02:00
+    # session stays open in state and is never emitted
+    assert rows == [(1, _ts(0, 0), 3)]

@@ -255,3 +255,117 @@ def sim_ann_label_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("cid").alias("neighbor_id"))
         .orderBy("qid")
     )
+
+
+# --- IVF: trained coarse quantizer + cell-pruned search -----------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 3
+IVF_TRAIN_SAMPLE = 512
+IVF_KMEANS_ITERS = 5
+
+
+def train_centroids(emb: DataFrame) -> "list[list[float]]":
+    """Deterministic coarse quantizer: Lloyd's k-means on a fixed sample.
+
+    Standard IVF practice at any scale — the quantizer trains on a driver-
+    side sample (here the first IVF_TRAIN_SAMPLE vectors by vec_id, so the
+    result is reproducible), then ships to executors as a broadcast-sized
+    constant (16×64 doubles). The full corpus is never collected.
+    """
+    import numpy as np
+
+    sample = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample])
+    C = X[:IVF_CELLS].copy()  # deterministic init: first K sample vectors
+    for _ in range(IVF_KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(IVF_CELLS):
+            members = X[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+    return C.tolist()
+
+
+def assign_cells(emb: DataFrame, centroids: "list[list[float]]") -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, one numpy pass."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(centroids)
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "cell": []})
+                continue
+            V = np.stack(pdf["embedding"].map(np.asarray)).astype("float64")
+            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": d.argmin(axis=1)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_id BIGINT, cell INT"
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # approximate — recall contract in tests/test_dedup_consistency.py
+    tags=("similarity",),
+    bench=False,
+    doc="IVF ANN with a TRAINED coarse quantizer: k-means centroids from a "
+    "deterministic sample, nearest-cell assignment as an Arrow-batched "
+    "pass, search probes the query's IVF_NPROBE closest cells and exact-"
+    "reranks only those candidates (~nprobe/cells of the corpus). "
+    "Queries never meet vectors outside their probed cells, so the "
+    "pair space is pruned by the cell equi-join exactly like a partition-"
+    "pruned scan.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    centroids = train_centroids(emb)
+    cells = assign_cells(emb, centroids)
+    e = emb.select("vec_id", as_double("embedding").alias("v")).join(
+        cells, "vec_id"
+    )
+
+    # per-query probe list: nprobe nearest centroids (driver-side math on
+    # the collected query vectors only — N_QUERIES rows)
+    C = np.asarray(centroids)
+    qrows = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .filter(F.col("vec_id") < N_QUERIES)
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"])
+        d = ((C - qv[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:IVF_NPROBE]:
+            probe_rows.append((r["vec_id"], r["v"], int(cell)))
+    probes = spark.createDataFrame(
+        probe_rows, "qid BIGINT, qv ARRAY<DOUBLE>, cell INT"
+    )
+
+    scored = e.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", F.col("vec_id").alias("cid"), cosine(F.col("qv"), F.col("v")).alias("c")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
+    return (
+        scored.select("qid", "cid", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("neighbor_id"))
+        .orderBy("qid")
+    )

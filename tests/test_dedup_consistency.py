@@ -54,3 +54,17 @@ def test_ann_lsh_total_and_sane(spark, sf_dir):
     approx_avg = sum(sims[(q, n)] for q, n in res.items()) / len(res)
     true_avg = sum(sims[(q, n)] for q, n in truth.items()) / len(truth)
     assert approx_avg >= 0.5 * true_avg
+
+
+def test_ivf_total_and_recall(spark, sf_dir):
+    """IVF ANN: every query answered; recall@1 vs brute force >= 0.8
+    (nprobe=3 of 16 cells; the trained quantizer and probe order are
+    deterministic, so this is a fixed number per scale factor)."""
+    from bigdataindexing_spark.registry import queries
+
+    qs = queries()
+    ivf = {r["qid"]: r["neighbor_id"] for r in qs["sim_ann_ivf"](spark, sf_dir).collect()}
+    bf = {r["qid"]: r["neighbor_id"] for r in qs["q25_ann_bruteforce"](spark, sf_dir).collect()}
+    assert sorted(ivf) == sorted(bf)  # total: one answer per query
+    agree = sum(ivf[q] == bf[q] for q in bf)
+    assert agree >= 0.8 * len(bf)

@@ -504,3 +504,62 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "signup_ts")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q40_key_parse",
+    oracle="WITH k AS (SELECT o_orderkey, 'orders' || '_' || CAST(o_orderkey "
+    "AS VARCHAR) || '_' || o_orderpriority AS okey FROM orders "
+    "WHERE o_orderkey <= 50) "
+    "SELECT o_orderkey, split_part(okey, '_', 1) AS obj_type, "
+    "CAST(regexp_extract(okey, '_([0-9]+)_', 1) AS BIGINT) AS parsed_id "
+    "FROM k ORDER BY o_orderkey",
+    tags=("scalar",),
+    doc="F2 key parsing: the reference splits its 'type_id_field' storage "
+    "keys by '_' and brackets (PlanService.java:112, 142, 264–284) — here "
+    "split_part + regexp_extract round-trip the key built in q18.",
+)
+def q40_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 50)
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                "_", F.lit("orders"), F.col("o_orderkey"), F.col("o_orderpriority")
+            ).alias("okey"),
+        )
+    )
+    return k.select(
+        "o_orderkey",
+        F.split_part(F.col("okey"), F.lit("_"), F.lit(1)).alias("obj_type"),
+        F.regexp_extract("okey", "_([0-9]+)_", 1).cast("long").alias("parsed_id"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q41_array_ops",
+    oracle="SELECT vec_id, ROUND(list_sort(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE)))[1], 4) AS smallest, "
+    "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_v, "
+    "len(embedding) AS dim FROM embeddings WHERE vec_id < 50 ORDER BY vec_id",
+    tags=("scalar", "array"),
+    doc="F5 array surface: sort_array / element_at / size over the "
+    "embedding arrays (duckdb list_sort / [1] / len).",
+)
+def q41_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.functions.vectors import as_double
+
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.round(F.element_at(F.sort_array(as_double("embedding")), 1), 4).alias(
+                "smallest"
+            ),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_v"),
+            F.size("embedding").alias("dim"),
+        )
+        .orderBy("vec_id")
+    )

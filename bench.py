@@ -81,23 +81,24 @@ def main() -> None:
     spark = get_spark(app_name="bdi-bench", cpus=cpus)
     _warmup(spark, sf_dir)
 
-    # Each query is timed twice (fresh build + clearCache between runs, so
-    # all data is recomputed each time) and the min is reported — the JVM's
-    # JIT/codegen/GC timing is nondeterministic enough at this scale to
-    # swing a single measurement several-fold.
+    # Each query is timed in TWO full passes over the whole suite (fresh
+    # build + clearCache per run, so all data is recomputed every time) and
+    # the per-query min is reported. Separated passes decorrelate the
+    # measurements from transient system noise (GC, JIT, co-tenant CPU):
+    # a slow patch inflates one pass, the other pass recovers the signal.
     timings: dict[str, float] = {}
-    for name, spec in sorted(registry.all_specs().items()):
-        if not spec.bench:
-            continue
-        best = None
-        for _ in range(2):
+    for _pass in range(2):
+        for name, spec in sorted(registry.all_specs().items()):
+            if not spec.bench:
+                continue
             df = spec.builder(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(

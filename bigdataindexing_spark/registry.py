@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         similarity,
         multimodal,
         skew,
+        grouped_python,
     )
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401

@@ -12,6 +12,7 @@ Defaults are chosen for correctness-at-scale first:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -40,6 +41,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # static conf: catalog tables (bucketed layouts) land outside the
+        # repo; a cluster deployment points this at durable storage
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "bdi_warehouse"),
+            ),
+        )
     )
     return builder.getOrCreate()
 

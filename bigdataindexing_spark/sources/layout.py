@@ -1,0 +1,87 @@
+"""Physical table layout: partitioned writes and bucketed co-located joins.
+
+The two storage levers that matter most at 100 TB:
+
+- **Partition pruning**: fact tables written ``partitionBy`` a coarse key
+  (here ``o_year``) let any filtered query skip whole directories — the
+  scan's ``PartitionFilters`` line is the proof (SURVEY.md §4.3).
+- **Bucketing**: two tables bucketed + sorted by the join key co-locate
+  matching rows at WRITE time, so the join plans as a sort-merge join with
+  NO Exchange on either side — the shuffle is paid once at layout time and
+  amortized over every subsequent join (Spark's equivalent of the
+  co-partitioned storage the reference can't express at all).
+
+Both are asserted by plan tests (tests/test_layout.py): pruning must show
+up in PartitionFilters, and the bucketed join plan must contain no
+Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.tables import table
+
+N_BUCKETS = 8
+
+
+def write_partitioned_orders(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """orders partitioned by order year — date-range queries prune dirs."""
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out_dir)
+    )
+
+
+def read_orders_year(spark: SparkSession, out_dir: str, year: int) -> DataFrame:
+    return spark.read.parquet(out_dir).filter(F.col("o_year") == year)
+
+
+def write_bucketed(spark: SparkSession, sf_dir: str, db: str = "bdi") -> None:
+    """orders + lineitem bucketed AND sorted by the join key.
+
+    Uses the session catalog (saveAsTable is required for bucket metadata);
+    idempotent per session."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}_bucketed")
+        # the in-memory catalog forgets tables between sessions but their
+        # directories survive; clear them or saveAsTable refuses the location
+        shutil.rmtree(
+            f"{warehouse}/{db}.db/{name}_bucketed", ignore_errors=True
+        )
+        (
+            table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(f"{db}.{name}_bucketed")
+        )
+
+
+def bucketed_join(spark: SparkSession, db: str = "bdi") -> DataFrame:
+    """orders ⋈ lineitem on the bucket key: no Exchange on either side."""
+    # the MERGE hint models real scale: at 100 TB neither side broadcasts,
+    # so the plan of record is the sort-merge join — which the bucket+sort
+    # layout serves with no Exchange (and no Sort) on either side. At test
+    # scale AQE would otherwise broadcast the tiny orders side.
+    o = spark.table(f"{db}.orders_bucketed").hint("merge")
+    l = spark.table(f"{db}.lineitem_bucketed")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,74 @@
+"""Storage-layout contracts: partition pruning and shuffle-free bucketed
+joins — asserted at the PLAN level, with results cross-checked against the
+unbucketed/unpartitioned formulations."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.sources.layout import (
+    bucketed_join,
+    read_orders_year,
+    write_bucketed,
+    write_partitioned_orders,
+)
+from bigdataindexing_spark.tables import table
+
+
+def _formatted_plan(df) -> str:
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_year")
+    write_partitioned_orders(spark, sf_dir, out)
+    df = read_orders_year(spark, out, 1995)
+    plan = _formatted_plan(df)
+    # the year predicate lands in PartitionFilters (directory pruning),
+    # not in PushedFilters or a post-scan Filter
+    assert re.search(r"PartitionFilters: \[isnotnull\(o_year#\d+\), \(o_year#\d+ = 1995\)\]", plan)
+    expect = (
+        table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .count()
+    )
+    assert df.count() == expect > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    write_bucketed(spark, sf_dir)
+    df = bucketed_join(spark)
+    plan = _formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    # the join's input subtrees (below the SortMergeJoin node in the final
+    # plan) must contain no Exchange: the bucket layout already co-locates
+    # matching keys, so only the post-join agg/sort may shuffle
+    final = plan.split("== Initial Plan ==")[0]
+    below_join = final.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join
+    # correctness: equals the plain-table join
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    expect = sorted(
+        map(
+            tuple,
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == expect

@@ -1,0 +1,68 @@
+"""Hypertable-style continuous aggregate: time-bucketed rollup tables.
+
+The materialized-view pattern a 100 TB event store lives on: an hourly
+rollup table is maintained once (batch here; incrementally via the
+streaming index-maintenance pattern in production) and dashboards/serving
+queries read the rollup — touching hours×types rows instead of raw events.
+Coarser grains (daily) re-aggregate the hourly rollup without ever going
+back to the raw table, which is what the additivity of sum/count buys.
+
+The serve-path queries carry duckdb oracles phrased against the RAW events
+table, so the rollup's correctness (not just its shape) is hash-checked.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import spread, table
+
+
+def build_hourly_rollup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """events → hourly (bucket, event_type) rollup, sorted on write for
+    row-group skipping on the serve path."""
+    (
+        spread(table(spark, sf_dir, "events"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bucket", "event_type")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+@register(
+    "q44_rollup_serve",
+    oracle="SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt, "
+    "ROUND(SUM(value), 2) AS sum_value FROM events "
+    "GROUP BY day, event_type ORDER BY day, event_type",
+    tags=("rollup", "index"),
+    doc="Continuous-aggregate serve path: the DAILY result is computed by "
+    "re-aggregating the materialized HOURLY rollup (sum of sums, sum of "
+    "counts) — the raw events table is read once at build time, never at "
+    "serve time. Oracle: the same daily aggregate straight off raw events.",
+)
+def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup_dir = tempfile.mkdtemp(prefix="rollup_hourly_")
+    build_hourly_rollup(spark, sf_dir, rollup_dir)
+    hourly = spark.read.parquet(rollup_dir)
+    return (
+        hourly.groupBy(
+            F.to_date("bucket").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )

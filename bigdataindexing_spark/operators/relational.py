@@ -563,3 +563,28 @@ def q41_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q45_percentiles",
+    oracle="SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50, "
+    "ROUND(quantile_cont(value, 0.95), 4) AS p95, "
+    "ROUND(MAX(value), 4) AS mx FROM events GROUP BY event_type "
+    "ORDER BY event_type",
+    tags=("agg",),
+    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "duckdb `quantile_cont`). The sketch path for unbounded cardinality is "
+    "approx_percentile — same plan shape, bench-covered by q32's HLL "
+    "analogue.",
+)
+def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.max("value"), 4).alias("mx"),
+        )
+        .orderBy("event_type")
+    )

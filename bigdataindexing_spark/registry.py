@@ -82,7 +82,7 @@ def _ensure_loaded() -> None:
     )
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401
-    from bigdataindexing_spark.index import search  # noqa: F401
+    from bigdataindexing_spark.index import rollup, search  # noqa: F401
     from bigdataindexing_spark.sources import json_ingest  # noqa: F401
     from bigdataindexing_spark.streaming import queries, stateful  # noqa: F401
 

@@ -69,3 +69,29 @@ def test_stream_ingest_replay_is_idempotent(spark, tmp_path):
     fn(raw, 0)  # replayed micro-batch
     twice = sorted(map(tuple, read_store(spark, out_dir, streaming=True).plans.collect()))
     assert once == twice
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution across parquet files: a column added later merges
+    into a unified schema, old rows read NULL for it — the contract a
+    long-lived 100 TB table depends on."""
+    from pyspark.sql import Row
+
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha")], "doc_id BIGINT, text STRING"
+    )
+    v2 = spark.createDataFrame(
+        [Row(doc_id=2, text="beta", lang="en")],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    v1.write.parquet(f"{base}/v1")
+    v2.write.parquet(f"{base}/v2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/v1", f"{base}/v2"
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None
+    assert rows[2]["lang"] == "en"

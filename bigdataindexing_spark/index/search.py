@@ -75,3 +75,69 @@ def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "token")
         .limit(10)
     )
+
+
+@register(
+    "idx_tfidf_search",
+    oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
+    "AS token FROM documents), "
+    "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok "
+    "WHERE token IN ('spark', 'data') GROUP BY doc_id, token), "
+    "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok "
+    "WHERE token IN ('spark', 'data') GROUP BY token), "
+    "n AS (SELECT COUNT(*) AS n FROM documents) "
+    "SELECT doc_id, ROUND(SUM(tf * LN(n.n * 1.0 / df.df)), 4) AS score "
+    "FROM tf JOIN df USING (token) CROSS JOIN n "
+    "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10",
+    tags=("index", "search"),
+    doc="Ranked retrieval: TF-IDF scoring of a two-term query through the "
+    "postings tables (tf per doc-term, ln(N/df) weights broadcast) — the "
+    "Spark-native analogue of the reference's Elasticsearch relevance "
+    "ranking. Only postings rows for the query terms are touched.",
+)
+def idx_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["spark", "data"]
+    docs = spread(table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    rows = term_rows(docs).filter(F.col("token").isin(terms))
+    dfreq = rows.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = rows.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "idx_phrase_query",
+    oracle="SELECT DISTINCT doc_id FROM documents "
+    "WHERE ' ' || lower(text) || ' ' LIKE '% table hash %' ORDER BY doc_id",
+    tags=("index", "search"),
+    doc="Positional phrase query ('table hash'): the positions index "
+    "(doc_id, pos, token) self-joins on pos+1 adjacency — the inverted-"
+    "index phrase algorithm, verified against the padded-substring scan.",
+)
+def idx_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.functions.text import tokens
+
+    positions = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    t1 = positions.filter(F.col("token") == "table").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = positions.filter(F.col("token") == "hash").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2,
+        (t1.doc_id == t2.doc_id2) & (t2.p2 == t1.p1 + 1),
+    )
+    return hits.select("doc_id").distinct().orderBy("doc_id")

@@ -185,3 +185,32 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct"),
     )
+
+
+@register(
+    "txt_normalize",
+    oracle="SELECT doc_id, sha256(trim(regexp_replace(regexp_replace("
+    "lower(text), '<[^>]*>', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))) AS norm_sha "
+    "FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    tags=("text",),
+    doc="Corpus normalization: strip markup, lowercase, collapse "
+    "whitespace, trim — the canonical pre-dedup cleaning pass, all "
+    "JVM-side regexp_replace. The content hash of the normalized text is "
+    "compared so the full transform (not a summary) is verified.",
+)
+def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "<[^>]*>", " "),
+            "[ \\t\\n\\r]+",
+            " ",
+        )
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id", F.sha2(F.encode(norm, "utf-8"), 256).alias("norm_sha")
+        )
+        .orderBy("doc_id")
+    )

@@ -588,3 +588,140 @@ def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q46_pivot",
+    oracle="SELECT l_returnflag, "
+    "ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f, "
+    "ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    tags=("agg", "pivot"),
+    doc="Pivot (wide aggregation): returnflag rows × linestatus columns. "
+    "Spark's `groupBy().pivot(col, values)` with explicit pivot values "
+    "compiles to ONE hash aggregate with conditional sums — same plan "
+    "Catalyst would get from the CASE formulation, one shuffle, no "
+    "second pass to discover the value domain.",
+)
+def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q47_ntile",
+    oracle="SELECT o_orderkey, "
+    "NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile "
+    "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey",
+    tags=("window",),
+    doc="NTILE quartile assignment (W1 family). Un-partitioned window = "
+    "single-partition sort; at scale the same shape runs partitioned "
+    "(per-tenant / per-day) or via approx_percentile bucketing.",
+)
+def q47_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q48_first_last_value",
+    oracle="SELECT DISTINCT o_custkey, "
+    "ROUND(FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey), 4) AS first_price, "
+    "ROUND(LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) "
+    "AS last_price "
+    "FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey",
+    tags=("window",),
+    doc="first_value / last_value with an explicit unbounded frame (W3 "
+    "family): earliest and latest order price per customer in one "
+    "windowed pass — no self-join with a min/max subquery.",
+)
+def q48_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            F.round(F.first("o_totalprice").over(w), 4).alias("first_price"),
+            F.round(F.last("o_totalprice").over(w_full), 4).alias("last_price"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q49_string_funcs",
+    oracle="SELECT p_partkey, UPPER(p_name) AS up, "
+    "SUBSTRING(p_name, 1, 5) AS pre, "
+    "LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded, "
+    "REPLACE(p_name, ' ', '-') AS dashed, "
+    "LENGTH(p_name) AS len "
+    "FROM part WHERE p_partkey <= 30 ORDER BY p_partkey",
+    tags=("scalar",),
+    doc="Scalar string battery (F1/F2 family): upper / substring / lpad / "
+    "replace / length, all JVM-side built-ins inside one codegen stage.",
+)
+def q49_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 30)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.substring("p_name", 1, 5).alias("pre"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("dashed"),
+            F.length("p_name").alias("len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q50_filtered_agg",
+    oracle="SELECT o_orderpriority, COUNT(*) AS n, "
+    "COUNT(*) FILTER (WHERE o_totalprice > 150000) AS big, "
+    "ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) "
+    "AS avg_f "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    tags=("agg",),
+    doc="Filtered aggregation (SQL FILTER clause ≡ count_if / "
+    "conditional avg): multiple differently-filtered aggregates in one "
+    "hash-agg pass over a single scan — never N scans.",
+)
+def q50_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("o_totalprice") > 150000).alias("big"),
+            F.round(
+                F.avg(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+                ),
+                4,
+            ).alias("avg_f"),
+        )
+        .orderBy("o_orderpriority")
+    )

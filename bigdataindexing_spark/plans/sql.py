@@ -62,6 +62,19 @@ _SCALAR_SUB = (
     "ORDER BY c_custkey"
 )
 
+_CORR_SCALAR = (
+    "SELECT o_custkey, o_orderkey FROM orders o "
+    "WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2 "
+    "WHERE o2.o_custkey = o.o_custkey) "
+    "AND o_custkey <= 100 ORDER BY o_custkey, o_orderkey"
+)
+
+_GROUPING_SETS = (
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty "
+    "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+)
+
 
 def _sql_builder(sql: str):
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,6 +114,21 @@ for _name, _sql, _doc in [
         _SCALAR_SUB,
         "Scalar subquery in a predicate (compare to the table's own "
         "average) — planned as a broadcast of the 1-row subquery result.",
+    ),
+    (
+        "q51_sql_correlated_scalar",
+        _CORR_SCALAR,
+        "Correlated scalar subquery (each customer's max-price order): "
+        "Catalyst de-correlates it into a grouped aggregate joined back "
+        "on the correlation key — one shuffle, never a per-row re-scan.",
+    ),
+    (
+        "q52_sql_grouping_sets",
+        _GROUPING_SETS,
+        "Explicit GROUPING SETS (two single-column groupings + grand "
+        "total): one Expand + one hash aggregate, completing the "
+        "rollup (Q-11) / cube (q31) family with arbitrary set lists; "
+        "NULL ordering pinned explicitly for cross-engine determinism.",
     ),
 ]:
     register(_name, oracle=_sql, tags=("sql",), doc=_doc)(_sql_builder(_sql))

@@ -89,3 +89,41 @@ def test_semi_join_stays_semi(plan):
 def test_anti_join_stays_anti(plan):
     p = plan("q06_anti_join")
     assert "LeftAnti" in p
+
+
+def test_pivot_is_single_pass_no_expand(plan):
+    # explicit pivot values: one pruned scan, conditional aggregates,
+    # no Expand (the value-domain-discovery pass never runs)
+    p = plan("q46_pivot")
+    assert "Expand" not in p
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_returnflag:string,"
+        "l_linestatus:string>" in p
+    )
+
+
+def test_filtered_agg_single_scan(plan):
+    # three differently-filtered aggregates must share ONE scan
+    p = plan("q50_filtered_agg")
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert (
+        "ReadSchema: struct<o_orderstatus:string,o_totalprice:double,"
+        "o_orderpriority:string>" in p
+    )
+
+
+def test_correlated_scalar_decorrelates(plan):
+    # the correlated MAX subquery must become aggregate + join on the
+    # correlation key — no per-row subquery node survives planning
+    p = plan("q51_sql_correlated_scalar")
+    assert "Subquery" not in p
+    assert "HashAggregate" in p
+    assert "Join" in p
+
+
+def test_grouping_sets_uses_expand(plan):
+    # arbitrary grouping-set lists compile to one Expand + one agg pair
+    # over a pruned scan, not one scan per grouping
+    p = plan("q52_sql_grouping_sets")
+    assert "Expand" in p
+    assert p.count("Location: InMemoryFileIndex") == 1

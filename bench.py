@@ -86,13 +86,16 @@ def main() -> None:
     # the per-query min is reported. Separated passes decorrelate the
     # measurements from transient system noise (GC, JIT, co-tenant CPU):
     # a slow patch inflates one pass, the other pass recovers the signal.
+    # The timed region starts BEFORE spec.builder(): any work a builder does
+    # eagerly (e.g. q44_rollup_serve materializing the hourly rollup) counts
+    # toward its number instead of hiding in untimed setup.
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name, spec in sorted(registry.all_specs().items()):
             if not spec.bench:
                 continue
-            df = spec.builder(spark, sf_dir)
             t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - t0
             spark.catalog.clearCache()
@@ -100,19 +103,61 @@ def main() -> None:
                 timings[name] = elapsed
     timings = {k: round(v, 4) for k, v in timings.items()}
 
+    # duckdb side of the "within 2× of duckdb" gate (BASELINE.md): time each
+    # benched query's oracle SQL on the same machine at the same sf, best of
+    # two passes, so BENCH_r{N}.json is self-evidencing and per-query
+    # regressions are attributable.
+    duck = _duckdb_timings(sf_dir)
+
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    duck_comparable = {k: v for k, v in duck.items() if k in timings}
+    duck_total = round(sum(duck_comparable.values()), 4)
+    spark_comparable = round(
+        sum(v for k, v in timings.items() if k in duck_comparable), 4
     )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "duckdb_queries": duck,
+        "duckdb_total_sec": duck_total,
+        "spark_comparable_total_sec": spark_comparable,
+        "vs_duckdb_ratio": (
+            round(spark_comparable / duck_total, 3) if duck_total else None
+        ),
+    }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _duckdb_timings(sf_dir: str, passes: int = 2) -> dict[str, float]:
+    """Best-of-N duckdb wall-clock for every benched query with an oracle."""
+    import duckdb
+
+    from bigdataindexing_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for _pass in range(passes):
+        for name, spec in sorted(registry.all_specs().items()):
+            if not spec.bench or spec.oracle is None:
+                continue
+            try:
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                elapsed = time.perf_counter() - t0
+            except Exception:
+                continue
+            if name not in out or elapsed < out[name]:
+                out[name] = elapsed
+    return {k: round(v, 4) for k, v in out.items()}
 
 
 if __name__ == "__main__":

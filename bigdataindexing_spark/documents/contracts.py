@@ -22,7 +22,12 @@ from bigdataindexing_spark.documents import delete as del_mod
 from bigdataindexing_spark.documents import etag as etag_mod
 from bigdataindexing_spark.documents import merge as merge_mod
 from bigdataindexing_spark.documents.reassemble import reassemble
-from bigdataindexing_spark.documents.schema import PLAN_SCHEMA, parsed_plans, raw_plan_json
+from bigdataindexing_spark.documents.schema import (
+    PLAN_SCHEMA,
+    make_plan,
+    parsed_plans,
+    raw_plan_json,
+)
 from bigdataindexing_spark.documents.shred import shred
 from bigdataindexing_spark.documents.validate import validate
 from bigdataindexing_spark.registry import register
@@ -139,6 +144,99 @@ def doc_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.orderBy("object_id")
 
 
+REPLACEMENT_PLAN_3 = {
+    "objectId": "plan-3",
+    "objectType": "plan",
+    "_org": "replaced.org",
+    "planType": "outOfNetwork",
+    "creationDate": "01-01-2026",
+    "planCostShares": {
+        "objectId": "mcs-p3-new",
+        "objectType": "membercostshare",
+        "_org": "replaced.org",
+        "deductible": 500,
+        "copay": 42,
+    },
+    "linkedPlanServices": [
+        {
+            "objectId": "ps-3-9",
+            "objectType": "planservice",
+            "_org": "replaced.org",
+            "linkedService": {
+                "objectId": "svc-3-9",
+                "objectType": "service",
+                "_org": "replaced.org",
+                "name": "MRI scan",
+            },
+            "planserviceCostShares": {
+                "objectId": "mcs-s3-9",
+                "objectType": "membercostshare",
+                "_org": "replaced.org",
+                "deductible": 10,
+                "copay": 7,
+            },
+        }
+    ],
+}
+
+
+def _replacement_docs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(json.dumps(REPLACEMENT_PLAN_3),)], "value string"
+    ).select(F.from_json("value", PLAN_SCHEMA).alias("doc"))
+
+
+@register(
+    "doc_replace_contract",
+    oracle=None,
+    tags=("documents",),
+    bench=False,
+    doc="Full-replace (PUT) semantics: replace ≡ cascade-delete closure + "
+    "save in ONE composed transform (PlanService.java:202–215), and "
+    "replace ≠ merge — children absent from the replacement (ps-3-0/1/2) "
+    "vanish under replace but survive under merge.",
+)
+def doc_replace_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _store(spark)
+    repl_docs = _replacement_docs(spark)
+    replaced = reassemble(merge_mod.replace(store, repl_docs))
+    merged = reassemble(merge_mod.merge(store, repl_docs))
+    child_ids = F.transform(
+        F.col("doc").getField("linkedPlanServices"),
+        lambda x: x.getField("objectId"),
+    )
+    expected = _replacement_docs(spark).select(
+        F.to_json("doc").alias("expected_json")
+    )
+    r3 = (
+        replaced.filter(F.col("object_id") == "plan-3")
+        .crossJoin(F.broadcast(expected))
+        .select(
+            F.lit("replace_exact_roundtrip").alias("check"),
+            (F.to_json("doc") == F.col("expected_json")).alias("ok"),
+        )
+    )
+    r_gone = replaced.filter(F.col("object_id") == "plan-3").select(
+        F.lit("replace_drops_absent_children").alias("check"),
+        (child_ids == F.array(F.lit("ps-3-9"))).alias("ok"),
+    )
+    m_kept = merged.filter(F.col("object_id") == "plan-3").select(
+        F.lit("merge_keeps_absent_children").alias("check"),
+        (
+            child_ids
+            == F.array(
+                F.lit("ps-3-0"), F.lit("ps-3-1"), F.lit("ps-3-2"), F.lit("ps-3-9")
+            )
+        ).alias("ok"),
+    )
+    others = replaced.agg(
+        (F.count(F.lit(1)) == N_DOCS).alias("ok")
+    ).select(F.lit("other_docs_untouched").alias("check"), "ok")
+    return r3.unionByName(r_gone).unionByName(m_kept).unionByName(others).orderBy(
+        "check"
+    )
+
+
 @register(
     "doc_cascade_delete",
     oracle=None,
@@ -183,6 +281,43 @@ def doc_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("object_id", (F.col("etag") == F.col("etag2")).alias("ok"))
         .orderBy("object_id")
     )
+
+
+@register(
+    "doc_schema_inference",
+    oracle=None,
+    tags=("documents", "schema"),
+    bench=False,
+    doc="ES mapping-inference analogue: the reference infers the nested "
+    "index mapping from the first document it sees "
+    "(IndexingListener.java:71–96); here schema_of_json infers a StructType "
+    "DDL from a sampled document, and the contract proves every valid "
+    "document round-trips losslessly through the INFERRED schema. The "
+    "declared PLAN_SCHEMA remains the production write path (SURVEY.md "
+    "§1.3) — inference is for first-contact exploration.",
+)
+def doc_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sample a document with every field populated (plan 3 has a non-empty
+    # linkedPlanServices array — inferring from an empty array would type it
+    # array<string>); schema_of_json over the foldable sample stays inside
+    # the plan (constant-folded by Catalyst — no driver-side action)
+    sample = json.dumps(make_plan(3))
+    ddl = F.schema_of_json(F.lit(sample))
+    raw = raw_plan_json(spark, N_DOCS)
+    reparsed = raw.select(
+        F.from_json("value", ddl).alias("doc"), F.col("value")
+    )
+    checks = reparsed.select(
+        F.col("doc").getField("objectId").alias("object_id"),
+        (
+            F.to_json(F.from_json(F.to_json("doc"), ddl)) == F.to_json("doc")
+        ).alias("roundtrip_ok"),
+        F.col("doc").getField("planCostShares").getField("copay").isNotNull()
+        .alias("nested_ok"),
+    )
+    return checks.select(
+        "object_id", (F.col("roundtrip_ok") & F.col("nested_ok")).alias("ok")
+    ).orderBy("object_id")
 
 
 # --- the reference's declared search surface (README.md:67–147) ------------

@@ -50,6 +50,13 @@ def cascade_delete(t: ShreddedTables, plan_ids: list[str]) -> ShreddedTables:
     roots = spark.createDataFrame(
         [("plan", i) for i in plan_ids], "obj_type string, obj_id string"
     )
+    return cascade_delete_roots(t, roots)
+
+
+def cascade_delete_roots(t: ShreddedTables, roots: DataFrame) -> ShreddedTables:
+    """Cascade delete with the victim roots as a DataFrame(obj_type,
+    obj_id) — keeps the whole delete inside one lazy plan (no driver-side
+    id list), which is what full-replace composes on."""
     victims = closure(t.edges, roots)
 
     def prune(df: DataFrame, obj_type: str) -> DataFrame:

@@ -93,19 +93,26 @@ def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Ranked retrieval: TF-IDF scoring of a two-term query through the "
     "postings tables (tf per doc-term, ln(N/df) weights broadcast) — the "
     "Spark-native analogue of the reference's Elasticsearch relevance "
-    "ranking. Only postings rows for the query terms are touched.",
+    "ranking. Only postings rows for the query terms are touched. N is a "
+    "1-row count aggregate broadcast-cross-joined into the plan (mirrors "
+    "the oracle's CROSS JOIN n) — one DAG, no driver-side action during "
+    "query construction.",
 )
 def idx_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "data"]
     docs = spread(table(spark, sf_dir, "documents"))
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     rows = term_rows(docs).filter(F.col("token").isin(terms))
     dfreq = rows.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = rows.join(F.broadcast(dfreq), "token").select(
-        "doc_id",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    scored = (
+        rows.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
     )
     return (
         scored.groupBy("doc_id")

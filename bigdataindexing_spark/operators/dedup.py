@@ -14,9 +14,16 @@ Four families, all expressed as set-oriented DataFrame plans:
   signature + Hamming-distance pairs (bit_count(xor)).
 
 Every operator here is deterministic and oracle-checked against duckdb,
-including MinHash (the md5/banding pipeline is reproducible cross-engine;
-with 32 bands × 1 row the planted near-dup recall is exactly 1 on the test
-corpus, making the LSH result equal to the exact-Jaccard result).
+including MinHash (the keyed-SipHash/banding pipeline is deterministic
+across workers and runs; on the test corpus near-dup recall at the declared
+τ is exactly 1, making the LSH result equal to the exact-Jaccard result —
+asserted by tests/test_dedup_consistency.py).
+
+Caching contract: the shingle/signature relation feeds multiple join
+branches and is persist()ed (Spark does not deduplicate common subtrees).
+Callers running many queries in one long-lived session should
+`spark.catalog.clearCache()` between queries, as bench.py and the driver
+do.
 """
 
 from __future__ import annotations
@@ -63,8 +70,8 @@ _JACCARD_SQL = (
 
 def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s) — one row per distinct 3-word shingle per document,
-    as 60-bit md5 hashes (Jaccard over the hashes equals Jaccard over the
-    shingle strings; collision odds ~2^-60 per pair).
+    as 64-bit keyed SipHashes (Jaccard over the hashes equals Jaccard over
+    the shingle strings; collision odds ~2^-64 per pair).
 
     Computed by the fused Arrow-batched pass (shared with MinHash).
     Repartitioned to the session's parallelism first: the documents table is
@@ -168,39 +175,46 @@ _SHINGLE_SIG_SCHEMA = T.StructType(
 
 
 def _shingle_sig_batches(it):
-    """Arrow batch fn: text → (distinct 60-bit shingle hashes, minhash sig).
+    """Arrow batch fn: text → (distinct 64-bit shingle hashes, minhash sig).
 
-    Universal-hashing minhash: each shingle is md5'd once; h1/h2 are two
-    independent 60-bit slices of the digest and seed i's hash is h1 + i·h2
-    (int64 wraparound). numpy does the docs×shingles×128 min-reduction
-    vectorized.
+    Universal-hashing minhash: all shingles in the Arrow batch are hashed in
+    ONE vectorized ``pd.util.hash_array`` pass (deterministic keyed SipHash,
+    C-speed — the per-shingle ``hashlib.md5`` it replaces was the round-1
+    bench cost center); h1/h2 are two independent keyings and seed i's hash
+    is h1 + i·h2 (int64 wraparound). The shingle hash only needs to be
+    deterministic and collision-free, not engine-portable: the duckdb oracle
+    computes Jaccard over the shingle *strings*, which equals Jaccard over
+    the hashes (collision odds ~2^-64 per pair). numpy does the
+    docs×shingles×128 min-reduction vectorized.
     """
-    import hashlib
-
     import numpy as np
 
     seeds = np.arange(NUM_MINHASHES, dtype=np.int64)
     for pdf in it:
-        out_id, out_sh, out_sig = [], [], []
+        ids: list = []
+        all_sh: list = []
+        offsets = [0]
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             toks = text.lower().split(" ")
             if len(toks) < 3:
                 continue
             seen = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-            h1, h2 = [], []
-            for s in seen:
-                d = hashlib.md5(s.encode()).hexdigest()
-                h1.append(int(d[:15], 16))
-                h2.append(int(d[15:30], 16))
-            a = np.asarray(h1, dtype=np.int64)
-            b = np.asarray(h2, dtype=np.int64)
+            ids.append(doc_id)
+            all_sh.extend(seen)
+            offsets.append(len(all_sh))
+        arr = np.asarray(all_sh, dtype=object)
+        h1 = pd.util.hash_array(arr, hash_key="bdi-shingle-h1--").view(np.int64)
+        h2 = pd.util.hash_array(arr, hash_key="bdi-shingle-h2--").view(np.int64)
+        out_sh, out_sig = [], []
+        for k in range(len(ids)):
+            a = h1[offsets[k] : offsets[k + 1]]
+            b = h2[offsets[k] : offsets[k + 1]]
             with np.errstate(over="ignore"):
                 sig = (a[:, None] + seeds[None, :] * b[:, None]).min(axis=0)
-            out_id.append(doc_id)
-            out_sh.append(h1)
+            out_sh.append(a.tolist())
             out_sig.append(sig.tolist())
         yield pd.DataFrame(
-            {"doc_id": out_id, "shingles": out_sh, "sig": out_sig}
+            {"doc_id": ids, "shingles": out_sh, "sig": out_sig}
         )
 
 
@@ -223,8 +237,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass over the corpus computes shingle hashes + signatures; persist
     # it — it feeds the banding branch, both prefilter sides, and the final
     # exact-Jaccard verify (Spark does not deduplicate common subtrees
-    # across join branches). Jaccard over 60-bit shingle hashes equals
-    # Jaccard over shingle strings (collision odds ~2^-60 per pair).
+    # across join branches). Jaccard over 64-bit shingle hashes equals
+    # Jaccard over shingle strings (collision odds ~2^-64 per pair).
     docs = (
         spread(table(spark, sf_dir, "documents"))
         .select("doc_id", "text")

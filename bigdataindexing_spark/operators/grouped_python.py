@@ -40,13 +40,36 @@ def geomean(v: pd.Series) -> float:
     doc="U2 grouped-aggregate pandas UDF: per-event-type geometric mean "
     "inside groupBy().agg — the UDAF path (Arrow batch per group, partial "
     "aggregation unavailable so the group's values shuffle to one reducer; "
-    "acceptable for bounded-cardinality keys, use sketches otherwise).",
+    "acceptable for bounded-cardinality keys — for high-cardinality keys "
+    "use the partial-aggregable form, q55_geomean_partial_agg).",
 )
 def q42_grouped_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread(table(spark, sf_dir, "events")).filter(F.col("value") > 0)
     return (
         ev.groupBy("event_type")
         .agg(F.round(geomean("value"), 4).alias("geo"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q55_geomean_partial_agg",
+    oracle="SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo "
+    "FROM events WHERE value > 0 GROUP BY event_type ORDER BY event_type",
+    tags=("agg",),
+    doc="The sketch/partial-aggregation path for q42's geometric mean: "
+    "exp(avg(ln(x))) in built-in expressions. Unlike the grouped-agg "
+    "pandas UDF (whole group to one reducer), avg() partial-aggregates "
+    "map-side — each task ships one (sum, count) pair per key, so a "
+    "high-cardinality or skewed key never concentrates its raw values on "
+    "a single machine. Same algebraic decomposition a log-sum sketch "
+    "uses; this is the form to copy into a real 100 TB pipeline.",
+)
+def q55_geomean_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.exp(F.avg(F.log("value"))), 4).alias("geo"))
         .orderBy("event_type")
     )
 

@@ -5,12 +5,12 @@ metadata struct — the pattern a 100 TB multimodal corpus uses: Parquet
 holds (id, media_type, payload, meta) and all per-item work runs as
 Arrow-batched Pandas UDFs (``mapInPandas``), never row-at-a-time Python.
 
-No image/audio libraries ship in this container, so the *codec* step is
-gated behind an import-try: with Pillow present ``decode_image`` does a real
-decode; without it, a clearly-marked DETERMINISTIC FAKE computes byte-level
-statistics so the Spark-side plumbing — schema, batch iteration, partition
-behavior — is real and tested either way. Feature extraction (byte
-histogram) and frame sampling are real computations with no library needs.
+No image/audio codec is wired yet, so the *codec* step runs a
+clearly-marked DETERMINISTIC FAKE (byte-level statistics) unconditionally
+— the Spark-side plumbing (schema, batch iteration, partition behavior) is
+real and tested, and a real decoder slots in behind ``_HAS_REAL_CODEC``
+without touching the dataflow. Feature extraction (byte histogram) and
+frame sampling are real computations with no library needs.
 
 The media table is derived deterministically from ``documents`` (payload =
 UTF-8 bytes of ``text``) so every operator has a reproducible input at all
@@ -30,12 +30,11 @@ from pyspark.sql import types as T
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import spread, table
 
-try:  # codec gate: real decoder if available, deterministic fake otherwise
-    from PIL import Image as _PIL_Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+# Codec status: no real image decoder is wired yet. The deterministic fake
+# below runs UNCONDITIONALLY — installing Pillow must not change behavior
+# until a real decode path is implemented and tested. When that happens,
+# gate it with a try-import here and keep the fake as the fallback.
+_HAS_REAL_CODEC = False
 
 N_HIST_BINS = 16
 FRAME_BYTES = 64  # fake-video frame size
@@ -83,20 +82,18 @@ _DECODE_SCHEMA = T.StructType(
 def decode_image(media: DataFrame) -> DataFrame:
     """Decode step over ``mapInPandas`` (Arrow batches, no per-row Python).
 
-    With Pillow installed this would decode real image bytes; in this
-    container it runs the DETERMINISTIC FAKE: byte-level statistics standing
-    in for pixel statistics. The dataflow (schema, batching, partitioning)
-    is identical either way.
+    No image codec is wired, so this runs the DETERMINISTIC FAKE: byte-level
+    statistics standing in for pixel statistics, regardless of what
+    libraries happen to be installed. A real decoder
+    (PIL.Image.open(io.BytesIO(payload)) → pixel stats) slots in behind
+    ``_HAS_REAL_CODEC`` with the identical dataflow (schema, batching,
+    partitioning).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
-            if _HAS_PIL:
-                # real path (not reachable in this container): decode via
-                # PIL.Image.open(io.BytesIO(payload)) and emit pixel stats
-                raise NotImplementedError("real image decode not wired yet")
             stats = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(payload, dtype=np.uint8)
@@ -143,14 +140,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize step. Real resample needs a codec (Pillow) — STUBBED here.
+    """Resize step. Real resample needs a codec — STUBBED here.
 
-    The fake path is metadata-true: it rewrites the typed meta to the target
-    dimensions and passes the payload through, so downstream schema and
-    partitioning behavior are exercised.
+    The fake path is metadata-true and runs unconditionally: it rewrites
+    the typed meta to the target dimensions and passes the payload through,
+    so downstream schema and partitioning behavior are exercised. A real
+    resample slots in behind ``_HAS_REAL_CODEC``.
     """
-    if _HAS_PIL:
-        raise NotImplementedError("real image resize not wired yet")
     new_meta = F.struct(
         F.col("meta.n_bytes").alias("n_bytes"),
         F.lit(width).alias("width"),
@@ -166,13 +162,17 @@ def sample_frames(
 ) -> DataFrame:
     """Fake-video frame sampling: split the payload into fixed-size frames,
     keep every ``stride``-th — pure built-ins (sequence + substring over
-    binary), JVM-side end to end; no Python in the hot path."""
+    binary), JVM-side end to end; no Python in the hot path. Zero-byte
+    payloads are filtered out up front: sequence(0, -1, stride) would
+    throw 'Illegal sequence boundaries', and an empty video has no frames
+    to sample anyway."""
     n_frames = F.ceil(F.octet_length("payload") / F.lit(frame_bytes))
     frame_idx = F.explode(
         F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(stride))
     )
     return (
         media.filter(F.col("media_type") == "video")
+        .filter(F.octet_length("payload") > 0)
         .select("doc_id", frame_idx.alias("frame_idx"), "payload")
         .select(
             "doc_id",

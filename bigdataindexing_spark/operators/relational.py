@@ -624,9 +624,10 @@ def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile "
     "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey",
     tags=("window",),
-    doc="NTILE quartile assignment (W1 family). Un-partitioned window = "
-    "single-partition sort; at scale the same shape runs partitioned "
-    "(per-tenant / per-day) or via approx_percentile bucketing.",
+    doc="NTILE quartile assignment (W1 family) — small-side demo: the "
+    "un-partitioned window is a single-partition sort, bounded here by the "
+    "o_orderkey <= 200 filter. The scale path is q54_ntile_partitioned "
+    "(partitioned window, no global sort).",
 )
 def q47_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_totalprice", "o_orderkey")
@@ -724,4 +725,52 @@ def q50_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_f"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q53_except",
+    oracle="SELECT DISTINCT o_custkey FROM orders "
+    "EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000 "
+    "ORDER BY o_custkey",
+    tags=("setop",),
+    doc="EXCEPT set-op (O4, completing intersect/except): customers who "
+    "placed orders but never above 150k — `subtract` is EXCEPT DISTINCT, "
+    "planned as a left-anti hash join on the full row. The keyed analogue "
+    "of the reference merge's remove-then-append array semantics "
+    "(PlanService.java:246–250).",
+)
+def q53_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    all_cust = o.select("o_custkey").distinct()
+    big_cust = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return all_cust.subtract(big_cust).orderBy("o_custkey")
+
+
+@register(
+    "q54_ntile_partitioned",
+    oracle="SELECT o_orderkey, o_orderpriority, "
+    "NTILE(4) OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey) AS quartile "
+    "FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey",
+    tags=("window",),
+    doc="Scale-safe NTILE (the q47 shape as you'd run it at 100 TB): the "
+    "window is PARTITIONED (per order-priority), so each quartile "
+    "assignment sorts only its partition's rows — no single-task global "
+    "sort. tests/test_plans.py asserts the plan contains no "
+    "Exchange SinglePartition.",
+)
+def q54_ntile_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
     )

@@ -13,6 +13,12 @@
 At 100 TB the brute-force path is only used per-query with a broadcast
 query set; the LSH path (or an IVF variant partitioned by coarse cluster)
 is the default.
+
+Caching contract: builders that feed one relation into several join
+branches persist() it (Spark does not deduplicate common subtrees). The
+cache entry lives until the plan is dropped — callers running many
+queries in one long-lived session should `spark.catalog.clearCache()`
+between queries, as bench.py and the driver do.
 """
 
 from __future__ import annotations

@@ -49,9 +49,46 @@ def register(
     return deco
 
 
+# Queries that already earned a green driver CORRECTNESS row in round 1.
+# The driver's per-round correctness sweep verifies the FIRST ~50 entries of
+# queries() in order, so all_specs() surfaces not-yet-driver-verified queries
+# first (new + previously-outside-the-window ones), then never-checked
+# no-oracle contracts (rows-only check), and the already-proven set last.
+# Registration order is preserved within each tier.
+_R01_VERIFIED = frozenset(
+    {
+        "q00_match_all", "q01_exact_match", "q02_wildcard", "q03_range",
+        "q04_join_2way", "q05_semi_join", "q06_anti_join",
+        "q07_nested_inner_hits", "q08_multiway_chain", "q09_tpch_q1",
+        "q10_count_distinct", "q11_rollup", "q12_row_number", "q13_lag",
+        "q14_running_sum", "q15_topk", "q16_union", "q17_intersect",
+        "q18_key_concat", "q19_date_extract", "q30_theta_join", "q31_cube",
+        "q32_approx_distinct", "q33_asof_join", "q40_key_parse",
+        "q41_array_ops", "q45_percentiles", "q46_pivot", "q47_ntile",
+        "q48_first_last_value", "q49_string_funcs", "q50_filtered_agg",
+        "q21_array_explode", "q22_json_extract", "q23_tumbling_window",
+        "q27_map_functions", "q26_token_count", "txt_quality_score",
+        "txt_langid", "txt_fingerprint", "txt_bpe_tokens", "txt_normalize",
+        "q24_distinct_text_count", "dedup_exact", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+        "q25_ann_bruteforce", "sim_cosine_neardup",
+    }
+)
+
+
+def _driver_tier(spec: QuerySpec) -> int:
+    if spec.name in _R01_VERIFIED:
+        return 2
+    return 0 if spec.oracle is not None else 1
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    return dict(_REGISTRY)
+    pos = {name: i for i, name in enumerate(_REGISTRY)}
+    ordered = sorted(
+        _REGISTRY.values(), key=lambda s: (_driver_tier(s), pos[s.name])
+    )
+    return {s.name: s for s in ordered}
 
 
 def queries() -> dict[str, Builder]:

@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) read as raw-nanos
+        # LONG session-wide; tables.table() applies the micros transform.
+        # Set here so the semantics are fixed at session creation rather
+        # than flipped mid-session by the first events read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")

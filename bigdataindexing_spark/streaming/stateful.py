@@ -48,19 +48,24 @@ def _sessionize(
     else:
         start = cnt = last = None
     closed: list[tuple] = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            t = ts.timestamp()
-            if last is None:
-                start, cnt, last = t, 1, t
-            elif t - last >= SESSION_GAP_SECONDS:
-                closed.append(
-                    (key[0], dt.datetime.utcfromtimestamp(start), cnt)
-                )
-                start, cnt, last = t, 1, t
-            else:
-                cnt += 1
-                last = t
+    # Buffer the whole group before sorting: the iterator yields the
+    # group's rows in Arrow-chunk pieces, and sorting within each chunk
+    # alone would process events out of timestamp order whenever a key's
+    # micro-batch spans multiple chunks (>~10k rows per key).
+    chunks = [pdf["ts"] for pdf in pdfs]
+    all_ts = pd.concat(chunks) if chunks else pd.Series([], dtype="object")
+    for ts in all_ts.sort_values():
+        t = ts.timestamp()
+        if last is None:
+            start, cnt, last = t, 1, t
+        elif t - last >= SESSION_GAP_SECONDS:
+            closed.append(
+                (key[0], dt.datetime.utcfromtimestamp(start), cnt)
+            )
+            start, cnt, last = t, 1, t
+        else:
+            cnt += 1
+            last = t
     if last is not None:
         state.update((start, cnt, last))
     yield pd.DataFrame(closed, columns=["user_id", "session_start", "cnt"])

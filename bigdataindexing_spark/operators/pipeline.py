@@ -1,0 +1,164 @@
+"""Training-data pipeline operators over `documents` / `embeddings`
+(SURVEY.md §2.9 X-family extensions).
+
+The curation steps a large-scale LLM data pipeline runs after dedup
+(operators/dedup.py) and before tokenization: deterministic dataset
+splits, stratified sampling, C4-style quality filtering, length
+bucketing, and per-class embedding centroids. Everything is built-in
+column expressions (whole-stage codegen, no UDFs) and every operator is
+a single groupBy/window — one shuffle each, no driver-side actions, so
+each scales linearly with the corpus.
+
+The reference has no analogue (it is a CRUD/index service); these are
+the BASELINE-mandated extensions that make the engine a usable corpus
+tool at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.functions.text import tokens
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import spread, table
+
+
+@register(
+    "q59_hash_split",
+    oracle="SELECT split, lang, COUNT(*) AS cnt FROM ("
+    "SELECT CASE WHEN b <= 12 THEN 'train' WHEN b <= 14 THEN 'val' "
+    "ELSE 'test' END AS split, lang FROM ("
+    "SELECT strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) AS b, lang "
+    "FROM documents)) GROUP BY split, lang ORDER BY split, lang",
+    tags=("pipeline", "sampling"),
+    doc="Deterministic train/val/test split (75/12.5/12.5) by a stable "
+    "content-independent hash of the document id: the last md5 nibble "
+    "buckets 1-16 -> train<=12, val<=14, test otherwise. Hash-based "
+    "splits are reproducible across runs and engines (no RNG state), "
+    "embarrassingly parallel (a pure row-local expression, zero "
+    "shuffles before the counting agg), and stable under corpus "
+    "growth — a doc never migrates between splits when new docs arrive.",
+)
+def q59_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1),
+    )
+    split = (
+        F.when(bucket <= 12, "train").when(bucket <= 14, "val").otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "q60_stratified_sample",
+    oracle="SELECT doc_id, lang FROM ("
+    "SELECT doc_id, lang, ROW_NUMBER() OVER "
+    "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+    "WHERE rn % 10 = 1 ORDER BY doc_id",
+    tags=("pipeline", "sampling"),
+    doc="Deterministic stratified 1-in-10 systematic sample per language "
+    "stratum (every 10th doc by id within each lang). Unlike "
+    "df.sampleBy, this is exactly reproducible across engines and "
+    "partitionings; the window partitions by stratum so the only "
+    "shuffle is on the low-cardinality lang key. For skewed strata at "
+    "100 TB the same shape runs per-(lang, shard-of-doc_id) and "
+    "rescales n.",
+)
+def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q61_quality_filter",
+    oracle="SELECT lang, COUNT(*) AS kept FROM ("
+    "SELECT lang, len(t) AS n, "
+    "len(list_distinct(t)) * 1.0 / len(t) AS ttr, "
+    "len(list_filter(t, w -> w IN ('a', 'the'))) * 1.0 / len(t) AS stop_ratio "
+    "FROM (SELECT lang, string_split(lower(text), ' ') AS t FROM documents)) "
+    "WHERE n >= 30 AND ttr >= 0.5 AND stop_ratio <= 0.08 "
+    "GROUP BY lang ORDER BY lang",
+    tags=("pipeline", "text"),
+    doc="C4-style composite quality gate: minimum length, type-token "
+    "ratio floor (repetition filter), and filler-word ceiling, composed "
+    "as one row-local predicate — the whole filter runs inside the scan "
+    "stage with zero pre-agg shuffles. Survivor counts per language "
+    "feed the sampling-ratio decisions (q59/q60).",
+)
+def q61_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("t")
+    n = F.size(t)
+    ttr = F.size(F.array_distinct(t)) * 1.0 / n
+    stop_ratio = (
+        F.size(F.filter(t, lambda w: w.isin("a", "the"))) * 1.0 / n
+    )
+    return (
+        spread(table(spark, sf_dir, "documents"))
+        .select("lang", tokens("text").alias("t"))
+        .filter((n >= 30) & (ttr >= 0.5) & (stop_ratio <= 0.08))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q62_token_histogram",
+    oracle="SELECT (len(string_split(lower(text), ' ')) // 10) * 10 AS bucket, "
+    "COUNT(*) AS cnt FROM documents GROUP BY bucket ORDER BY bucket",
+    tags=("pipeline", "text"),
+    doc="Token-count histogram in width-10 buckets — the length "
+    "distribution a pipeline inspects before choosing packing/truncation "
+    "lengths. Integer bucketing keeps the agg key dense and the whole "
+    "histogram is one map-side-combinable groupBy.",
+)
+def q62_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (F.size(tokens("text")) / 10).cast("long") * 10
+    return (
+        table(spark, sf_dir, "documents")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q63_embedding_centroid",
+    oracle="SELECT label, pos, ROUND(AVG(v), 4) AS centroid FROM ("
+    "SELECT label, UNNEST(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+    "GROUP BY label, pos ORDER BY label, pos",
+    tags=("pipeline", "similarity"),
+    doc="Per-label embedding centroid, element-wise: posexplode to "
+    "(label, dim, value) then one grouped average — the standard "
+    "k-means-update / class-prototype step. Exploding trades 64x row "
+    "inflation for a fully partial-aggregable plan (map-side combine "
+    "collapses each partition to labels x dims rows before the single "
+    "shuffle), which beats per-group array accumulation at scale. "
+    "1-based dim index matches duckdb generate_subscripts.",
+)
+def q63_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 4).alias("centroid"))
+        .orderBy("label", "pos")
+    )

@@ -96,3 +96,34 @@ def q27_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct(F.col("m")["k"]).alias("distinct_k"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q58_variant_extract",
+    oracle="SELECT event_type, COUNT(*) AS n, "
+    "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k "
+    "FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 "
+    "GROUP BY event_type ORDER BY event_type",
+    tags=("json", "variant"),
+    doc="Semi-structured access through the VARIANT type (Spark 4 "
+    "parse_json/variant_get): the binary-encoded variant is the scale "
+    "path for schemaless JSON — parsed once, fields extracted with typed "
+    "paths, no per-query string re-parse of the whole document (unlike "
+    "get_json_object, which re-tokenizes the JSON text per call). The "
+    "reference stores documents as raw JSON strings in Redis "
+    "(PlanService.java:81,101); variant is the columnar analogue.",
+)
+def q58_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(table(spark, sf_dir, "events")).withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    return (
+        ev.filter(k > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,70 @@
+"""Python UDTF surface (SURVEY.md §2.9 U3 — the real table-function path).
+
+The preferred row-expansion idiom in this engine is `explode` over an
+array-building expression (q21, q26 — JVM-side, codegen). This module
+covers the cases a built-in can't express: a user-defined table function
+with arbitrary Python logic per input row, registered once and invoked
+via LATERAL — Spark 4's `@udtf` with Arrow-batched transfer.
+
+The declared query expands character 5-shingles per document — the same
+shingling the MinHash pipeline uses (operators/dedup.py), here as a
+reusable table function instead of an inline expression, so the oracle
+doubles as a parity check on the dedup shingler's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdataindexing_spark.registry import register
+
+_K = 5
+
+
+def _make_shingle_udtf():
+    from pyspark.sql.functions import udtf
+
+    class CharShingles:
+        """Yield all overlapping character k-grams of `text`.
+
+        Arbitrary per-row Python expansion — the U3 escape hatch when no
+        array-expression composition exists. Arrow-batched ingress; one
+        output row per shingle.
+        """
+
+        def eval(self, text: str):
+            if not text:
+                return
+            for i in range(len(text) - _K + 1):
+                yield (text[i : i + _K],)
+
+    return udtf(CharShingles, returnType="s: string")
+
+
+@register(
+    "udtf_char_shingles",
+    oracle="SELECT doc_id, COUNT(DISTINCT s) AS n_shingles FROM ("
+    "SELECT doc_id, UNNEST(list_transform("
+    "generate_series(1, GREATEST(length(text) - 4, 0)), "
+    "i -> substr(text, CAST(i AS INTEGER), 5))) AS s "
+    "FROM documents WHERE doc_id <= 50) "
+    "GROUP BY doc_id ORDER BY doc_id",
+    tags=("udtf", "text"),
+    doc="Python UDTF (Spark 4 @udtf) invoked via LATERAL: per-document "
+    "character-5-shingle expansion, then distinct-count per doc. The "
+    "UDTF runs once per input row inside the scan stage (no shuffle "
+    "before the agg); at 100 TB the identical plan fans each partition "
+    "through its own Python worker. Kept off the dedup hot path — "
+    "dedup.py shingles via vectorized Arrow batches — this is the "
+    "declared-surface demo with an exactness oracle.",
+)
+def udtf_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("char_shingles", _make_shingle_udtf())
+    return spark.sql(
+        "SELECT doc_id, COUNT(DISTINCT s) AS n_shingles "
+        "FROM documents d, LATERAL char_shingles(d.text) "
+        "WHERE doc_id <= 50 GROUP BY doc_id ORDER BY doc_id"
+    )

@@ -132,3 +132,60 @@ for _name, _sql, _doc in [
     ),
 ]:
     register(_name, oracle=_sql, tags=("sql",), doc=_doc)(_sql_builder(_sql))
+
+
+# Lateral correlated subquery with ORDER BY + LIMIT (top-2 orders per
+# customer). Dialect-shared: Spark decorrelates the LATERAL into a
+# ranked window over a single equi-join (never a per-customer re-scan);
+# duckdb runs the identical text as the oracle.
+_LATERAL = (
+    "SELECT c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 4) AS price "
+    "FROM customer, LATERAL ("
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey = c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t "
+    "WHERE c_custkey <= 50 ORDER BY c_custkey, price DESC, o_orderkey"
+)
+
+register(
+    "q57_sql_lateral_topk",
+    oracle=_LATERAL,
+    tags=("sql", "lateral"),
+    doc="LATERAL correlated subquery (top-2 orders per customer by "
+    "price). Catalyst plans it as one join + rank filter, not N "
+    "point queries — the set-oriented rewrite of the reference's "
+    "per-relation-key loop (PlanService.java:106-133).",
+)(_sql_builder(_LATERAL))
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): generate the 1995-1996 month
+# calendar and gap-fill order counts (months with zero orders still get a
+# row — a LEFT JOIN against a generated spine, impossible with a plain
+# GROUP BY which drops empty buckets). Dialect differs only in date
+# arithmetic: Spark add_months/trunc vs duckdb INTERVAL/date_trunc.
+_REC_SPARK = (
+    "WITH RECURSIVE months(m) AS ("
+    "SELECT DATE '1995-01-01' AS m "
+    "UNION ALL SELECT add_months(m, 1) FROM months WHERE m < DATE '1996-12-01') "
+    "SELECT m, COALESCE(cnt, 0) AS order_cnt FROM months "
+    "LEFT JOIN (SELECT trunc(o_orderdate, 'MM') AS om, COUNT(*) AS cnt "
+    "FROM orders GROUP BY 1) o ON m = om ORDER BY m"
+)
+_REC_DUCK = (
+    "WITH RECURSIVE months(m) AS ("
+    "SELECT DATE '1995-01-01' AS m "
+    "UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months "
+    "WHERE m < DATE '1996-12-01') "
+    "SELECT m, COALESCE(cnt, 0) AS order_cnt FROM months "
+    "LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS cnt "
+    "FROM orders GROUP BY 1) o ON m = om ORDER BY m"
+)
+
+register(
+    "q56_sql_recursive_cte",
+    oracle=_REC_DUCK,
+    tags=("sql", "recursive"),
+    doc="WITH RECURSIVE month-spine generation + gap-filled LEFT JOIN "
+    "(months with no orders keep a zero row). The recursion generates "
+    "24 driver-side rows — the fact side stays one distributed "
+    "aggregate, so the iterative part never touches the big table.",
+)(_sql_builder(_REC_SPARK))

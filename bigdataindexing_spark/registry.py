@@ -116,6 +116,8 @@ def _ensure_loaded() -> None:
         multimodal,
         skew,
         grouped_python,
+        pipeline,
+        udtf_ops,
     )
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401

@@ -28,9 +28,29 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
+# (applicationId, sf_dir, name) -> DataFrame. A DataFrame is an immutable
+# logical plan bound to its session, so handing the same object to every
+# builder is safe and skips the per-call parquet footer read that
+# spark.read.parquet does for schema discovery (~10-30ms x 10 tables x
+# ~100 builder calls per correctness/bench sweep, pure driver-side cost).
+# Keyed by applicationId (unique per SparkContext) so a stopped-and-
+# recreated session never sees plans bound to a dead context.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is Parquet TIMESTAMP(NANOS), which the vectorized reader
         # rejects; read it as raw nanos and truncate to micros (exact integer
@@ -73,7 +93,18 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+# applicationId -> (sf_dir, names) last registered, so repeated SQL builders
+# against the same directory skip the 10 createOrReplaceTempView calls
+# (driver-side catalog writes) on every invocation.
+_VIEWS_REGISTERED: dict[str, tuple[str, tuple[str, ...]]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register the test tables as temp views for ``spark.sql`` use."""
+    app_id = spark.sparkContext.applicationId
+    state = (sf_dir, tuple(names))
+    if _VIEWS_REGISTERED.get(app_id) == state:
+        return
     for name in names:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[app_id] = state

@@ -143,3 +143,41 @@ def test_except_is_anti_join(plan):
     p = plan("q53_except")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_lateral_topk_decorrelates(plan):
+    # LATERAL (... ORDER BY ... LIMIT 2) must decorrelate into one join +
+    # per-group rank (window or limit-per-key), never N per-customer scans:
+    # exactly one orders scan in the whole plan.
+    p = plan("q57_sql_lateral_topk")
+    assert p.count("orders.parquet") == 1
+
+
+def test_hash_split_is_single_shuffle(plan):
+    # The split expression is row-local; the only exchanges are the count
+    # agg and the final ORDER BY. Count tree nodes in the final adaptive
+    # plan only ("NodeName (id)" lines) — the formatted output repeats
+    # every node in the detail section and the AQE initial plan.
+    p = plan("q59_hash_split").split("== Initial Plan ==")[0]
+    assert p.count("Exchange (") <= 2
+
+
+def test_quality_filter_runs_in_scan_stage(plan):
+    # The composite predicate must run before any exchange (map-side),
+    # so the Filter node appears below the first Exchange in the tree.
+    p = plan("q61_quality_filter")
+    filter_pos = p.find("Filter")
+    exchange_pos = p.find("Exchange")
+    assert filter_pos != -1
+    assert exchange_pos == -1 or filter_pos > exchange_pos  # formatted plan
+    # prints top-down: the scan-side filter appears AFTER (deeper than) no
+    # exchange only if it is in the first stage; accept either ordering as
+    # long as a parquet pushdown of doc text read happened in one scan
+    assert p.count("documents.parquet") == 1
+
+
+def test_centroid_partial_aggregates(plan):
+    # posexplode + groupBy must plan partial (map-side) aggregation:
+    # two HashAggregate nodes around one Exchange.
+    p = plan("q63_embedding_centroid")
+    assert p.count("HashAggregate") >= 2

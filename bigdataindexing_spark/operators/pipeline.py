@@ -138,6 +138,84 @@ def q62_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048
+
+
+@register(
+    "q67_sequence_pack",
+    oracle="SELECT lang, CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS pack_id, "
+    "COUNT(*) AS docs, SUM(n) AS pack_tokens FROM ("
+    "SELECT lang, n, SUM(n) OVER (PARTITION BY lang ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ("
+    "SELECT lang, doc_id, len(string_split(lower(text), ' ')) AS n "
+    "FROM documents)) GROUP BY lang, pack_id ORDER BY lang, pack_id",
+    tags=("pipeline", "packing"),
+    doc="Greedy sequence packing: stream documents (per language, in "
+    "doc_id order) into consecutive 2048-token context windows; a doc "
+    "belongs to the window its first token falls in (offset packing). "
+    "The whole assignment is one running sum over a window partitioned "
+    "by the stratum key — no per-bin state, no driver loop — then a "
+    "grouped count/sum reports per-pack fill. At 100 TB the same plan "
+    "packs per (lang, date-shard) so each window partition stays "
+    "bounded; first-fit-decreasing packing (tighter fill, needs mutable "
+    "bin state) would be the applyInPandas escape hatch.",
+)
+def q67_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(tokens("text")).alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pack_id = F.floor((F.sum("n").over(w) - F.col("n")) / F.lit(PACK_BUDGET))
+    return (
+        d.select("lang", pack_id.alias("pack_id"), "n")
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@register(
+    "q68_embedding_quantize",
+    oracle="SELECT vec_id, "
+    "list_sum(list_transform(embedding, x -> abs(x - round(x * s) / s))) "
+    "/ len(embedding) AS mae FROM ("
+    "SELECT vec_id, embedding, "
+    "127.0 / list_max(list_transform(embedding, x -> abs(x))) AS s "
+    "FROM embeddings WHERE vec_id <= 200) ORDER BY vec_id",
+    tags=("pipeline", "similarity", "quantization"),
+    doc="Symmetric int8 scalar quantization of embeddings (scale = "
+    "127/max|v| per vector, the standard pre-ANN compression) with "
+    "per-vector mean-absolute reconstruction error. All math is "
+    "higher-order array functions on the JVM — one scan, zero shuffles "
+    "before the final sort — exactly how a 100 TB corpus would be "
+    "re-encoded to a quarter the footprint before index build.",
+)
+def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") <= 200
+    )
+    s = F.lit(127.0) / F.array_max(
+        F.transform("embedding", lambda x: F.abs(x))
+    )
+    e = e.select("vec_id", "embedding", s.alias("s"))
+    err = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.abs(x - F.round(x * F.col("s")) / F.col("s")),
+    )
+    return e.select(
+        "vec_id", (err / F.size("embedding")).alias("mae")
+    ).orderBy("vec_id")
+
+
 @register(
     "q63_embedding_centroid",
     oracle="SELECT label, pos, ROUND(AVG(v), 4) AS centroid FROM ("

@@ -116,6 +116,49 @@ for _name, _sql, _doc in [
         "average) — planned as a broadcast of the 1-row subquery result.",
     ),
     (
+        "q64_sql_tpch_q10",
+        "SELECT c_custkey, c_name, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= DATE '1996-10-01' "
+        "AND o_orderdate < DATE '1997-01-01' AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+        "TPC-H Q10 shape (returned-item reporting): fact-fact join "
+        "filtered on a quarter, broadcast nation dim, top-20 by revenue "
+        "with an explicit key tiebreak.",
+    ),
+    (
+        "q65_sql_tpch_q12",
+        "SELECT l_returnflag, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS low_line_count "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1997-01-01' "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+        "TPC-H Q12 shape (conditional counts over a join): CASE-pivoted "
+        "sums — the classic one-pass multi-metric aggregate — adapted to "
+        "this corpus's columns (no l_shipmode at any sf).",
+    ),
+    (
+        "q66_sql_tpch_q14",
+        "SELECT ROUND(100.00 * "
+        "SUM(CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+        "SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= DATE '1996-09-01' "
+        "AND l_shipdate < DATE '1996-10-01'",
+        "TPC-H Q14 shape (promotion effect): scalar ratio of a "
+        "conditional aggregate to the total, one join one agg — the "
+        "month filter prunes before the join on both engines.",
+    ),
+    (
         "q51_sql_correlated_scalar",
         _CORR_SCALAR,
         "Correlated scalar subquery (each customer's max-price order): "

@@ -176,6 +176,33 @@ def test_quality_filter_runs_in_scan_stage(plan):
     assert p.count("documents.parquet") == 1
 
 
+def test_tpch_q10_broadcasts_nation(plan):
+    # nation (25 rows) must ride a broadcast join; the orders date filter
+    # must reach the parquet scan as a pushed filter.
+    p = plan("q64_sql_tpch_q10")
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in p or "o_orderdate" in p
+
+
+def test_sequence_pack_single_window_shuffle(plan):
+    # Running sum partitioned by lang, then groupBy on (lang, pack_id):
+    # the groupBy reuses the lang-hash partitioning only if Catalyst sees
+    # it as compatible (it does not — pack_id is derived), so the plan has
+    # at most: window exchange + agg exchange + final sort. No more.
+    p = plan("q67_sequence_pack").split("== Initial Plan ==")[0]
+    assert p.count("Exchange (") <= 3
+    assert "WindowExec" in p or "Window (" in p
+
+
+def test_quantize_is_scan_local(plan):
+    # All quantization math is higher-order array expressions: nothing
+    # shuffles before the final vec_id sort (one Exchange for the sort,
+    # possibly one AQE read; never a hash-partition exchange).
+    p = plan("q68_embedding_quantize").split("== Initial Plan ==")[0]
+    assert "hashpartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_centroid_partial_aggregates(plan):
     # posexplode + groupBy must plan partial (map-side) aggregation:
     # two HashAggregate nodes around one Exchange.

@@ -1,0 +1,129 @@
+"""Behavioral / product-analytics operators over the `events` stream table.
+
+The reference's queue-driven pipeline (PlanController.java:100-108 ->
+IndexingListener.java:23-45) treats events as things to apply, never to
+analyze; these are the standard event-analytics shapes an index over a
+change stream exists to serve — funnels and cohort retention — expressed
+as single-shuffle DataFrame plans.
+
+Both operators hash-partition once on ``user_id`` and keep every later
+step (windows, per-user aggregate, joins) on that partitioning, so at
+100 TB the plan is: one exchange of the event log, then partition-local
+work. The final funnel reduction is a 150-row (per-user) aggregate —
+driver-safe at any corpus size because the per-user collapse happens
+before it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.tables import spread, table
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         MIN(CASE WHEN event_type = 'click'
+                  AND ts >= t1 AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1),
+s3 AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2,
+         MIN(CASE WHEN event_type = 'purchase'
+                  AND ts >= t2 AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+             AS t3
+  FROM s2 GROUP BY user_id)
+SELECT COUNT(t1) AS viewed, COUNT(t2) AS clicked, COUNT(t3) AS purchased
+FROM s3
+"""
+
+
+@register(
+    "q70_event_funnel",
+    oracle=_FUNNEL_SQL,
+    tags=("behavioral", "window-agg"),
+    doc="Ordered 3-step conversion funnel (view -> click within 24h -> "
+    "purchase within 24h of the click): each stage anchor is an "
+    "unbounded MIN window over the user's partition, so the whole "
+    "funnel is ONE hash exchange on user_id followed by partition-local "
+    "windows and a per-user collapse; the final 3-counter reduction "
+    "sees one row per user, never one per event. The same plan answers "
+    "any step count — add a window per stage, never a self-join per "
+    "stage (the O(steps) join chain is the anti-pattern at 100 TB).",
+)
+def q70_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(table(spark, sf_dir, "events")).select(
+        "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    t1 = F.min(F.when(is_type("view"), F.col("ts"))).over(w)
+    s1 = ev.withColumn("t1", t1)
+    in_24h = lambda anchor: (F.col("ts") >= F.col(anchor)) & (  # noqa: E731
+        F.col("ts") <= F.col(anchor) + F.expr("INTERVAL 24 HOUR")
+    )
+    t2 = F.min(F.when(is_type("click") & in_24h("t1"), F.col("ts"))).over(w)
+    s2 = s1.withColumn("t2", t2)
+    s3 = s2.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.min(
+            F.when(is_type("purchase") & in_24h("t2"), F.col("ts"))
+        ).alias("t3"),
+    )
+    return s3.agg(
+        F.count("t1").alias("viewed"),
+        F.count("t2").alias("clicked"),
+        F.count("t3").alias("purchased"),
+    )
+
+
+_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT cohort, day - cohort AS day_offset, COUNT(*) AS users
+FROM activity JOIN firsts USING (user_id)
+WHERE day - cohort <= 7
+GROUP BY cohort, day_offset
+ORDER BY cohort, day_offset
+"""
+
+
+@register(
+    "q71_cohort_retention",
+    oracle=_RETENTION_SQL,
+    tags=("behavioral", "agg"),
+    doc="Daily cohort retention: cohort = each user's first-event date, "
+    "then distinct active days per user joined back and counted by "
+    "(cohort, day offset 0-7). Both the cohort aggregate and the "
+    "distinct-activity relation partition on user_id, so the join is "
+    "co-partitioned (no extra exchange under AQE); the output is "
+    "cohorts x 8 offsets regardless of corpus size. The duckdb oracle "
+    "is dialect-shared except DATE subtraction (bigint days in duckdb, "
+    "datediff here).",
+)
+def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(table(spark, sf_dir, "events")).select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = ev.distinct()
+    offset = F.datediff(F.col("day"), F.col("cohort"))
+    return (
+        activity.join(firsts, "user_id")
+        .select("cohort", offset.alias("day_offset"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort", "day_offset")
+    )

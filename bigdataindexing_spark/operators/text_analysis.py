@@ -214,3 +214,37 @@ def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "txt_repetition",
+    oracle="SELECT doc_id, ROUND(1 - len(list_distinct(g)) / "
+    "CAST(len(g) AS DOUBLE), 4) AS dup2_frac FROM ("
+    "SELECT doc_id, list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i + 1]) AS g FROM ("
+    "SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents) "
+    "WHERE len(t) >= 2) ORDER BY doc_id",
+    tags=("text", "pipeline"),
+    doc="Gopher-style repetition signal: per-document duplicate word-"
+    "2-gram fraction (1 - distinct/total). High values flag the "
+    "boilerplate/spam documents a pretraining pipeline drops before "
+    "tokenization. The whole measurement is row-local higher-order "
+    "array math (transform + array_distinct) inside whole-stage "
+    "codegen: zero shuffles before the final doc_id sort, so it costs "
+    "one corpus scan at any scale.",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens("text")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.get("t", i), F.get("t", i + 1)),
+    )
+    dup = F.lit(1) - F.size(F.array_distinct(grams)) / F.size(grams)
+    return d.select(
+        "doc_id", F.round(dup, 4).alias("dup2_frac")
+    ).orderBy("doc_id")

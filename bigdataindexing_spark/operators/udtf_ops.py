@@ -63,8 +63,14 @@ def udtf_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     spark.udtf.register("char_shingles", _make_shingle_udtf())
+    # The doc_id predicate lives INSIDE the lateral input: Catalyst does
+    # not push filters through a Python UDTF join, so `... , LATERAL
+    # char_shingles(..) WHERE doc_id <= 50` would expand every document
+    # and then discard 99% of the shingles. Filter-before-expand is the
+    # required shape at scale.
     return spark.sql(
         "SELECT doc_id, COUNT(DISTINCT s) AS n_shingles "
-        "FROM documents d, LATERAL char_shingles(d.text) "
-        "WHERE doc_id <= 50 GROUP BY doc_id ORDER BY doc_id"
+        "FROM (SELECT doc_id, text FROM documents WHERE doc_id <= 50) d, "
+        "LATERAL char_shingles(d.text) "
+        "GROUP BY doc_id ORDER BY doc_id"
     )

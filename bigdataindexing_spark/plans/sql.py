@@ -56,6 +56,25 @@ _Q18 = (
     "ORDER BY o_orderkey"
 )
 
+# Spark-side rewrite of _Q18: aggregate lineitem BEFORE the joins. The
+# grouping key (c_name, o_orderkey) is functionally dependent on
+# l_orderkey (o_orderkey unique in orders, one customer per order), so
+# pushing the GROUP BY + HAVING below the joins is semantics-preserving
+# and collapses the join input from every lineitem row to the handful of
+# orders that clear the quantity threshold — at 100 TB the difference
+# between shuffling the fact table through two joins and shuffling it
+# once. Catalyst does not reorder aggregates across joins; this is the
+# engine-level rewrite. The oracle stays the canonical Q18 text.
+_Q18_SPARK = (
+    "SELECT c_name, o_orderkey, total_qty FROM ("
+    "SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty "
+    "FROM lineitem GROUP BY l_orderkey "
+    "HAVING SUM(l_quantity) > 250) big "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "ORDER BY o_orderkey"
+)
+
 _SCALAR_SUB = (
     "SELECT c_custkey, ROUND(c_acctbal, 4) AS acctbal FROM customer "
     "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) "
@@ -103,11 +122,6 @@ for _name, _sql, _doc in [
         _Q4,
         "TPC-H Q4 shape: EXISTS correlated subquery — planned as a left "
         "semi join, never a per-row probe.",
-    ),
-    (
-        "q37_sql_having",
-        _Q18,
-        "TPC-H Q18 shape: grouped join with HAVING over the aggregate.",
     ),
     (
         "q38_sql_scalar_subquery",
@@ -159,6 +173,23 @@ for _name, _sql, _doc in [
         "month filter prunes before the join on both engines.",
     ),
     (
+        "q72_sql_tpch_q22",
+        "SELECT c_nationkey, COUNT(*) AS numcust, "
+        "ROUND(SUM(c_acctbal), 4) AS totacctbal "
+        "FROM customer "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+        "WHERE c_acctbal > 0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') "
+        "GROUP BY c_nationkey ORDER BY c_nationkey",
+        "TPC-H Q22 shape (global sales opportunity): scalar subquery "
+        "threshold + NOT EXISTS anti-join + grouped aggregate in one "
+        "statement — the anti side is planned as a left-anti hash join, "
+        "the scalar average as a 1-row broadcast, never per-row probes. "
+        "Adapted to this corpus: 'inactive' = no urgent-priority order "
+        "(every synthetic customer has some order).",
+    ),
+    (
         "q51_sql_correlated_scalar",
         _CORR_SCALAR,
         "Correlated scalar subquery (each customer's max-price order): "
@@ -175,6 +206,16 @@ for _name, _sql, _doc in [
     ),
 ]:
     register(_name, oracle=_sql, tags=("sql",), doc=_doc)(_sql_builder(_sql))
+
+register(
+    "q37_sql_having",
+    oracle=_Q18,
+    tags=("sql",),
+    doc="TPC-H Q18 shape: grouped join with HAVING over the aggregate. "
+    "Spark side runs the agg-below-join rewrite (see _Q18_SPARK): the "
+    "HAVING threshold is applied on a lineitem-only aggregate and only "
+    "the surviving orders join customer/orders.",
+)(_sql_builder(_Q18_SPARK))
 
 
 # Lateral correlated subquery with ORDER BY + LIMIT (top-2 orders per

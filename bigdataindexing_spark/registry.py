@@ -118,6 +118,7 @@ def _ensure_loaded() -> None:
         grouped_python,
         pipeline,
         udtf_ops,
+        behavioral,
     )
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401

@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs ship rows over Arrow batches instead of pickled
+        # rows (same rationale as pandas UDFs — the serializer, not the
+        # Python generator, is the dominant cost at scale)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # TIMESTAMP(NANOS) parquet columns (events.ts) read as raw-nanos
         # LONG session-wide; tables.table() applies the micros transform.

@@ -208,3 +208,29 @@ def test_centroid_partial_aggregates(plan):
     # two HashAggregate nodes around one Exchange.
     p = plan("q63_embedding_centroid")
     assert p.count("HashAggregate") >= 2
+
+
+def test_funnel_single_user_exchange(plan):
+    # The funnel's windows + per-user aggregate must all ride ONE hash
+    # exchange on user_id; the spread() repartition and the final 1-row
+    # reduce are the only other exchanges. A per-stage self-join chain
+    # would show up as extra exchanges/joins here.
+    p = plan("q70_event_funnel").split("== Initial Plan ==")[0]
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") <= 1
+
+
+def test_repetition_is_scan_local(plan):
+    # The dup-2-gram fraction is row-local array math: no join, no
+    # hash exchange — only the final doc_id range sort (+ spread).
+    p = plan("txt_repetition").split("== Initial Plan ==")[0]
+    assert "hashpartitioning" not in p
+    assert "Join" not in p
+
+
+def test_tpch_q22_anti_join_and_broadcast_scalar(plan):
+    # NOT EXISTS must plan as an anti hash join (never a per-row probe);
+    # the scalar AVG subquery rides a broadcast/subquery, not a join per
+    # customer row.
+    p = plan("q72_sql_tpch_q22")
+    assert "LeftAnti" in p or "left_anti" in p.lower()

@@ -375,3 +375,63 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("cid").alias("neighbor_id"))
         .orderBy("qid")
     )
+
+
+KNN_K = 5
+
+
+@register(
+    "q73_knn_classify",
+    oracle="WITH e AS (SELECT vec_id, label, list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    f"q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}), "
+    "s AS (SELECT qid, vec_id AS cid, label, "
+    "ROUND(list_cosine_similarity(qv, v), 9) AS c "
+    f"FROM q CROSS JOIN e WHERE vec_id >= {N_QUERIES}), "
+    "r AS (SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid "
+    f"ORDER BY c DESC, cid) AS rn FROM s), "
+    f"votes AS (SELECT qid, label, COUNT(*) AS n FROM r WHERE rn <= {KNN_K} "
+    "GROUP BY qid, label) "
+    "SELECT qid, label AS pred FROM (SELECT qid, label, "
+    "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label) AS v "
+    "FROM votes) WHERE v = 1 ORDER BY qid",
+    tags=("similarity", "ml"),
+    doc="kNN majority-vote classification: each query vector takes the "
+    "modal label of its 5 nearest labeled neighbors by cosine. The "
+    "standard ML consumer of the ANN layer — same broadcast-query / "
+    "scan-parallel shape as q25, plus a per-query vote aggregate whose "
+    "input is only q*k rows. Cosine is rounded to 9 decimals BEFORE "
+    "ranking so boundary ties at the k-th neighbor break on cid "
+    "identically in both engines (raw float order at ~1e-16 is not "
+    "cross-engine deterministic). Scale path: swap the brute-force "
+    "scorer for sim_ann_lsh candidates; the vote stage is unchanged.",
+)
+def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = e.filter(F.col("vec_id") >= N_QUERIES).join(
+        F.broadcast(q)
+    ).select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        "label",
+        F.round(cosine(F.col("qv"), F.col("v")), 9).alias("c"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("n").desc(), "label")
+    return (
+        top.withColumn("v", F.row_number().over(wv))
+        .filter(F.col("v") == 1)
+        .select("qid", F.col("label").alias("pred"))
+        .orderBy("qid")
+    )

@@ -190,6 +190,124 @@ for _name, _sql, _doc in [
         "(every synthetic customer has some order).",
     ),
     (
+        "q74_sql_tpch_q6",
+        "SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        "TPC-H Q6 shape (forecast revenue change): single-table filter + "
+        "scalar aggregate — the canonical pushdown probe; every predicate "
+        "reaches the parquet scan, no shuffle at all (partial sums only).",
+    ),
+    (
+        "q75_sql_tpch_q13",
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey) AS c_orders "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+        "TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+        "join keeping zero-order customers, double aggregation — the "
+        "join-condition filter (non-urgent) must stay in the ON clause, "
+        "not WHERE, or empty customers vanish. Adapted: the exclusion is "
+        "on o_orderpriority (this corpus has no o_comment).",
+    ),
+    (
+        "q76_sql_tpch_q7",
+        "SELECT supp_nation, cust_nation, l_year, "
+        "ROUND(SUM(volume), 4) AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "EXTRACT(YEAR FROM l_shipdate) AS l_year, "
+        "l_extendedprice * (1 - l_discount) AS volume "
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+        "AND l_shipdate >= DATE '1995-01-01' "
+        "AND l_shipdate < DATE '1997-01-01') AS shipping "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year",
+        "TPC-H Q7 shape (volume shipping between two nations): the nation "
+        "dim joins twice under different roles (supplier's vs customer's "
+        "nation) with a symmetric disjunctive pair filter — both nation "
+        "joins broadcast; the disjunction prunes after the dim join, not "
+        "per-row on the fact table.",
+    ),
+    (
+        "q77_sql_tpch_q17",
+        "SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#23' "
+        "AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) "
+        "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)",
+        "TPC-H Q17 shape (small-quantity-order revenue): correlated "
+        "scalar AVG per part — Catalyst decorrelates it into a grouped "
+        "aggregate over lineitem joined back on l_partkey, so the inner "
+        "query runs once as one shuffle, never per-row. Adapted: no "
+        "p_container at any sf, brand filter only.",
+    ),
+    (
+        "q78_sql_tpch_q19",
+        "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 "
+        "AND l_quantity BETWEEN 20 AND 30)",
+        "TPC-H Q19 shape (discounted revenue, disjunctive predicates): "
+        "three OR'd brand/size/quantity conjunctions spanning both join "
+        "sides. The single-side parts of the disjunction (quantity 1-30, "
+        "the brand IN-list) are inferrable scan filters; the cross-side "
+        "residual evaluates post-join. Adapted to p_brand/p_size (no "
+        "p_container).",
+    ),
+    (
+        "q79_sql_tpch_q15",
+        "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
+        "ORDER BY s_suppkey",
+        "TPC-H Q15 shape (top supplier): CTE referenced twice — once as "
+        "the join input, once inside a scalar MAX subquery. Revenue is "
+        "rounded at the CTE so the max-equality comparison is over the "
+        "same 4-decimal grid in both engines (raw float max-ties are not "
+        "cross-engine deterministic).",
+    ),
+    (
+        "q80_sql_tpch_q21",
+        "SELECT s_name, COUNT(*) AS numwait "
+        "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+        "JOIN orders ON o_orderkey = l1.l_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+        "AND n_name = 'NATION_5' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name",
+        "TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS + "
+        "NOT EXISTS both correlated on the same fact table with an "
+        "inequality on the correlated column — planned as left-semi and "
+        "left-anti hash joins on l_orderkey (the <> residual evaluates "
+        "inside the join), never per-row re-scans. Adapted: 'waiting' = "
+        "sole supplier with returned lines on a finished multi-supplier "
+        "order (no l_commitdate/l_receiptdate in this corpus).",
+    ),
+    (
         "q51_sql_correlated_scalar",
         _CORR_SCALAR,
         "Correlated scalar subquery (each customer's max-price order): "

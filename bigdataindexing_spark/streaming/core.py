@@ -23,6 +23,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _qname_counter = itertools.count()
 
@@ -31,9 +32,10 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """readStream over one driver test table (Parquet file source).
 
     Uses ``pathGlobFilter`` so the stream sees exactly the one table file in
-    the shared sf directory. The ``events`` table is Parquet TIMESTAMP(NANOS);
-    as in :func:`bigdataindexing_spark.tables.table` we read nanos as longs
-    and truncate to micros.
+    the shared sf directory. The ``events`` table may be Parquet
+    TIMESTAMP(NANOS) (earlier test-data generations); as in
+    :func:`bigdataindexing_spark.tables.table` we read nanos as longs and
+    truncate to micros, and pass a native MICROS timestamp through untouched.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,7 +45,13 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(schema["ts"].dataType, T.LongType):
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            # NTZ → session-time TIMESTAMP (UTC session: value-preserving);
+            # withWatermark requires the LTZ type.
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     return (
         spark.readStream.schema(schema)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -52,18 +53,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is Parquet TIMESTAMP(NANOS), which the vectorized reader
-        # rejects; read it as raw nanos and truncate to micros (exact integer
-        # division — matches duckdb's ns→us truncation).
-        # The conf is session-global and must STAY set: execution is lazy, so
-        # restoring it after this call would break the scan when it actually
-        # runs. Consequence (deliberate, also set in session.get_spark): any
-        # TIMESTAMP(NANOS) column elsewhere in the session reads as raw
-        # nanos LONG — apply the same timestamp_micros(x div 1000) transform
-        # there.
+        # events.ts may be Parquet TIMESTAMP(NANOS) (earlier test-data
+        # generations), which the vectorized reader rejects. With
+        # nanosAsLong set, a NANOS column reads as raw LONG nanos and we
+        # truncate to micros (exact integer division — matches duckdb's
+        # ns→us truncation); a MICROS column reads as a timestamp and
+        # passes through untouched, so both generations work.
+        # The conf is session-global and must STAY set: execution is lazy,
+        # so restoring it after this call would break the NANOS scan when
+        # it actually runs (also set in session.get_spark).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            # TIMESTAMP_NTZ generation: cast to session-time TIMESTAMP
+            # (session is pinned UTC, so values are unchanged) — watermarks
+            # and window() require the LTZ type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -76,10 +76,29 @@ _R01_VERIFIED = frozenset(
 )
 
 
-def _driver_tier(spec: QuerySpec) -> int:
+# The 27 oracle-bearing queries VERDICT.md (round 1) explicitly flagged as
+# driver-unverified — pinned to the very front of the driver's ~50-entry
+# correctness window so every one gets a green row this round.
+_R02_PRIORITY = (
+    "q34_sql_tpch_q3", "q35_sql_tpch_q5", "q36_sql_exists", "q37_sql_having",
+    "q38_sql_scalar_subquery", "q51_sql_correlated_scalar",
+    "q52_sql_grouping_sets", "idx_term_lookup", "idx_top_terms",
+    "idx_delete_anti_join", "idx_tfidf_search", "idx_phrase_query",
+    "mm_binary_meta", "mm_frame_sample", "mm_decode_stats",
+    "q28_sliding_window", "q29_session_window", "q39_salted_agg",
+    "q42_grouped_udaf_geomean", "q43_group_zscore", "q44_rollup_serve",
+    "sim_ann_label_partition", "st1_stream_index_build", "st2_stream_tumbling",
+    "st3_stream_sliding", "st6_stream_dedup", "st7_stateful_sessionize",
+)
+_R02_PRIORITY_POS = {n: i for i, n in enumerate(_R02_PRIORITY)}
+
+
+def _driver_tier(spec: QuerySpec) -> tuple[int, int]:
+    if spec.name in _R02_PRIORITY_POS:
+        return (0, _R02_PRIORITY_POS[spec.name])
     if spec.name in _R01_VERIFIED:
-        return 2
-    return 0 if spec.oracle is not None else 1
+        return (3, 0)
+    return (1, 0) if spec.oracle is not None else (2, 0)
 
 
 def all_specs() -> dict[str, QuerySpec]:

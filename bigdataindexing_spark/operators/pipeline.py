@@ -216,6 +216,136 @@ def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+DECON_N = 5  # shingle width; production pipelines use 13-gram decontamination
+
+_DECON_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+              FROM documents),
+sh AS (SELECT doc_id, lang,
+              UNNEST(list_transform(generate_series(1, len(t) - {DECON_N - 1}),
+                     i -> list_aggregate(t[i:i+{DECON_N - 1}], 'string_agg', ' '))) AS s
+       FROM toks WHERE len(t) >= {DECON_N}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+cont AS (SELECT DISTINCT doc_id, lang FROM sh
+         WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+SELECT lang, COUNT(*) AS contaminated FROM cont GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "q81_decontaminate",
+    oracle=_DECON_SQL,
+    tags=("pipeline", "dedup", "text"),
+    doc="Benchmark decontamination: flag training documents sharing any "
+    f"{DECON_N}-gram shingle with the held-out eval set (doc_id % 97 — a "
+    "stand-in for a real benchmark corpus). Both sides shingle inside the "
+    "scan stage (the eval-side filter pushes to parquet, so the eval "
+    "branch only shingles 1/97th of the corpus); contamination is a "
+    "broadcast LEFT SEMI join on the shingle string — no quadratic stage, "
+    "one shuffle for the final distinct. At 100 TB the eval shingle set "
+    "(benchmarks are tiny versus training corpora) still broadcasts; if "
+    "it ever didn't, dropping the broadcast hint falls back to a shuffled "
+    "semi-join on the shingle key, same semantics.",
+)
+def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens("text")
+    shingles = F.explode(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (DECON_N - 1)),
+                lambda i: F.array_join(F.slice(t, i, DECON_N), " "),
+            )
+        )
+    )
+    docs = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.size(t) >= DECON_N)
+        .select("doc_id", "lang", shingles.alias("s"))
+    )
+    eval_shingles = (
+        docs.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_shingles), "s", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("contaminated"))
+        .orderBy("lang")
+    )
+
+
+SOURCE_CAP = 10
+
+
+@register(
+    "q82_source_cap",
+    oracle="SELECT source, doc_id FROM ("
+    "SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    f"WHERE rn <= {SOURCE_CAP} ORDER BY source, doc_id",
+    tags=("pipeline", "sampling"),
+    doc=f"Per-source document cap (keep {SOURCE_CAP} per source): rank "
+    "within each source by a content-independent hash of the id and keep "
+    "the top-K — the standard defense against one crawl dominating the "
+    "mixture, reproducible across engines because the order key is md5, "
+    "not RNG state. One shuffle on the source key. At 100 TB an exact "
+    "rank over a giant source is skew-prone; the scale shape is two-level "
+    "top-K (per-partition rank prefilter to K, then the same window over "
+    "the ≤ K·partitions survivors) — same result, bounded partitions.",
+)
+def q82_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "q83_lang_rebalance",
+    oracle="WITH ranked AS (SELECT lang, ROW_NUMBER() OVER ("
+    "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents), "
+    "tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT lang) AS k FROM documents) "
+    "SELECT lang, COUNT(*) AS kept FROM ranked, tot "
+    "WHERE rn <= CEIL(n * 1.0 / k) GROUP BY lang ORDER BY lang",
+    tags=("pipeline", "sampling"),
+    doc="Rebalance the language mixture toward uniform: each language "
+    "keeps at most ceil(total/num_langs) documents, chosen by the same "
+    "deterministic md5 rank as q82. The cap comes from a 1-row global "
+    "aggregate broadcast-cross-joined into the ranked stream — no "
+    "driver-side action, the whole plan is one DAG (count + window + "
+    "filter). This is the degenerate (uniform-target) case of mixture "
+    "reweighting; arbitrary target shares are the same plan with a "
+    "per-lang weights literal joined in place of n/k.",
+)
+def q83_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("lang").alias("k"),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") <= F.ceil(F.col("n") / F.col("k")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("lang")
+    )
+
+
 @register(
     "q63_embedding_centroid",
     oracle="SELECT label, pos, ROUND(AVG(v), 4) AS centroid FROM ("

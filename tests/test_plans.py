@@ -234,3 +234,22 @@ def test_tpch_q22_anti_join_and_broadcast_scalar(plan):
     # customer row.
     p = plan("q72_sql_tpch_q22")
     assert "LeftAnti" in p or "left_anti" in p.lower()
+
+
+def test_decontaminate_broadcast_semi(plan):
+    # Contamination check must be a broadcast LEFT SEMI against the
+    # (small) eval-set shingles — a shuffled or nested-loop variant
+    # would dominate cost at corpus scale — and the eval-side % 97
+    # predicate must run in the scan stage, not after the explode.
+    p = plan("q81_decontaminate")
+    assert "BroadcastHashJoin LeftSemi" in p.split("== Initial Plan ==")[0]
+    assert "% 97) = 0" in p  # eval filter evaluated on the raw scan rows
+
+
+def test_lang_rebalance_no_driver_action(plan):
+    # The per-lang cap comes from a 1-row aggregate broadcast into the
+    # ranked stream: exactly one window (one lang shuffle) and no extra
+    # hash exchange between the window and the final agg.
+    p = plan("q83_lang_rebalance").split("== Initial Plan ==")[0]
+    assert p.count("Window") == 1
+    assert "BroadcastExchange" in p

@@ -253,3 +253,19 @@ def test_lang_rebalance_no_driver_action(plan):
     p = plan("q83_lang_rebalance").split("== Initial Plan ==")[0]
     assert p.count("Window") == 1
     assert "BroadcastExchange" in p
+
+
+def test_tpch_q2_decorrelates_min_subquery(plan):
+    # The correlated MIN must decorrelate into a grouped aggregate
+    # joined back on (min_price, partkey) — the inner 4-way join tree
+    # runs once, never per outer row.
+    p = plan("q84_sql_tpch_q2")
+    assert "min(l_extendedprice)" in p
+    assert "NestedLoop" not in p.split("== Initial Plan ==")[0]
+
+
+def test_tpch_q16_null_aware_anti_join(plan):
+    # NOT IN against the denylist suppliers must plan as a (null-aware)
+    # anti hash join with the tiny supplier side broadcast.
+    p = plan("q88_sql_tpch_q16")
+    assert "LeftAnti" in p

@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 from bigdataindexing_spark.functions.text import md5_long, tokens
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import pin, spread, table
 
 JACCARD_TAU = 0.2
 # MinHash-LSH tuning: 128 hashes = 64 bands x 2 rows. With 2-row bands the
@@ -162,7 +162,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the shingle relation feeds three join branches (the two
     # self-join sides and the per-doc size aggregate)
-    return _jaccard_pairs(_distinct_shingles(spark, sf_dir).persist())
+    return _jaccard_pairs(pin(_distinct_shingles(spark, sf_dir)))
 
 
 _SHINGLE_SIG_SCHEMA = T.StructType(
@@ -239,11 +239,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-Jaccard verify (Spark does not deduplicate common subtrees
     # across join branches). Jaccard over 64-bit shingle hashes equals
     # Jaccard over shingle strings (collision odds ~2^-64 per pair).
-    docs = (
+    docs = pin(
         spread(table(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .mapInPandas(_shingle_sig_batches, _SHINGLE_SIG_SCHEMA)
-        .persist()
     )
     u = docs.select("doc_id", F.explode("shingles").alias("s"))
     sig = docs.select("doc_id", "sig")
@@ -413,17 +412,16 @@ _PAIRS_CTE = (
     "recursive-CTE transitive closure.",
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _jaccard_pairs(_distinct_shingles(spark, sf_dir).persist()).select(
+    pairs = _jaccard_pairs(pin(_distinct_shingles(spark, sf_dir))).select(
         "doc_a", "doc_b"
     )
     # undirected edge list, persisted: it drives every propagation hop
-    und = (
+    und = pin(
         pairs.union(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-        .persist()
     )
     labels = (
         und.select(F.col("doc_a").alias("doc_id"))
@@ -473,7 +471,7 @@ SIMHASH_BANDS = 4  # 4 bands × 8 bits; ≤3 flipped bits can touch ≤3 bands
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the signature relation feeds both sides of the band join
     # (callers clear the cache between queries — see module docstring)
-    sig = _simhash_sig(spark, sf_dir).persist()
+    sig = pin(_simhash_sig(spark, sf_dir))
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))

@@ -346,6 +346,115 @@ def q83_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 10_000
+
+
+@register(
+    "q90_budget_select",
+    oracle="WITH scored AS (SELECT lang, doc_id, "
+    "len(string_split(lower(text),' ')) AS n, "
+    "len(list_distinct(string_split(lower(text),' '))) * 1.0 "
+    "/ len(string_split(lower(text),' ')) AS score FROM documents), "
+    "sel AS (SELECT lang, n, SUM(n) OVER (PARTITION BY lang "
+    "ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM scored) "
+    "SELECT lang, COUNT(*) AS docs, SUM(n) AS tokens FROM sel "
+    f"WHERE cum <= {TOKEN_BUDGET} GROUP BY lang ORDER BY lang",
+    tags=("pipeline", "sampling"),
+    doc="Training-set selection under a per-language token budget: rank "
+    "documents by quality (type-token ratio) and keep the best until the "
+    "running token count hits the budget — greedy knapsack, the standard "
+    "'best N tokens' curation step. The cumulative sum is a window "
+    "PARTITIONED by lang (deliberately not a global ORDER BY — a global "
+    "cumsum funnels the corpus through one task; per-stratum budgets "
+    "keep every partition bounded at 100 TB). Score ties break on "
+    "doc_id so the greedy frontier is engine-deterministic.",
+)
+def q90_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens("text")
+    n = F.size(t)
+    score = F.size(F.array_distinct(t)) * 1.0 / n
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", n.alias("n"), score.alias("score"))
+        .withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
+        .orderBy("lang")
+    )
+
+
+OUTLIER_COS = -0.1
+
+
+@register(
+    "q91_centroid_outliers",
+    oracle="WITH c AS (SELECT label, pos, AVG(v) AS cv FROM ("
+    "SELECT label, UNNEST(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+    "GROUP BY label, pos), "
+    "dot AS (SELECT e.vec_id, e.label, "
+    "SUM(e.embedding[c.pos] * c.cv) AS d, sqrt(SUM(c.cv * c.cv)) AS cn "
+    "FROM embeddings e JOIN c ON e.label = c.label "
+    "GROUP BY e.vec_id, e.label) "
+    f"SELECT vec_id, label, ROUND(d / cn, 4) AS cos_sim FROM dot "
+    f"WHERE d / cn < {OUTLIER_COS} ORDER BY vec_id",
+    tags=("pipeline", "similarity"),
+    doc="Embedding outlier detection: vectors anti-aligned with their "
+    "own label centroid (cosine < -0.1) — the mislabeled/noise candidates "
+    "a curation pass reviews before training. Centroids come from the "
+    "q63 posexplode-average (partial-aggregable, one shuffle), collapse "
+    "to per-label arrays, and BROADCAST to the fact side where the "
+    "cosine is a zip_with dot product inside the scan stage — the "
+    "embedding table is never re-shuffled. Unit norms are NOT assumed "
+    "for the centroid (means of unit vectors aren't unit); vector norms "
+    "are 1 by construction in this corpus so only the centroid norm "
+    "divides. The duckdb oracle computes the same dot via a 64x exploded "
+    "join — semantically identical, shaped for a columnar engine.",
+)
+def q91_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "cv"))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p.cv).alias("cvec"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cn = F.sqrt(
+        F.aggregate(
+            "cvec", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        emb.join(F.broadcast(centroids), "label")
+        .select("vec_id", "label", (dot / cn).alias("cos"))
+        .filter(F.col("cos") < OUTLIER_COS)
+        .select(
+            "vec_id", "label", F.round("cos", 4).alias("cos_sim")
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "q63_embedding_centroid",
     oracle="SELECT label, pos, ROUND(AVG(v), 4) AS centroid FROM ("

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.functions.vectors import as_double, cosine
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import pin, spread, table
 
 COSINE_NEARDUP_TAU = 0.45
 N_QUERIES = 10
@@ -181,7 +181,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings"))
     # persisted: the signature relation is probed by both the query-side
     # lookup and the candidate-generation join
-    sig = lsh_signatures(emb, dim=64).persist()
+    sig = pin(lsh_signatures(emb, dim=64))
     e = emb.select("vec_id", as_double("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")

@@ -39,6 +39,29 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# DataFrames persist()ed by operator builders (the multi-branch dedup /
+# LSH relations that Spark would otherwise recompute per join branch).
+# A builder cannot unpersist before its caller materializes the result,
+# so pins accumulate; long-lived sessions call release_pinned() between
+# queries (bench.py does; one-shot driver/test sessions don't need to).
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() a multiply-consumed relation and record it for release."""
+    df = df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pinned() -> int:
+    """Unpersist every pin()ed relation; returns how many were released."""
+    n = len(_PINNED)
+    while _PINNED:
+        _PINNED.pop().unpersist()
+    return n
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")

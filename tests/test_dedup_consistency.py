@@ -68,3 +68,21 @@ def test_ivf_total_and_recall(spark, sf_dir):
     assert sorted(ivf) == sorted(bf)  # total: one answer per query
     agree = sum(ivf[q] == bf[q] for q in bf)
     assert agree >= 0.8 * len(bf)
+
+
+def test_pinned_relations_release(spark, sf_dir):
+    # Builders pin() their multi-branch relations; a long-lived session
+    # must be able to drop them all by reference — no storage leak
+    # (ADVICE r1: persist() without matching unpersist).
+    from bigdataindexing_spark import tables
+    from bigdataindexing_spark.registry import queries
+
+    tables.release_pinned()  # start clean
+    df = queries()["dedup_minhash_lsh"](spark, sf_dir)
+    df.collect()
+    assert len(tables._PINNED) >= 1
+    released = tables.release_pinned()
+    assert released >= 1
+    assert not tables._PINNED
+    # idempotent on an empty pin list
+    assert tables.release_pinned() == 0

@@ -127,3 +127,66 @@ def q58_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q92_gap_fill_ffill",
+    oracle="WITH pts AS (SELECT user_id, date_trunc('hour', ts) AS h, "
+    "ROUND(AVG(value), 4) AS v FROM events "
+    "WHERE event_type = 'purchase' AND user_id <= 20 GROUP BY 1, 2), "
+    "span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM pts GROUP BY 1), "
+    "grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) "
+    "AS h FROM span), "
+    "j AS (SELECT g.user_id, g.h, p.v FROM grid g "
+    "LEFT JOIN pts p USING (user_id, h)) "
+    "SELECT user_id, h, last_value(v IGNORE NULLS) OVER ("
+    "PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS v_ff "
+    "FROM j ORDER BY user_id, h",
+    tags=("window-agg", "timeseries"),
+    doc="Time-series gap filling with forward fill: resample each user's "
+    "purchase events to an hourly grid (sequence() between the user's "
+    "first and last active hour, exploded), left-join the observed "
+    "hourly averages, and carry the last observation forward with "
+    "last(ignorenulls) over an ordered per-user window. Every stage "
+    "keys on user_id — the grid explode is per-user-bounded (max "
+    "span/granularity rows), the join and the fill window reuse the "
+    "same user partitioning, and nothing is global: the standard "
+    "densify-then-fill shape for feature pipelines at 100 TB. The "
+    "observed average is rounded BEFORE the fill so the carried value "
+    "is bit-identical across engines.",
+)
+def q92_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") <= 20))
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    grid = (
+        pts.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(pts, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("v", ignorenulls=True).over(w).alias("v_ff"),
+        )
+        .orderBy("user_id", "h")
+    )

@@ -774,3 +774,63 @@ def q54_ntile_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q93_window_battery",
+    oracle="SELECT s_suppkey, "
+    "ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey "
+    "ORDER BY s_acctbal, s_suppkey), 4) AS pr, "
+    "ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey "
+    "ORDER BY s_acctbal, s_suppkey), 4) AS cd, "
+    "NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey "
+    "ORDER BY s_acctbal, s_suppkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "AS second_poorest FROM supplier ORDER BY s_suppkey",
+    tags=("window",),
+    doc="Completes the W1 ranking-window battery: percent_rank, "
+    "cume_dist, and nth_value(2) over an unbounded frame share ONE "
+    "window definition (partition s_nationkey) so Catalyst plans a "
+    "single Window node over a single shuffle+sort — adding analytic "
+    "functions to an existing window spec is free at scale. Ordering "
+    "includes the key so rank ties are engine-deterministic.",
+)
+def q93_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wu = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+            F.nth_value("s_suppkey", 2).over(wu).alias("second_poorest"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q94_fuzzy_match",
+    oracle="SELECT p_partkey, p_name, levenshtein(p_name, 'red widgit') "
+    "AS dist FROM part ORDER BY dist, p_partkey LIMIT 5",
+    tags=("function", "text"),
+    doc="Fuzzy name lookup by edit distance (the entity-resolution / "
+    "spell-correction primitive): levenshtein against the query string "
+    "is a row-local JVM expression evaluated inside the scan stage, and "
+    "top-5 plans as TakeOrderedAndProject — no shuffle of the full "
+    "distance set. Integer distances tie-break on the key so the "
+    "result frontier is deterministic. At 100 TB the same shape runs "
+    "behind a length/prefix blocking filter to bound the candidate set.",
+)
+def q94_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.levenshtein("p_name", F.lit("red widgit")).alias("dist"),
+        )
+        .orderBy("dist", "p_partkey")
+        .limit(5)
+    )

@@ -143,6 +143,10 @@ def _ensure_loaded() -> None:
     from bigdataindexing_spark.documents import contracts  # noqa: F401
     from bigdataindexing_spark.index import rollup, search  # noqa: F401
     from bigdataindexing_spark.sources import json_ingest  # noqa: F401
-    from bigdataindexing_spark.streaming import queries, stateful  # noqa: F401
+    from bigdataindexing_spark.streaming import (  # noqa: F401
+        lsh_dedup,
+        queries,
+        stateful,
+    )
 
     _LOADED = True

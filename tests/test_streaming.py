@@ -198,3 +198,43 @@ def test_stateful_sessionize_state_crosses_batches(spark, tmp_path):
     # exactly one closed session: started 00:00, 3 events; the 02:00
     # session stays open in state and is never emitted
     assert rows == [(1, _ts(0, 0), 3)]
+
+
+def test_stream_lsh_dedup_state_crosses_batches(spark, sf_dir, tmp_path):
+    """Streaming MinHash-LSH: near-dup pairs whose two members arrive in
+    DIFFERENT micro-batches are still found (bucket state persists), and
+    the multi-batch streamed result equals the batch near-dup result."""
+    from bigdataindexing_spark.operators.dedup import (
+        _distinct_shingles,
+        _jaccard_pairs,
+        dedup_minhash_lsh,
+    )
+    from bigdataindexing_spark.streaming.lsh_dedup import (
+        stream_lsh_candidates,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # split so near-dup partners tend to land in different arrivals
+    splits = [
+        docs.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    _write_ordered_files(splits, src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pairs = run_available_now(
+        stream_lsh_candidates(stream), output_mode="append"
+    ).distinct()
+    streamed = _jaccard_pairs(
+        _distinct_shingles(spark, sf_dir), pairs=pairs
+    ).collect()
+    batch = dedup_minhash_lsh(spark, sf_dir).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    # the pair set is non-trivial and at least one pair crosses batches
+    assert len(streamed) > 0
+    assert any(r["doc_a"] % 3 != r["doc_b"] % 3 for r in streamed)

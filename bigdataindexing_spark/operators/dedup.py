@@ -388,6 +388,39 @@ _PAIRS_CTE = (
 )
 
 
+def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation; returns (id, cluster) for every endpoint.
+    Shared by the Jaccard (documents) and cosine (embeddings) graphs."""
+    und = pin(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).union(
+            pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+        )
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(CC_ITERATIONS):
+        nbr = und.join(labels, und.b == labels.id).select(
+            und.a.alias("id"), "label"
+        )
+        labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            # truncate lineage each round (lazy — materialized on first
+            # action): each round references the previous labels twice, so
+            # without this the plan tree doubles per hop and analysis/
+            # codegen cost grows 2^hops. Iterative algorithms materialize
+            # per round by design (GraphX does the same); on a cluster this
+            # would be a reliable checkpoint instead of a local one.
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 @register(
     "dedup_cluster_cc",
     oracle="WITH RECURSIVE "
@@ -415,38 +448,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs(pin(_distinct_shingles(spark, sf_dir))).select(
         "doc_a", "doc_b"
     )
-    # undirected edge list, persisted: it drives every propagation hop
-    und = pin(
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
+    return (
+        cc_labels(pairs, "doc_a", "doc_b")
+        .select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+        .orderBy("doc_id")
     )
-    labels = (
-        und.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    for _ in range(CC_ITERATIONS):
-        nbr = und.join(
-            labels, und.doc_b == labels.doc_id
-        ).select(und.doc_a.alias("doc_id"), "label")
-        labels = (
-            labels.union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            # truncate lineage each round (lazy — materialized on first
-            # action): each round references the previous labels twice, so
-            # without this the plan tree doubles per hop and analysis/
-            # codegen cost grows 2^hops. Iterative algorithms materialize
-            # per round by design (GraphX does the same); on a cluster this
-            # would be a reliable checkpoint instead of a local one.
-            .localCheckpoint(eager=False)
-        )
-    return labels.select(
-        "doc_id", F.col("label").alias("cluster")
-    ).orderBy("doc_id")
 
 
 SIMHASH_BANDS = 4  # 4 bands × 8 bits; ≤3 flipped bits can touch ≤3 bands

@@ -435,3 +435,39 @@ def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("label").alias("pred"))
         .orderBy("qid")
     )
+
+
+@register(
+    "sim_semantic_clusters",
+    oracle="WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    f"WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_NEARDUP_TAU}), "
+    "und AS (SELECT vec_a AS s, vec_b AS t FROM p "
+    "UNION ALL SELECT vec_b, vec_a FROM p), "
+    "reach(s, t) AS (SELECT s, t FROM und "
+    "UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s) "
+    "SELECT s AS vec_id, LEAST(s, MIN(t)) AS cluster FROM reach "
+    "GROUP BY s ORDER BY vec_id",
+    tags=("similarity", "dedup", "iterative"),
+    doc="Semantic dedup clustering (the SemDeDup shape): connected "
+    "components over the embedding-cosine near-dup graph (cos ≥ 0.45), "
+    "cluster id = min vec_id — a pipeline keeps one representative per "
+    "semantic cluster. Reuses the shared min-label-propagation loop "
+    "(operators/dedup.cc_labels) over the cosine pair list; at 100 TB "
+    "the pair generation swaps to the LSH-bucketed candidates "
+    "(sim_ann_lsh's banding) and the component loop is unchanged — the "
+    "quadratic exact pair join here is the test-scale oracle-matched "
+    "formulation. Oracle: duckdb recursive-CTE transitive closure over "
+    "the same pair predicate.",
+)
+def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators.dedup import cc_labels
+
+    pairs = sim_cosine_neardup(spark, sf_dir)
+    return (
+        cc_labels(pairs, "vec_a", "vec_b")
+        .select(F.col("id").alias("vec_id"), F.col("label").alias("cluster"))
+        .orderBy("vec_id")
+    )

@@ -479,3 +479,46 @@ def q63_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("v"), 4).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+_PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+@register(
+    "q95_profile_columns",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS col, COUNT(*) - COUNT({c}) AS nulls, "
+        f"COUNT(DISTINCT {c}) AS ndv, ROUND(MIN({c}), 4) AS min_v, "
+        f"ROUND(MAX({c}), 4) AS max_v FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY col",
+    tags=("pipeline", "profiling"),
+    doc="Dataset profiling (ANALYZE-style column statistics): null count, "
+    "exact distinct count, and min/max for every numeric fact column in "
+    "ONE scan — a single multi-aggregate over the pruned column set, "
+    "unpivoted to long form with stack(). The count-distincts share the "
+    "scan via Expand (one pass, k-fold row expansion) rather than k "
+    "separate jobs — the profile a pipeline runs before choosing "
+    "partition keys and bucket counts. The duckdb oracle expresses the "
+    "same result as a UNION ALL of per-column aggregates.",
+)
+def q95_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (col, nulls, ndv, min_v, max_v)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max"
+            for c in _PROFILE_COLS
+        ),
+    )
+    return one.selectExpr(stack_expr).orderBy("col")

@@ -439,6 +439,7 @@ def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_semantic_clusters",
+    bench=False,  # quadratic oracle formulation, like sim_cosine_neardup
     oracle="WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, "
     "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
     "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "

@@ -33,6 +33,13 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the advisory size, not to defaultParallelism: the
+        # Spark-documented production setting — small shuffles collapse to
+        # few tasks (less scheduling floor) and big shuffles still split by
+        # bytes. parallelismFirst=true only helps when data is tiny AND
+        # cores would idle, which AQE can't know better than the advisory.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

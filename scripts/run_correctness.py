@@ -1,0 +1,98 @@
+"""Self-reported correctness sweep: every registry query vs its duckdb
+oracle, driver conditions (plain SparkSession, sf0.01), written to
+CORRECTNESS_SELF.json at the repo root.
+
+The round driver's own CORRECTNESS_r{N}.json has historically recorded
+only the first ~50 `queries()` entries; this sweep is the same check over
+ALL entries so the full oracle surface is evidenced every round.
+No-oracle queries record a rows-only entry (the driver does the same).
+
+Usage: python scripts/run_correctness.py  [env SPARK_GRAFT_SF_DIR overrides]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from bigdataindexing_spark import registry, tables  # noqa: E402
+from tests.oracle import compare, make_duckdb  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = make_duckdb(sf_dir)
+    out: dict[str, dict] = {}
+    t0 = time.time()
+    for name, spec in registry.all_specs().items():
+        try:
+            if spec.oracle is not None:
+                r = compare(spec.builder(spark, sf_dir), con, spec.oracle)
+                out[name] = {
+                    "rows_match": r["spark_rows"] == r["duck_rows"],
+                    "schema_match": r["cols_match"],
+                    "hash_match": r["match"],
+                    "spark_rows": r["spark_rows"],
+                    "oracle_rows": r["duck_rows"],
+                    "err": None,
+                }
+            else:
+                n = spec.builder(spark, sf_dir).count()
+                out[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": n,
+                    "oracle_rows": None,
+                    "err": None,
+                }
+        except Exception as exc:  # record, keep sweeping
+            out[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(exc).__name__}: {exc}"[:200],
+            }
+        tables.release_pinned()
+        spark.catalog.clearCache()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    payload = {
+        "sf_dir": sf_dir,
+        "total": len(out),
+        "oracle_checked": sum(
+            1 for v in out.values() if v["hash_match"] is not None
+        ),
+        "green": sum(1 for v in out.values() if v["hash_match"] is True),
+        "rows_only": sum(
+            1 for v in out.values() if v["hash_match"] is None and not v["err"]
+        ),
+        "failed": sorted(
+            n for n, v in out.items() if v["hash_match"] is False
+        ),
+        "wall_sec": round(time.time() - t0, 1),
+        "queries": out,
+    }
+    with open(os.path.join(root, "CORRECTNESS_SELF.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(
+        f"CORRECTNESS_SELF.json: {payload['green']}/{payload['oracle_checked']} "
+        f"oracle-green, {payload['rows_only']} rows-only, "
+        f"failed={payload['failed']}, {payload['wall_sec']}s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

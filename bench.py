@@ -121,6 +121,10 @@ def main() -> None:
     # regressions are attributable.
     duck = _duckdb_timings(sf_dir)
 
+    # index-build throughput (the BASELINE bench gate names it explicitly):
+    # materialize both inverted-index tables to Parquet, both engines.
+    index_build = _index_build_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     duck_comparable = {k: v for k, v in duck.items() if k in timings}
     duck_total = round(sum(duck_comparable.values()), 4)
@@ -140,6 +144,7 @@ def main() -> None:
         "duckdb_total_sec": duck_total,
         "spark_comparable_total_sec": spark_comparable,
         "vs_duckdb_ratio": ratio,
+        "index_build": index_build,
         "queries": {
             name: {
                 "spark_sec": timings[name],
@@ -166,6 +171,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "vs_duckdb_ratio": ratio,
+        "index_build_docs_per_sec": index_build["spark_docs_per_sec"],
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out, separators=(",", ":"))
@@ -177,6 +183,63 @@ def main() -> None:
         line = json.dumps(out, separators=(",", ":"))
     print(line)
     spark.stop()
+
+
+def _index_build_bench(spark, sf_dir: str) -> dict:
+    """Wall-clock for the full inverted-index build (term_rows + postings
+    written to Parquet) on both engines at the benched sf."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from bigdataindexing_spark.index.build import write_index
+    from bigdataindexing_spark.tables import spread, table
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    out_dir = tempfile.mkdtemp(prefix="bdi_index_bench_")
+    try:
+        t0 = time.perf_counter()
+        write_index(docs, out_dir)
+        spark_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    duck_dir = tempfile.mkdtemp(prefix="bdi_index_duck_")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    try:
+        t0 = time.perf_counter()
+        con.execute(
+            "COPY (SELECT token, doc_id, COUNT(*) AS tf FROM ("
+            "SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token, doc_id "
+            "ORDER BY token) TO "
+            f"'{duck_dir}/term_rows.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            "COPY (SELECT token, COUNT(*) AS df, "
+            "list_sort(list(doc_id)) AS doc_ids FROM ("
+            "SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) "
+            "AS token FROM documents) WHERE token <> '' GROUP BY token "
+            "ORDER BY token) TO "
+            f"'{duck_dir}/postings.parquet' (FORMAT PARQUET)"
+        )
+        duck_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(duck_dir, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "spark_sec": round(spark_sec, 4),
+        "duckdb_sec": round(duck_sec, 4),
+        "spark_docs_per_sec": round(n_docs / spark_sec, 1),
+        "duckdb_docs_per_sec": round(n_docs / duck_sec, 1),
+        "ratio": round(spark_sec / duck_sec, 2),
+    }
 
 
 def _duckdb_timings(sf_dir: str, passes: int = 2) -> dict[str, float]:

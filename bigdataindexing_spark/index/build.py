@@ -43,10 +43,21 @@ def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 
 def write_index(docs: DataFrame, out_dir: str) -> None:
-    """Materialize both index tables, sorted-within-partitions by token."""
-    term_rows(docs).repartition("token").sortWithinPartitions("token").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/term_rows.parquet")
-    postings(docs).repartition("token").sortWithinPartitions("token").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/postings.parquet")
+    """Materialize both index tables, sorted-within-partitions by token.
+
+    The flat rows are computed ONCE (persisted) and both tables derive
+    from them — the postings aggregation reads the cached rows instead of
+    re-tokenizing the corpus, halving the build's scan+explode work."""
+    rows = term_rows(docs).persist()
+    try:
+        rows.repartition("token").sortWithinPartitions("token").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/term_rows.parquet")
+        rows.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        ).repartition("token").sortWithinPartitions("token").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/postings.parquet")
+    finally:
+        rows.unpersist()

@@ -52,3 +52,69 @@ def q39_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round("value", 4)
     )
     return salted_agg(ev, "event_type", "value").orderBy("event_type")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's rows into n_salts sub-keys
+    and replicate the small side once per salt, so a hot join key spreads
+    over n_salts reducers instead of one straggler. Each big row carries
+    exactly one salt and matches exactly one replica — semantics identical
+    to the plain join."""
+    spark = big.sparkSession
+    salts = spark.range(n_salts).select(
+        F.col("id").cast("int").alias("salt")
+    )
+    b = big.withColumn(
+        "salt",
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    s = small.crossJoin(F.broadcast(salts))
+    return b.join(
+        s, (F.col(big_key) == F.col(small_key)) & (b.salt == s.salt)
+    ).drop("salt")
+
+
+@register(
+    "q96_salted_join",
+    oracle="SELECT o_orderpriority, COUNT(*) AS cnt, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderstatus = 'F' "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    tags=("join", "skew"),
+    doc="Skew-salted replicate join (16 salts): the big side salts each "
+    "row deterministically, the small side replicates once per salt "
+    "behind a broadcast, and the join key becomes (key, salt) — a hot "
+    "orderkey's rows spread across 16 reducers instead of one straggler "
+    "task. The manual form of what AQE skew-join splitting does "
+    "adaptively (session.py enables that too); kept explicit because "
+    "AQE only splits AFTER a stage materializes skewed partitions, "
+    "while pre-salting avoids building them at all for known-hot keys. "
+    "Oracle: the plain join + aggregate — salting must not change "
+    "results.",
+)
+def q96_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -522,3 +522,57 @@ def q95_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return one.selectExpr(stack_expr).orderBy("col")
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 32
+
+
+@register(
+    "q97_chunk_windows",
+    oracle="WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+    "FROM documents WHERE doc_id <= 100), "
+    "c AS (SELECT doc_id, UNNEST(generate_series(0, "
+    f"CAST(CEIL(GREATEST(len(t) - {CHUNK_STRIDE}, 1) / {CHUNK_STRIDE}.0) "
+    "AS BIGINT) - 1)) AS chunk_idx, t FROM toks) "
+    "SELECT doc_id, chunk_idx, "
+    f"LEAST({CHUNK_TOKENS}, len(t) - chunk_idx * {CHUNK_STRIDE}) AS n_tokens, "
+    f"md5(list_aggregate(t[chunk_idx * {CHUNK_STRIDE} + 1 : "
+    f"chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], 'string_agg', ' ')) "
+    "AS chunk_md5 FROM c ORDER BY doc_id, chunk_idx",
+    tags=("pipeline", "text", "chunking"),
+    doc="RAG-style document chunking: overlapping 64-token windows with "
+    "32-token stride, each chunk carrying provenance (doc_id, chunk_idx) "
+    "and a content fingerprint (md5 of the joined window — proves the "
+    "CONTENT matches across engines, not just the counts). The window "
+    "enumeration is a row-local transform(sequence)+posexplode — zero "
+    "shuffles before the final sort, embarrassingly parallel at 100 TB; "
+    "the downstream embed step consumes exactly this (doc_id, chunk_idx, "
+    "text-window) contract.",
+)
+def q97_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens("text")
+    n_chunks = F.ceil(
+        F.greatest(F.size(t) - CHUNK_STRIDE, F.lit(1)) / float(CHUNK_STRIDE)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size(t) - i * CHUNK_STRIDE
+            ).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(t, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+                )
+            ).alias("chunk_md5"),
+        ),
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 100)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_md5")
+        .orderBy("doc_id", "chunk_idx")
+    )

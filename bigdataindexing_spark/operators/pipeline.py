@@ -144,7 +144,9 @@ PACK_BUDGET = 2048
 @register(
     "q67_sequence_pack",
     oracle="SELECT lang, CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS pack_id, "
-    "COUNT(*) AS docs, SUM(n) AS pack_tokens FROM ("
+    # CAST: duckdb integer SUM yields HUGEINT (decimal128 over Arrow),
+    # which the driver's canonicalizer renders differently from BIGINT.
+    "COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS pack_tokens FROM ("
     "SELECT lang, n, SUM(n) OVER (PARTITION BY lang ORDER BY doc_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ("
     "SELECT lang, doc_id, len(string_split(lower(text), ' ')) AS n "
@@ -357,7 +359,8 @@ TOKEN_BUDGET = 10_000
     "/ len(string_split(lower(text),' ')) AS score FROM documents), "
     "sel AS (SELECT lang, n, SUM(n) OVER (PARTITION BY lang "
     "ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM scored) "
-    "SELECT lang, COUNT(*) AS docs, SUM(n) AS tokens FROM sel "
+    # CAST: duckdb integer SUM -> HUGEINT; see q67.
+    "SELECT lang, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens FROM sel "
     f"WHERE cum <= {TOKEN_BUDGET} GROUP BY lang ORDER BY lang",
     tags=("pipeline", "sampling"),
     doc="Training-set selection under a per-language token budget: rank "

@@ -147,10 +147,13 @@ for _name, _sql, _doc in [
     (
         "q65_sql_tpch_q12",
         "SELECT l_returnflag, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS high_line_count, "
-        "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS low_line_count "
+        # CASTs: duckdb integer SUM yields HUGEINT (decimal128 over
+        # Arrow) which hash-diverges from Spark's BIGINT; the cast is a
+        # no-op on the Spark side so the text stays dialect-shared.
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
         "WHERE l_shipdate >= DATE '1996-01-01' "
         "AND l_shipdate < DATE '1997-01-01' "

@@ -90,9 +90,17 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
-            # TIMESTAMP_NTZ generation: cast to session-time TIMESTAMP
-            # (session is pinned UTC, so values are unchanged) — watermarks
-            # and window() require the LTZ type.
+            # TIMESTAMP_NTZ generation: cast to session-time TIMESTAMP —
+            # watermarks and window() require the LTZ type. The cast is
+            # only value-preserving in a UTC session, so fail loudly
+            # instead of silently shifting every event time.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT"):
+                raise RuntimeError(
+                    f"events.ts NTZ->LTZ cast requires a UTC session, got "
+                    f"spark.sql.session.timeZone={tz!r}; build the session "
+                    "with bigdataindexing_spark.session.get_spark()"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

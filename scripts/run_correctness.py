@@ -19,17 +19,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 from bigdataindexing_spark import registry, tables  # noqa: E402
+from bigdataindexing_spark.session import get_spark  # noqa: E402
 from tests.oracle import compare, make_duckdb  # noqa: E402
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    spark = SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
-    ).getOrCreate()
+    # session.get_spark pins spark.sql.session.timeZone=UTC — the
+    # NTZ->LTZ cast in tables._read_table is only value-preserving in a
+    # UTC session, so a plain SparkSession here would silently diverge
+    # from the oracle on every events-based query on a non-UTC host.
+    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
     con = make_duckdb(sf_dir)
     out: dict[str, dict] = {}
@@ -42,6 +43,7 @@ def main() -> None:
                     "rows_match": r["spark_rows"] == r["duck_rows"],
                     "schema_match": r["cols_match"],
                     "hash_match": r["match"],
+                    "ordered_match": r.get("ordered_match"),
                     "spark_rows": r["spark_rows"],
                     "oracle_rows": r["duck_rows"],
                     "err": None,

@@ -1,14 +1,25 @@
 """duckdb oracle harness: run a Spark DataFrame and an equivalent duckdb SQL
 over the same Parquet tables, canonicalize both, and diff.
 
-Mirrors the driver's comparison: row count, schema (column names), and an
-order-insensitive value hash with doubles rounded to 4 decimals and
-timestamps rendered ISO-8601.
+Mirrors the driver's comparison: row count, schema (column names), and a
+value hash with doubles rounded to 4 decimals and timestamps rendered
+ISO-8601. Two deliberate strictness choices so driver-visible divergences
+reproduce locally (round-2 VERDICT items #1/#2):
+
+- duckdb results are fetched over Arrow, not ``fetchall()``: Arrow
+  preserves duckdb's HUGEINT/DECIMAL result types as ``decimal.Decimal``
+  (``fetchall`` coerces them to Python int and hides the divergence the
+  driver sees). ``Decimal`` canonicalizes as a 4-decimal float rendering,
+  distinct from int — an un-CAST integer SUM oracle now fails here too.
+- rows are compared BOTH order-insensitively and in delivered order:
+  every declared query carries an explicit ORDER BY precisely so ordered
+  output is deterministic; ``match`` requires both.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _dec
 import math
 
 import duckdb
@@ -36,6 +47,11 @@ def _canon_value(v):
         if r == 0:
             r = 0.0  # normalize -0.0
         return f"{r:.4f}"
+    if isinstance(v, _dec.Decimal):
+        # deliberately NOT int-normalized: a decimal128 result (duckdb
+        # HUGEINT SUM) must render differently from BIGINT so the oracle
+        # gets an explicit CAST instead of relying on lossy coercion
+        return f"{float(v):.4f}"
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     if isinstance(v, int):
@@ -45,11 +61,13 @@ def _canon_value(v):
     return str(v)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Sort columns by name, canonicalize values, sort rows."""
+def canon_rows(
+    cols: list[str], rows: list[tuple], *, sort_rows: bool = True
+) -> list[tuple]:
+    """Sort columns by name, canonicalize values; optionally sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_canon_value(row[i]) for i in order) for row in rows]
-    return sorted(out)
+    return sorted(out) if sort_rows else out
 
 
 def spark_result(df) -> tuple[list[str], list[tuple]]:
@@ -59,9 +77,9 @@ def spark_result(df) -> tuple[list[str], list[tuple]]:
 
 
 def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    tbl = con.execute(sql).arrow()
+    cols = list(tbl.schema.names)
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
     return cols, rows
 
 
@@ -77,13 +95,26 @@ def compare(df, con, sql: str) -> dict:
     }
     if not result["cols_match"]:
         result["match"] = False
+        result["ordered_match"] = False
         return result
     sc = canon_rows(s_cols, s_rows)
     dc = canon_rows(d_cols, d_rows)
-    result["match"] = sc == dc
-    if not result["match"]:
+    so = canon_rows(s_cols, s_rows, sort_rows=False)
+    do = canon_rows(d_cols, d_rows, sort_rows=False)
+    result["ordered_match"] = so == do
+    result["match"] = sc == dc and result["ordered_match"]
+    if sc != dc:
         s_only = [r for r in sc if r not in set(dc)][:5]
         d_only = [r for r in dc if r not in set(sc)][:5]
         result["spark_only_sample"] = s_only
         result["duck_only_sample"] = d_only
+    elif not result["ordered_match"]:
+        diverge = next(
+            (i for i, (a, b) in enumerate(zip(so, do)) if a != b), None
+        )
+        result["first_order_divergence"] = {
+            "row": diverge,
+            "spark": so[diverge] if diverge is not None else None,
+            "duck": do[diverge] if diverge is not None else None,
+        }
     return result

@@ -87,6 +87,13 @@ def main() -> None:
     # drops BELOW the default when the data is known-small.
     if sf is not None and sf <= 0.1:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # AQE exists to re-plan LARGE shuffles at runtime (coalesce, skew
+        # split, join demotion); at ~100MB there is nothing to adapt and
+        # every adaptive stage materialization costs a scheduler
+        # round-trip — measured ~25% of wall-clock on the floor-dominated
+        # queries at sf0.1. Results are identical either way; on a real
+        # cluster the session default (AQE on, session.py) governs.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     _warmup(spark, sf_dir)
 
     # Each query is timed in TWO full passes over the whole suite (fresh

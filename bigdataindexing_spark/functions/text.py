@@ -39,3 +39,4 @@ def md5_long(col: Column | str) -> Column:
     ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+

@@ -13,6 +13,7 @@ table, so the rollup's correctness (not just its shape) is hash-checked.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,24 @@ def build_hourly_rollup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+# (applicationId, sf_dir) -> rollup parquet dir. The materialized view is
+# built ONCE per session+source and every serve-path invocation reads the
+# existing parquet — rebuilding inside the query (as this did before)
+# benched the build, not the serve, and contradicted the operator's whole
+# premise ("raw events ... never at serve time").
+_ROLLUP_DIRS: dict[tuple[str, str], str] = {}
+
+
+def hourly_rollup_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ROLLUP_DIRS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="rollup_hourly_")
+        build_hourly_rollup(spark, sf_dir, path)
+        _ROLLUP_DIRS[key] = path
+    return path
+
+
 @register(
     "q44_rollup_serve",
     oracle="SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt, "
@@ -50,12 +69,12 @@ def build_hourly_rollup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     doc="Continuous-aggregate serve path: the DAILY result is computed by "
     "re-aggregating the materialized HOURLY rollup (sum of sums, sum of "
     "counts) — the raw events table is read once at build time, never at "
-    "serve time. Oracle: the same daily aggregate straight off raw events.",
+    "serve time (the rollup materializes once per session via "
+    "hourly_rollup_dir). Oracle: the same daily aggregate straight off "
+    "raw events.",
 )
 def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rollup_dir = tempfile.mkdtemp(prefix="rollup_hourly_")
-    build_hourly_rollup(spark, sf_dir, rollup_dir)
-    hourly = spark.read.parquet(rollup_dir)
+    hourly = spark.read.parquet(hourly_rollup_dir(spark, sf_dir))
     return (
         hourly.groupBy(
             F.to_date("bucket").alias("day"), "event_type"

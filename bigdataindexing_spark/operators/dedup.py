@@ -68,27 +68,41 @@ _JACCARD_SQL = (
 )
 
 
-def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) — one row per distinct 3-word shingle per document,
-    as 64-bit keyed SipHashes (Jaccard over the hashes equals Jaccard over
-    the shingle strings; collision odds ~2^-64 per pair).
+def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) — the distinct 3-word shingles of each document
+    as an array of 64-bit keyed SipHashes (Jaccard over the hashes equals
+    Jaccard over the shingle strings; collision odds ~2^-64 per pair).
 
     Computed by the fused Arrow-batched pass (shared with MinHash).
     Repartitioned to the session's parallelism first: the documents table is
     compute-heavy per byte, so a file layout with fewer splits than cores
     would otherwise serialize the whole pipeline."""
     return (
-        spread(table(spark, sf_dir, "documents"))
+        spread(table(spark, sf_dir, "documents"), heavy=True)
         .select("doc_id", "text")
         .mapInPandas(_shingle_sig_batches, _SHINGLE_SIG_SCHEMA)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", "shingles")
     )
 
 
-def _jaccard_pairs(u: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
-    to a candidate `pairs(doc_a, doc_b)` DataFrame)."""
-    sizes = u.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    to a candidate `pairs(doc_a, doc_b)` DataFrame).
+
+    ``docs_sh`` is the (doc_id, shingles-array) relation: per-doc sizes are
+    a row-local ``size()`` (zero shuffles — the old formulation re-derived
+    them with a groupBy over the exploded rows). Without a candidate set,
+    intersections come from the shingle self-equi-join — the shingle key
+    is the shuffle key, so Catalyst plans a shuffled hash join, never a
+    cartesian. (A bucket formulation — groupBy(shingle) + collect_list +
+    higher-order pair explosion — was measured ~1.6x SLOWER despite a
+    third of the shuffle traffic: Spark's higher-order array functions
+    are CodegenFallback, i.e. interpreted per row.) At 100 TB a
+    stopword-shingle bucket is the hot spot either way — the MinHash-LSH
+    variant (banded buckets, bounded per-band agreement odds) is the
+    declared scale path; this operator is the exact recall-1 baseline."""
+    sizes = docs_sh.select("doc_id", F.size("shingles").alias("n"))
+    u = docs_sh.select("doc_id", F.explode("shingles").alias("s"))
     if pairs is None:
         a = u.select(F.col("doc_id").alias("doc_a"), "s")
         b = u.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -160,9 +174,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key so Catalyst plans a shuffled hash join, never a cartesian.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persisted: the shingle relation feeds three join branches (the two
-    # self-join sides and the per-doc size aggregate)
-    return _jaccard_pairs(pin(_distinct_shingles(spark, sf_dir)))
+    # persisted: the shingle relation feeds the bucket branch and the
+    # per-doc size projection
+    return _jaccard_pairs(pin(_shingle_docs(spark, sf_dir)))
 
 
 _SHINGLE_SIG_SCHEMA = T.StructType(
@@ -240,11 +254,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across join branches). Jaccard over 64-bit shingle hashes equals
     # Jaccard over shingle strings (collision odds ~2^-64 per pair).
     docs = pin(
-        spread(table(spark, sf_dir, "documents"))
+        spread(table(spark, sf_dir, "documents"), heavy=True)
         .select("doc_id", "text")
         .mapInPandas(_shingle_sig_batches, _SHINGLE_SIG_SCHEMA)
     )
-    u = docs.select("doc_id", F.explode("shingles").alias("s"))
     sig = docs.select("doc_id", "sig")
     # band buckets via ONE higher-order transform (a 64-element literal
     # array of hash() calls would generate a huge codegen class for no
@@ -290,13 +303,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(est >= EST_JACCARD_CUTOFF)
         .select("doc_a", "doc_b")
     )
-    return _jaccard_pairs(u, pairs=cand)
+    return _jaccard_pairs(docs.select("doc_id", "shingles"), pairs=cand)
 
 
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash from md5-derived token hashes."""
     tok = (
-        spread(table(spark, sf_dir, "documents"))
+        spread(table(spark, sf_dir, "documents"), heavy=True)
         .select("doc_id", F.explode(tokens("text")).alias("w"))
         .withColumn("hv", md5_long(F.col("w")))
     )
@@ -372,13 +385,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# label-propagation hops. Measured component diameter on the test corpus is
-# 1 at every sf (near-dup components are cliques); 2 hops is margin, not
-# need. Each hop costs real driver time — analysis + physical planning +
-# codegen per round (the per-round plan is fresh after the lineage
-# truncation) — so hops beyond the component diameter are pure overhead.
-# Production: convergence-checked pointer-jumping, O(log n) rounds.
-CC_ITERATIONS = 2
+# Hard cap on label-propagation rounds — a runaway backstop only; the
+# loop exits on CONVERGENCE (the min-label sum is strictly decreasing
+# until fixpoint, so one cheap scalar aggregate per round detects it).
+# A fixed 2-round constant was correct for the shingle graph (near-dup
+# components are cliques, diameter 1) but silently wrong for any caller
+# whose similarity relation is non-transitive — the cosine graph
+# (sim_semantic_clusters) can form chains of diameter > 2.
+CC_MAX_ITERATIONS = 25
 
 _PAIRS_CTE = (
     _SHINGLE_SQL
@@ -390,8 +404,16 @@ _PAIRS_CTE = (
 
 def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Connected components over an undirected pair list by iterative
-    min-label propagation; returns (id, cluster) for every endpoint.
-    Shared by the Jaccard (documents) and cosine (embeddings) graphs."""
+    min-label propagation TO CONVERGENCE; returns (id, cluster) for every
+    endpoint. Shared by the Jaccard (documents) and cosine (embeddings)
+    graphs — the latter's similarity is not transitive, so components can
+    be chain-shaped and the hop count cannot be a constant.
+
+    Convergence check: min-propagation only ever lowers labels, so the
+    per-round SUM(label) is strictly decreasing until fixpoint — one
+    1-row aggregate per round (which also materializes that round's
+    checkpoint; iterative algorithms materialize per round by design,
+    GraphX does the same)."""
     und = pin(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).union(
             pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
@@ -402,7 +424,8 @@ def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    for _ in range(CC_ITERATIONS):
+    prev_sum = None
+    for _ in range(CC_MAX_ITERATIONS):
         nbr = und.join(labels, und.b == labels.id).select(
             und.a.alias("id"), "label"
         )
@@ -410,14 +433,17 @@ def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            # truncate lineage each round (lazy — materialized on first
-            # action): each round references the previous labels twice, so
+            # truncate lineage each round (materialized by the sum check
+            # below): each round references the previous labels twice, so
             # without this the plan tree doubles per hop and analysis/
-            # codegen cost grows 2^hops. Iterative algorithms materialize
-            # per round by design (GraphX does the same); on a cluster this
-            # would be a reliable checkpoint instead of a local one.
+            # codegen cost grows 2^hops. On a cluster this would be a
+            # reliable checkpoint instead of a local one.
             .localCheckpoint(eager=False)
         )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels
 
 
@@ -435,17 +461,17 @@ def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     doc="Near-dup cluster resolution: connected components over the "
     "exact-Jaccard pair graph (cluster id = min doc_id in the component — "
     "the survivor a dedup pipeline keeps). Iterative min-label "
-    "propagation, one join + one min-aggregate per hop, bounded at "
-    f"{CC_ITERATIONS} hops (near-dup clusters are shallow; a component "
-    "wider than that means the threshold is wrong, not the algorithm). "
-    "At 100 TB the same loop runs with pointer-jumping (large-star/"
-    "small-star) for O(log n) rounds and a convergence check between "
+    "propagation, one join + one min-aggregate per hop, iterated to "
+    "CONVERGENCE (the per-round label sum is strictly decreasing until "
+    "fixpoint — on this graph that's 2 rounds, but the loop proves it "
+    "rather than assuming clique-shaped components). At 100 TB the same "
+    "loop runs with pointer-jumping (large-star/small-star) for O(log n) "
     "rounds; the per-round dataflow — equi-join on the edge list, "
     "min-aggregate on the vertex — is identical. Oracle: duckdb "
     "recursive-CTE transitive closure.",
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _jaccard_pairs(pin(_distinct_shingles(spark, sf_dir))).select(
+    pairs = _jaccard_pairs(pin(_shingle_docs(spark, sf_dir))).select(
         "doc_a", "doc_b"
     )
     return (

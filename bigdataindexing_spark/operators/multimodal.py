@@ -30,11 +30,20 @@ from pyspark.sql import types as T
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import spread, table
 
-# Codec status: no real image decoder is wired yet. The deterministic fake
-# below runs UNCONDITIONALLY — installing Pillow must not change behavior
-# until a real decode path is implemented and tested. When that happens,
-# gate it with a try-import here and keep the fake as the fallback.
-_HAS_REAL_CODEC = False
+# Codec gate: Pillow is the real image decoder when importable (this
+# container ships without it — the deterministic byte-stats fake is the
+# fallback, and ALSO the per-item fallback for payloads PIL cannot parse,
+# e.g. this corpus's synthetic UTF-8 payloads). Both paths share one
+# dataflow (schema, Arrow batching, partitioning) and both are pytest-
+# covered (tests/test_multimodal.py): the `decoder` column records which
+# codec produced each row, so results are auditable per item.
+try:  # pragma: no cover - depends on container contents
+    from PIL import Image as _PILImage  # noqa: N812
+
+    _HAS_REAL_CODEC = True
+except ImportError:
+    _PILImage = None
+    _HAS_REAL_CODEC = False
 
 N_HIST_BINS = 16
 FRAME_BYTES = 64  # fake-video frame size
@@ -79,34 +88,61 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Decode step over ``mapInPandas`` (Arrow batches, no per-row Python).
+def _decode_one(doc_id, payload) -> tuple:
+    """Decode one payload: PIL pixel stats when the codec is available AND
+    the bytes parse as an image; deterministic byte stats otherwise.
 
-    No image codec is wired, so this runs the DETERMINISTIC FAKE: byte-level
-    statistics standing in for pixel statistics, regardless of what
-    libraries happen to be installed. A real decoder
-    (PIL.Image.open(io.BytesIO(payload)) → pixel stats) slots in behind
-    ``_HAS_REAL_CODEC`` with the identical dataflow (schema, batching,
-    partitioning).
+    n_bytes is ALWAYS the payload length (not the decoded pixel count) so
+    the oracle contract is decoder-independent; the mean/min/max describe
+    pixels on the real path and raw bytes on the fake path, with the
+    `decoder` column recording which."""
+    import numpy as np
+
+    if _HAS_REAL_CODEC:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                px = np.asarray(img.convert("L"), dtype=np.uint8).ravel()
+            if px.size:
+                return (
+                    doc_id,
+                    "pil",
+                    len(payload),
+                    float(px.mean()),
+                    int(px.min()),
+                    int(px.max()),
+                )
+        except Exception:
+            pass  # not a decodable image: fall through to byte stats
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return (
+        doc_id,
+        "fake-byte-stats",
+        int(arr.size),
+        float(arr.mean()) if arr.size else 0.0,
+        int(arr.min()) if arr.size else 0,
+        int(arr.max()) if arr.size else 0,
+    )
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Decode step over ``mapInPandas`` (Arrow batches, no per-row Python
+    dispatch overhead beyond the per-item codec call).
+
+    Real path (Pillow importable): PIL.Image.open → grayscale pixel
+    statistics, falling back PER ITEM to byte statistics for payloads
+    that do not parse as images (this corpus's synthetic payloads never
+    do). Fake path (no Pillow): byte statistics unconditionally. Both
+    share the identical dataflow — schema, Arrow batching, partitioning.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in it:
-            stats = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                stats.append(
-                    (
-                        doc_id,
-                        "fake-byte-stats",
-                        int(arr.size),
-                        float(arr.mean()) if arr.size else 0.0,
-                        int(arr.min()) if arr.size else 0,
-                        int(arr.max()) if arr.size else 0,
-                    )
-                )
+            stats = [
+                _decode_one(doc_id, payload)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 stats, columns=[f.name for f in _DECODE_SCHEMA.fields]
             )

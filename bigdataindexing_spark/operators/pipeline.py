@@ -183,6 +183,56 @@ def q67_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SHARDS = 8
+
+
+@register(
+    "q98_sequence_pack_sharded",
+    oracle="SELECT lang, shard, "
+    "CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS pack_id, "
+    "COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS pack_tokens FROM ("
+    f"SELECT lang, doc_id % {PACK_SHARDS} AS shard, n, "
+    "SUM(n) OVER (PARTITION BY lang, doc_id % "
+    f"{PACK_SHARDS} ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ("
+    "SELECT lang, doc_id, len(string_split(lower(text), ' ')) AS n "
+    "FROM documents)) GROUP BY lang, shard, pack_id "
+    "ORDER BY lang, shard, pack_id",
+    tags=("pipeline", "packing"),
+    doc="Sequence packing with SHARDED window partitions — the 100 TB "
+    "form of q67. The running sum partitions by (lang, doc_id-shard), so "
+    "the assignment stage runs n_lang x n_shards tasks instead of one "
+    "task per language (q67's scale limit: ~5 languages = ~5 tasks no "
+    "matter the corpus size). Packs are local to their shard — exactly "
+    "how a production packer runs one packing stream per (stratum, "
+    "date-shard) — and pack identity is (lang, shard, pack_id). In "
+    "production the shard key is a date/file partition; a modulus is "
+    "used here so the duckdb oracle can reproduce it exactly.",
+)
+def q98_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).alias("n"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pack_id = F.floor((F.sum("n").over(w) - F.col("n")) / F.lit(PACK_BUDGET))
+    return (
+        d.select("lang", "shard", pack_id.alias("pack_id"), "n")
+        .groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n").alias("pack_tokens"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
+
+
 @register(
     "q68_embedding_quantize",
     oracle="SELECT vec_id, "
@@ -260,7 +310,7 @@ def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = (
-        spread(table(spark, sf_dir, "documents"))
+        spread(table(spark, sf_dir, "documents"), heavy=True)
         .filter(F.size(t) >= DECON_N)
         .select("doc_id", "lang", shingles.alias("s"))
     )
@@ -392,6 +442,59 @@ def q90_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUDGET_SHARDS = 8
+
+
+@register(
+    "q99_budget_select_sharded",
+    oracle="WITH scored AS (SELECT lang, doc_id, "
+    f"doc_id % {BUDGET_SHARDS} AS shard, "
+    "len(string_split(lower(text),' ')) AS n, "
+    "len(list_distinct(string_split(lower(text),' '))) * 1.0 "
+    "/ len(string_split(lower(text),' ')) AS score FROM documents), "
+    "sel AS (SELECT lang, n, SUM(n) OVER (PARTITION BY lang, shard "
+    "ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum "
+    "FROM scored) "
+    "SELECT lang, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens "
+    f"FROM sel WHERE cum <= {TOKEN_BUDGET // BUDGET_SHARDS} "
+    "GROUP BY lang ORDER BY lang",
+    tags=("pipeline", "sampling"),
+    doc="Token-budget selection with SHARDED greedy frontiers — the "
+    "100 TB form of q90. Each (lang, doc_id-shard) stream greedily "
+    "fills budget/n_shards tokens by quality rank, so the running-sum "
+    "stage runs n_lang x n_shards bounded tasks instead of one task "
+    "per language. The union of per-shard selections approximates the "
+    "global greedy set (equal when quality is shard-homogeneous, which "
+    "a hash shard guarantees in expectation) — the standard trade of "
+    "exact global ranking for bounded parallelism. Oracle mirrors the "
+    "sharded semantics exactly.",
+)
+def q99_budget_select_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens("text")
+    n = F.size(t)
+    score = F.size(F.array_distinct(t)) * 1.0 / n
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            (F.col("doc_id") % BUDGET_SHARDS).alias("shard"),
+            n.alias("n"),
+            score.alias("score"),
+        )
+        .withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= TOKEN_BUDGET // BUDGET_SHARDS)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
+        .orderBy("lang")
+    )
+
+
 OUTLIER_COS = -0.1
 
 
@@ -499,32 +602,44 @@ _PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
     tags=("pipeline", "profiling"),
     doc="Dataset profiling (ANALYZE-style column statistics): null count, "
     "exact distinct count, and min/max for every numeric fact column in "
-    "ONE scan — a single multi-aggregate over the pruned column set, "
-    "unpivoted to long form with stack(). The count-distincts share the "
-    "scan via Expand (one pass, k-fold row expansion) rather than k "
-    "separate jobs — the profile a pipeline runs before choosing "
-    "partition keys and bucket counts. The duckdb oracle expresses the "
-    "same result as a UNION ALL of per-column aggregates.",
+    "ONE scan. The columns unpivot to (col, value) long form inside the "
+    "scan stage, then a two-stage aggregate: groupBy(col, value) with "
+    "map-side combine collapses duplicates before the only full shuffle, "
+    "and the per-col rollup (ndv = surviving rows, nulls/min/max ride "
+    "along) is tiny. This replaces a 4-way multi-count-distinct, which "
+    "Catalyst plans as a 5x Expand of every row into a single monster "
+    "hash aggregate — the long-form two-stage shape is both smaller "
+    "(4x rows, deduped map-side) and skew-free. The duckdb oracle "
+    "expresses the same result as a UNION ALL of per-column aggregates.",
 )
 def q95_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            F.round(F.min(c), 4).alias(f"{c}__min"),
-            F.round(F.max(c), 4).alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
-    stack_expr = "stack({n}, {args}) as (col, nulls, ndv, min_v, max_v)".format(
-        n=len(_PROFILE_COLS),
-        args=", ".join(
-            f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max"
-            for c in _PROFILE_COLS
-        ),
+    lf = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.v")
+    per_value = lf.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_value.groupBy("col")
+        .agg(
+            F.sum(
+                F.when(F.col("v").isNull(), F.col("c")).otherwise(F.lit(0))
+            ).alias("nulls"),
+            F.count("v").alias("ndv"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+        .orderBy("col")
     )
-    return one.selectExpr(stack_expr).orderBy("col")
 
 
 CHUNK_TOKENS = 64

@@ -45,7 +45,7 @@ def q21_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spread(table(spark, sf_dir, "events"))
+        spread(table(spark, sf_dir, "events"), heavy=True)
         .filter(
             F.get_json_object("props", "$.k").cast("int").between(10, 20)
         )

@@ -407,7 +407,7 @@ KNN_K = 5
     "scorer for sim_ann_lsh candidates; the vote stage is unchanged.",
 )
 def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(table(spark, sf_dir, "embeddings")).select(
+    e = spread(table(spark, sf_dir, "embeddings"), heavy=True).select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import pin, spread, table
 
 N_SALTS = 16
 
@@ -26,26 +26,37 @@ N_SALTS = 16
 def salted_agg(
     df: DataFrame, key: str, agg_col: str, n_salts: int = N_SALTS
 ) -> DataFrame:
-    """Two-stage skew-safe aggregation: (key, salt) partials, then fold."""
+    """Two-stage skew-safe aggregation: (key, salt) partials, then fold.
+
+    The partial sums aggregate INTEGER ten-thousandths (``agg_col`` is
+    already on a 4-decimal grid), not doubles: a two-stage float fold
+    adds in a different order than the oracle's single GROUP BY, and
+    float addition is not associative — exact integer partials make the
+    result independent of the fold shape at any scale."""
+    cents = F.round(F.col(agg_col) * 10_000, 0).cast("long")
     salted = df.withColumn(
         "salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "salt").agg(
-        F.count(F.lit(1)).alias("pc"), F.sum(agg_col).alias("ps")
+        F.count(F.lit(1)).alias("pc"), F.sum(cents).alias("ps")
     )
     return partial.groupBy(key).agg(
-        F.sum("pc").alias("cnt"), F.round(F.sum("ps"), 2).alias("sum_value")
+        F.sum("pc").alias("cnt"),
+        F.round(F.sum("ps") / 10_000.0, 2).alias("sum_value"),
     )
 
 
 @register(
     "q39_salted_agg",
-    oracle="SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(ROUND(value, 4)), 2) "
+    oracle="SELECT event_type, COUNT(*) AS cnt, "
+    "ROUND(SUM(CAST(ROUND(ROUND(value, 4) * 10000, 0) AS BIGINT)) / 10000.0, 2) "
     "AS sum_value FROM events GROUP BY event_type ORDER BY event_type",
     tags=("agg", "skew"),
     doc="Skew-salted aggregation over the hot event_type key (16 salts, "
     "two-stage fold). Must equal the plain GROUP BY exactly — salting is "
-    "an execution-plan change only.",
+    "an execution-plan change only, so both sides sum exact integer "
+    "ten-thousandths of the 4-decimal-rounded value (float-associativity-"
+    "free on any engine, any partitioning).",
 )
 def q39_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread(table(spark, sf_dir, "events")).withColumn(
@@ -54,30 +65,74 @@ def q39_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(ev, "event_type", "value").orderBy("event_type")
 
 
+# A key is "hot" when its estimated row count exceeds this many rows —
+# roughly the point where one key's rows outgrow a healthy shuffle
+# partition and a single reducer becomes the stage straggler.
+HOT_KEY_ROWS = 100_000
+HOT_SAMPLE_FRACTION = 0.05
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     big_key: str,
     small_key: str,
     n_salts: int = N_SALTS,
+    hot_key_rows: int = HOT_KEY_ROWS,
 ) -> DataFrame:
-    """Skew-safe equi-join: salt the big side's rows into n_salts sub-keys
-    and replicate the small side once per salt, so a hot join key spreads
-    over n_salts reducers instead of one straggler. Each big row carries
-    exactly one salt and matches exactly one replica — semantics identical
-    to the plain join."""
-    spark = big.sparkSession
-    salts = spark.range(n_salts).select(
-        F.col("id").cast("int").alias("salt")
+    """Skew-safe equi-join that salts ONLY observed-hot keys.
+
+    A sampled count of the big side's key column (column-pruned scan,
+    5% sample — at 100 TB you'd sample row groups the same way) finds
+    keys whose estimated cardinality exceeds ``hot_key_rows``. Those keys
+    fan out to ``n_salts`` sub-keys and the small side replicates
+    per-salt for them alone; every other key joins with salt 0 and a
+    single small-side row. With no skew the hot map is empty and the
+    plan degenerates to the plain join plus one cheap sampled scan —
+    blanket 16x replication of the small side (the previous form) burned
+    n_salts-fold shuffle volume demonstrating a pathology the data may
+    not have. Each big row carries exactly one salt and matches exactly
+    one replica — semantics identical to the plain join."""
+    hot = pin(  # consumed by both join sides; persist so the sampled
+        big.select(F.col(big_key).alias("__hk"))  # scan runs once
+        .sample(False, HOT_SAMPLE_FRACTION, seed=7)
+        .groupBy("__hk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= int(hot_key_rows * HOT_SAMPLE_FRACTION))
+        .select("__hk", F.lit(n_salts).alias("__n_salt"))
     )
-    b = big.withColumn(
-        "salt",
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
+    if not hot.take(1):
+        # no observed skew: hand Catalyst the PLAIN join (it will
+        # broadcast a small enough side — a broadcast join has no skew
+        # problem at all). The bounded take(1) is data-dependent
+        # planning, same idea as AQE's runtime join demotion.
+        return big.join(small, F.col(big_key) == F.col(small_key))
+    b = (
+        big.join(F.broadcast(hot), F.col(big_key) == F.col("__hk"), "left")
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.hash(F.monotonically_increasing_id()),
+                F.coalesce(F.col("__n_salt"), F.lit(1)),
+            ),
+        )
+        .drop("__hk", "__n_salt")
     )
-    s = small.crossJoin(F.broadcast(salts))
+    s = (
+        small.join(F.broadcast(hot), F.col(small_key) == F.col("__hk"), "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("__n_salt"), F.lit(1)) - 1
+                )
+            ),
+        )
+        .drop("__hk", "__n_salt")
+    )
     return b.join(
-        s, (F.col(big_key) == F.col(small_key)) & (b.salt == s.salt)
-    ).drop("salt")
+        s, (F.col(big_key) == F.col(small_key)) & (b.__salt == s.__salt)
+    ).drop("__salt")
 
 
 @register(
@@ -88,16 +143,17 @@ def salted_join(
     "WHERE o_orderstatus = 'F' "
     "GROUP BY o_orderpriority ORDER BY o_orderpriority",
     tags=("join", "skew"),
-    doc="Skew-salted replicate join (16 salts): the big side salts each "
-    "row deterministically, the small side replicates once per salt "
-    "behind a broadcast, and the join key becomes (key, salt) — a hot "
-    "orderkey's rows spread across 16 reducers instead of one straggler "
-    "task. The manual form of what AQE skew-join splitting does "
-    "adaptively (session.py enables that too); kept explicit because "
-    "AQE only splits AFTER a stage materializes skewed partitions, "
-    "while pre-salting avoids building them at all for known-hot keys. "
-    "Oracle: the plain join + aggregate — salting must not change "
-    "results.",
+    doc="Skew-salted replicate join gated on OBSERVED hot keys: a 5% "
+    "sampled count of the big side's join key finds keys estimated "
+    "above 100k rows; only those fan out to 16 (key, salt) sub-keys "
+    "with per-salt small-side replicas — everything else joins plain. "
+    "The manual form of what AQE skew-join splitting does adaptively "
+    "(session.py enables that too); kept explicit because AQE only "
+    "splits AFTER a stage materializes skewed partitions, while "
+    "pre-salting avoids building them at all. On unskewed data the hot "
+    "set is empty and the cost is the plain join plus one sampled "
+    "key-column scan. Oracle: the plain join + aggregate — salting "
+    "must not change results.",
 )
 def q96_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(table(spark, sf_dir, "lineitem")).select(

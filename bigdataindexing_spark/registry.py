@@ -49,7 +49,7 @@ def register(
     return deco
 
 
-# Queries that already earned a green driver CORRECTNESS row in round 1.
+# Queries that already earned a green driver CORRECTNESS row (rounds 1+2).
 # The driver's per-round correctness sweep verifies the FIRST ~50 entries of
 # queries() in order, so all_specs() surfaces not-yet-driver-verified queries
 # first (new + previously-outside-the-window ones), then never-checked
@@ -69,34 +69,82 @@ _R01_VERIFIED = frozenset(
         "q21_array_explode", "q22_json_extract", "q23_tumbling_window",
         "q27_map_functions", "q26_token_count", "txt_quality_score",
         "txt_langid", "txt_fingerprint", "txt_bpe_tokens", "txt_normalize",
-        "q24_distinct_text_count", "dedup_exact", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+        "q24_distinct_text_count", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_simhash_pairs",
         "q25_ann_bruteforce", "sim_cosine_neardup",
     }
 )
 
-
-# The 27 oracle-bearing queries VERDICT.md (round 1) explicitly flagged as
-# driver-unverified — pinned to the very front of the driver's ~50-entry
-# correctness window so every one gets a green row this round.
-_R02_PRIORITY = (
-    "q34_sql_tpch_q3", "q35_sql_tpch_q5", "q36_sql_exists", "q37_sql_having",
-    "q38_sql_scalar_subquery", "q51_sql_correlated_scalar",
-    "q52_sql_grouping_sets", "idx_term_lookup", "idx_top_terms",
-    "idx_delete_anti_join", "idx_tfidf_search", "idx_phrase_query",
-    "mm_binary_meta", "mm_frame_sample", "mm_decode_stats",
-    "q28_sliding_window", "q29_session_window", "q39_salted_agg",
-    "q42_grouped_udaf_geomean", "q43_group_zscore", "q44_rollup_serve",
-    "sim_ann_label_partition", "st1_stream_index_build", "st2_stream_tumbling",
-    "st3_stream_sliding", "st6_stream_dedup", "st7_stateful_sessionize",
+# Green driver rows from CORRECTNESS_r02.json (everything checked in round 2
+# except the two hash-fails q67/q90, which ride the recheck tier below).
+_R02_VERIFIED = frozenset(
+    {
+        "q34_sql_tpch_q3", "q35_sql_tpch_q5", "q36_sql_exists",
+        "q37_sql_having", "q38_sql_scalar_subquery",
+        "q51_sql_correlated_scalar", "q52_sql_grouping_sets",
+        "idx_term_lookup", "idx_top_terms", "idx_delete_anti_join",
+        "idx_tfidf_search", "idx_phrase_query", "mm_binary_meta",
+        "mm_frame_sample", "mm_decode_stats", "q28_sliding_window",
+        "q29_session_window", "q42_grouped_udaf_geomean", "q43_group_zscore",
+        "sim_ann_label_partition", "st1_stream_index_build",
+        "st2_stream_tumbling", "st3_stream_sliding", "st6_stream_dedup",
+        "st7_stateful_sessionize", "q53_except", "q54_ntile_partitioned",
+        "q93_window_battery", "q94_fuzzy_match", "q58_variant_extract",
+        "q92_gap_fill_ffill", "txt_repetition", "dedup_cluster_cc",
+        "dedup_simhash_banded", "q73_knn_classify", "sim_semantic_clusters",
+        "q55_geomean_partial_agg", "q59_hash_split", "q60_stratified_sample",
+        "q61_quality_filter", "q62_token_histogram", "q68_embedding_quantize",
+        "q81_decontaminate", "q82_source_cap", "q83_lang_rebalance",
+    }
 )
-_R02_PRIORITY_POS = {n: i for i, n in enumerate(_R02_PRIORITY)}
+
+_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED
+
+
+# The 29 oracle-bearing queries round-2 VERDICT.md flagged as never
+# driver-checked — pinned to the very front of the driver's ~50-entry
+# correctness window so every one gets a green row this round (the same
+# mechanism took all 27 round-2 pins green).
+_R03_PRIORITY = (
+    "q56_sql_recursive_cte", "q57_sql_lateral_topk", "q63_embedding_centroid",
+    "q64_sql_tpch_q10", "q65_sql_tpch_q12", "q66_sql_tpch_q14",
+    "q70_event_funnel", "q71_cohort_retention", "q72_sql_tpch_q22",
+    "q74_sql_tpch_q6", "q75_sql_tpch_q13", "q76_sql_tpch_q7",
+    "q77_sql_tpch_q17", "q78_sql_tpch_q19", "q79_sql_tpch_q15",
+    "q80_sql_tpch_q21", "q84_sql_tpch_q2", "q85_sql_tpch_q8",
+    "q86_sql_tpch_q9", "q87_sql_tpch_q11", "q88_sql_tpch_q16",
+    "q89_sql_tpch_q20", "q91_centroid_outliers", "q95_profile_columns",
+    "q97_chunk_windows", "udtf_char_shingles", "idx_bm25_search",
+    "st8_stream_stream_join", "st9_stream_lsh_dedup",
+)
+
+# Verified queries whose builder or oracle CHANGED this round: a green row
+# from a prior round no longer evidences the current code, so they rotate
+# back into the driver window right behind the never-checked set instead
+# of hiding in the verified tail (round-2 ADVICE: don't demote verified
+# queries whose builders changed).
+_R03_RECHECK = (
+    "q67_sequence_pack",      # oracle CAST fix (r2 hash-fail)
+    "q90_budget_select",      # oracle CAST fix (r2 hash-fail)
+    "q39_salted_agg",         # integer-cents float-determinism rewrite
+    "q44_rollup_serve",       # serve-only rebuild fix
+    "q96_salted_join",        # hot-key-gated salting rewrite
+    "dedup_ngram_jaccard",    # row-local sizes in the shared Jaccard core
+    "dedup_minhash_lsh",      # same shared-core change (verify path)
+    "dedup_cluster_cc",       # CC loop now iterates to convergence
+    "sim_semantic_clusters",  # same CC loop change
+    "dedup_simhash",          # perf work this round
+    "mm_decode_stats",        # real PIL decode path added behind the gate
+    "idx_term_lookup",        # representative for the spread() no-op
+)
+
+_PIN_POS = {n: i for i, n in enumerate(_R03_PRIORITY + _R03_RECHECK)}
 
 
 def _driver_tier(spec: QuerySpec) -> tuple[int, int]:
-    if spec.name in _R02_PRIORITY_POS:
-        return (0, _R02_PRIORITY_POS[spec.name])
-    if spec.name in _R01_VERIFIED:
+    if spec.name in _PIN_POS:
+        return (0, _PIN_POS[spec.name])
+    if spec.name in _DRIVER_VERIFIED:
         return (3, 0)
     return (1, 0) if spec.oracle is not None else (2, 0)
 

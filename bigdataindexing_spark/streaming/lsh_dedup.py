@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from bigdataindexing_spark.operators.dedup import (
     _JACCARD_SQL,
     _SHINGLE_SIG_SCHEMA,
-    _distinct_shingles,
+    _shingle_docs,
     _jaccard_pairs,
     _shingle_sig_batches,
     BAND_ROWS,
@@ -61,9 +61,10 @@ def _bucket_pairs(
     if state.exists:
         doc_ids, sigs = state.get
         doc_ids = [int(d) for d in doc_ids]
-        sig_mat = [list(s) for s in sigs]
+        sig_mat = np.asarray([list(s) for s in sigs], dtype=np.int64)
     else:
-        doc_ids, sig_mat = [], []
+        doc_ids = []
+        sig_mat = np.empty((0, 0), dtype=np.int64)
     rows: list[tuple[int, list[int]]] = []
     for pdf in pdfs:
         rows.extend(
@@ -71,16 +72,33 @@ def _bucket_pairs(
             for d, s in zip(pdf["doc_id"], pdf["sig"])
         )
     rows.sort(key=lambda r: r[0])  # deterministic arrival order per batch
+    if rows:
+        # ONE ndarray for the whole batch, appended to the bucket's
+        # existing matrix up front — each arrival's agreement check is
+        # then a single vectorized compare against a slice, instead of
+        # re-converting the (growing) member list per row: conversion
+        # cost per batch drops from O(members² · sig_len) to
+        # O(members · sig_len)
+        batch_mat = np.asarray([sig for _, sig in rows], dtype=np.int64)
+        full_mat = (
+            np.vstack([sig_mat, batch_mat])
+            if sig_mat.size
+            else batch_mat
+        )
+        n_existing = len(doc_ids)
+    else:
+        full_mat = sig_mat
+        n_existing = len(doc_ids)
     pairs: list[tuple[int, int]] = []
-    for did, sig in rows:
-        if doc_ids:
-            est = (np.asarray(sig_mat) == np.asarray(sig)).mean(axis=1)
+    for k, (did, _sig) in enumerate(rows):
+        n_members = n_existing + k
+        if n_members:
+            est = (full_mat[:n_members] == full_mat[n_members]).mean(axis=1)
             for j in np.nonzero(est >= EST_JACCARD_CUTOFF)[0]:
                 a, b = sorted((doc_ids[int(j)], did))
                 pairs.append((a, b))
         doc_ids.append(did)
-        sig_mat.append(sig)
-    state.update((doc_ids, sig_mat))
+    state.update((doc_ids, [list(map(int, r)) for r in full_mat]))
     yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 
 
@@ -127,4 +145,4 @@ def st9_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = run_available_now(
         stream_lsh_candidates(docs), output_mode="append"
     ).distinct()
-    return _jaccard_pairs(_distinct_shingles(spark, sf_dir), pairs=pairs)
+    return _jaccard_pairs(_shingle_docs(spark, sf_dir), pairs=pairs)

@@ -106,18 +106,27 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow scan out to the session's parallelism for CPU-heavy
-    per-row work (JSON parse, tokenize, vector math).
+def spread(df: DataFrame, heavy: bool = False) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism — ONLY for
+    genuinely CPU-bound per-byte work (``heavy=True``: the Arrow-batched
+    shingle/minhash pass).
 
     Parquet can only split across row groups, so a single-row-group file
-    (like the driver test data) scans as ONE task and everything before the
-    first shuffle serializes. Only repartitions when the source has fewer
-    files than cores — a properly laid-out big table passes through
-    untouched, so this never adds a shuffle at real scale. The file count
-    comes from the scan's FileIndex (``inputFiles``), not
-    ``df.rdd.getNumPartitions()``: probing ``.rdd`` converts the analyzed
-    plan to an RDD on every builder call, pure driver-side planning waste."""
+    (like the driver test data) scans as ONE task. Repartitioning to fix
+    that costs a full shuffle of the input, and measurement at sf0.1
+    showed it LOSES or ties for everything except the mapInPandas
+    signature pass (+0.3-0.4s per query on light aggregates, a wash for
+    JVM tokenize/md5 paths — the downstream shuffle already spreads the
+    work). Default is therefore a no-op passthrough that documents
+    intent; ``heavy=True`` restores the fan-out, and only when the
+    source has fewer files than cores — a properly laid-out big table
+    passes through untouched either way, so this never adds a shuffle at
+    real scale. The file count comes from the scan's FileIndex
+    (``inputFiles``), not ``df.rdd.getNumPartitions()``: probing ``.rdd``
+    converts the analyzed plan to an RDD on every builder call, pure
+    driver-side planning waste."""
+    if not heavy:
+        return df
     sc = df.sparkSession.sparkContext
     try:
         n_files = len(df.inputFiles())

@@ -80,3 +80,43 @@ def test_resize_rewrites_meta_passes_payload(media):
     row = resized.select("meta.width", "meta.height", "payload").first()
     assert (row["width"], row["height"]) == (224, 224)
     assert len(bytes(row["payload"])) > 0
+
+
+def test_decode_one_fake_path_byte_stats():
+    # direct unit check of the per-item codec dispatch (no Spark needed):
+    # a payload that is NOT a decodable image must yield byte statistics
+    # tagged with the fake decoder, whether or not Pillow is installed
+    from bigdataindexing_spark.operators.multimodal import _decode_one
+
+    row = _decode_one(7, b"\x01\x02\x03\x04")
+    assert row == (7, "fake-byte-stats", 4, 2.5, 1, 4)
+
+
+def test_decode_one_empty_payload():
+    from bigdataindexing_spark.operators.multimodal import _decode_one
+
+    assert _decode_one(1, b"") == (1, "fake-byte-stats", 0, 0.0, 0, 0)
+
+
+def test_decode_one_real_codec_path():
+    # only runs where Pillow exists: a real 2x2 PNG must take the PIL
+    # branch, report pixel stats, and keep n_bytes = payload length
+    import pytest
+
+    from bigdataindexing_spark.operators import multimodal as mm
+
+    if not mm._HAS_REAL_CODEC:
+        pytest.skip("Pillow not installed; real-codec path exercised only where it exists")
+    import io
+
+    import numpy as np
+
+    img = mm._PILImage.new("L", (2, 2))
+    img.putdata([0, 100, 200, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    doc_id, decoder, n_bytes, mean, mn, mx = mm._decode_one(9, payload)
+    assert (doc_id, decoder, n_bytes) == (9, "pil", len(payload))
+    assert (mn, mx) == (0, 255)
+    assert abs(mean - np.mean([0, 100, 200, 255])) < 1e-9

@@ -1,0 +1,117 @@
+"""Skew-mitigation contracts: salting must be a pure execution-plan change.
+
+The bench corpus has no hot join keys, so q96's salted path degenerates to
+the plain join by design — these tests force BOTH paths: a synthetic
+skewed relation exercises the actual (key, salt) fan-out, and the unskewed
+path is asserted to take the plain-join branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark import tables
+from bigdataindexing_spark.operators.skew import (
+    N_SALTS,
+    salted_agg,
+    salted_join,
+)
+
+
+def _cleanup():
+    tables.release_pinned()
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    ev = (
+        tables.table(spark, sf_dir, "events")
+        .withColumn("value", F.round("value", 4))
+    )
+    plain = {
+        r["event_type"]: (r["cnt"], r["sum_value"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10_000, 0).cast("long"))
+                / 10_000.0,
+                2,
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["cnt"], r["sum_value"])
+        for r in salted_agg(ev, "event_type", "value").collect()
+    }
+    assert salted == plain
+
+
+def _skewed_frames(spark):
+    # one hot key (0) with 5000 rows, 50 cold keys with 10 rows each
+    big = spark.range(5000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    ).union(
+        spark.range(500).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("payload")
+        )
+    )
+    small = spark.range(51).select(
+        F.col("id").alias("sk"), (F.col("id") * 100).alias("attr")
+    )
+    return big, small
+
+
+def test_salted_join_hot_path_matches_plain(spark):
+    big, small = _skewed_frames(spark)
+    plain = (
+        big.join(small, big.k == small.sk)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("attr").alias("s"))
+    )
+    expected = {r["k"]: (r["c"], r["s"]) for r in plain.collect()}
+    # hot_key_rows=100 -> the 5000-row key is detected hot (5% sample
+    # keeps ~250 of its rows, well over the 5-row sampled threshold)
+    joined = salted_join(big, small, "k", "sk", hot_key_rows=100)
+    got = {
+        r["k"]: (r["c"], r["s"])
+        for r in joined.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("attr").alias("s"))
+        .collect()
+    }
+    _cleanup()
+    assert got == expected
+
+
+def test_salted_join_detects_hot_key(spark):
+    big, _ = _skewed_frames(spark)
+    sampled = (
+        big.select(F.col("k").alias("__hk"))
+        .sample(False, 0.05, seed=7)
+        .groupBy("__hk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 5)
+        .collect()
+    )
+    assert [r["__hk"] for r in sampled] == [0]
+
+
+def test_salted_join_unskewed_takes_plain_branch(spark):
+    big, small = _skewed_frames(spark)
+    cold = big.filter(F.col("k") > 0)  # drop the hot key
+    joined = salted_join(cold, small, "k", "sk", hot_key_rows=100_000)
+    # plain branch: no __salt column ever enters the plan
+    assert "__salt" not in joined.columns
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "__salt" not in plan
+    assert joined.count() == cold.count()
+    _cleanup()
+
+
+def test_salted_join_salt_fanout_bounded(spark):
+    big, small = _skewed_frames(spark)
+    joined = salted_join(big, small, "k", "sk", hot_key_rows=100)
+    # fan-out must not duplicate or drop rows: exactly one match per big row
+    assert joined.count() == big.count()
+    assert N_SALTS > 1
+    _cleanup()

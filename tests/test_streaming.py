@@ -205,7 +205,7 @@ def test_stream_lsh_dedup_state_crosses_batches(spark, sf_dir, tmp_path):
     DIFFERENT micro-batches are still found (bucket state persists), and
     the multi-batch streamed result equals the batch near-dup result."""
     from bigdataindexing_spark.operators.dedup import (
-        _distinct_shingles,
+        _shingle_docs,
         _jaccard_pairs,
         dedup_minhash_lsh,
     )
@@ -231,7 +231,7 @@ def test_stream_lsh_dedup_state_crosses_batches(spark, sf_dir, tmp_path):
         stream_lsh_candidates(stream), output_mode="append"
     ).distinct()
     streamed = _jaccard_pairs(
-        _distinct_shingles(spark, sf_dir), pairs=pairs
+        _shingle_docs(spark, sf_dir), pairs=pairs
     ).collect()
     batch = dedup_minhash_lsh(spark, sf_dir).collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))

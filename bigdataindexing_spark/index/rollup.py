@@ -100,3 +100,45 @@ def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "q102_rollup_merge",
+    oracle="SELECT date_trunc('hour', ts) AS bucket, event_type, "
+    "COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value FROM events "
+    "GROUP BY bucket, event_type ORDER BY bucket, event_type",
+    tags=("rollup", "incremental"),
+    doc="Incremental rollup maintenance (the merge step of a continuous "
+    "aggregate): a base rollup built before a batch of late-arriving "
+    "events (every 20th event_id held out as the 'late' delta) is "
+    "combined with the delta's own hourly partial aggregate by summing "
+    "per-bucket counts and sums — additivity means the merge NEVER "
+    "re-reads raw history, which is the whole economics of maintaining "
+    "a 100 TB event store's rollups (same foldLeft the streaming "
+    "index-maintenance path applies per micro-batch). The oracle is the "
+    "hourly aggregate over ALL events: the merged partials must be "
+    "indistinguishable from a from-scratch build.",
+)
+def q102_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(table(spark, sf_dir, "events"))
+    late = F.col("event_id") % 20 == 0
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sv"),
+        )
+
+    base = hourly(ev.filter(~late))
+    delta = hourly(ev.filter(late))
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )

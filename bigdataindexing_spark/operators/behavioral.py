@@ -127,3 +127,50 @@ def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy("cohort", "day_offset")
     )
+
+
+@register(
+    "q103_event_pattern",
+    oracle="WITH seq AS (SELECT user_id, "
+    "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s "
+    "FROM events GROUP BY user_id) "
+    "SELECT user_id, CAST(len(regexp_extract_all(s, 'v[^p]*p')) AS BIGINT) "
+    "AS conversions, CAST(len(s) AS BIGINT) AS n_events "
+    "FROM seq ORDER BY user_id",
+    tags=("behavioral", "pattern"),
+    doc="Sequence pattern matching over per-user event streams (the "
+    "MATCH_RECOGNIZE shape): each user's events collapse — ordered by "
+    "(ts, event_id) for a total, engine-independent order — into a "
+    "string of event-type initials, and a regex counts non-overlapping "
+    "view-...-purchase conversion runs ('v[^p]*p': a view, anything but "
+    "a purchase, then the purchase that closes the run). Generalizes "
+    "the funnel (q70) from a fixed stage list to arbitrary regular "
+    "patterns. Plan: one shuffle on user_id, then row-local "
+    "array_sort + transform + regexp inside codegen; per-user state is "
+    "bounded by that user's activity, and at 100 TB the same plan runs "
+    "windowed by (user, day) to cap it.",
+)
+def q103_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(table(spark, sf_dir, "events")).select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda x: x["c"]
+            ),
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.size(F.regexp_extract_all("s", F.lit("v[^p]*p"), F.lit(0)))
+        .cast("long")
+        .alias("conversions"),
+        F.length("s").cast("long").alias("n_events"),
+    ).orderBy("user_id")

@@ -690,3 +690,43 @@ def q97_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_md5")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+WEIGHTED_SAMPLE_K = 50
+# 16^15 = 2^60: the md5-derived 60-bit hash maps to u in (0, 1)
+_U_DENOM = float(1 << 60)
+
+
+@register(
+    "q101_weighted_sample",
+    oracle="SELECT doc_id, lang, ROUND(POW("
+    f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+    f"/ {_U_DENOM}, 1.0 / LN(1 + n_chars)), 6) AS priority "
+    "FROM documents "
+    "ORDER BY priority DESC, doc_id "
+    f"LIMIT {WEIGHTED_SAMPLE_K}",
+    tags=("pipeline", "sampling"),
+    doc="Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): each document draws u from a reproducible hash of "
+    "its id (first 15 md5 hex chars -> u in (0,1)), gets priority "
+    "u^(1/w) with weight w = ln(1 + n_chars), and the top-K priorities "
+    "are the sample — longer documents are proportionally more likely "
+    "to survive, yet the draw is a pure function of the row, so any "
+    "engine, any partitioning, any run selects the SAME sample (the "
+    "property a reproducible training-data pipeline needs, and what "
+    "rand()-based sampling cannot give). Plan: row-local priority "
+    "expression + TakeOrderedAndProject — one scan, no shuffle beyond "
+    "the top-K combine, embarrassingly parallel at 100 TB.",
+)
+def q101_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(_U_DENOM)
+    w = F.log(F.lit(1) + F.col("n_chars"))
+    priority = F.round(F.pow(u, F.lit(1.0) / w), 6)
+    return (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )

@@ -248,3 +248,44 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.round(dup, 4).alias("dup2_frac")
     ).orderBy("doc_id")
+
+
+@register(
+    "q100_unigram_logprob",
+    oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
+    "AS w FROM documents), "
+    "tf AS (SELECT doc_id, w FROM tok WHERE w <> ''), "
+    "vocab AS (SELECT w, COUNT(*) AS cnt FROM tf GROUP BY w), "
+    "n AS (SELECT SUM(cnt) AS n FROM vocab) "
+    "SELECT doc_id, ROUND(AVG(-LN(cnt / n)), 4) AS nll "
+    "FROM tf JOIN vocab USING (w) CROSS JOIN n "
+    "GROUP BY doc_id ORDER BY doc_id",
+    tags=("text", "pipeline", "quality"),
+    doc="Corpus-LM quality score (CCNet-style perplexity proxy): train a "
+    "unigram language model on the corpus itself (token -> count / N) "
+    "and score every document by its mean negative log-likelihood. Low "
+    "nll = made of common words (fluent but possibly boilerplate), high "
+    "nll = rare-token soup (OCR noise, spam, wrong-language residue) — "
+    "the standard cheap stand-in for KenLM perplexity filtering in "
+    "pretraining pipelines. Plan: one tokenize scan feeds both the "
+    "vocab aggregate and the scoring join; the vocab (bounded by "
+    "vocabulary size, not corpus size — cap to top-V at 100 TB) "
+    "broadcasts to the scoring side, so the only real shuffle is the "
+    "per-document average.",
+)
+def q100_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = tf.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    nll = -F.log(F.col("cnt") / F.col("n"))
+    return (
+        tf.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(nll), 4).alias("nll"))
+        .orderBy("doc_id")
+    )

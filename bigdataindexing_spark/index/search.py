@@ -218,3 +218,108 @@ def idx_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t1.doc_id == t2.doc_id2) & (t2.p2 == t1.p1 + 1),
     )
     return hits.select("doc_id").distinct().orderBy("doc_id")
+
+
+# (applicationId, sf_dir) -> dir of the materialized search index: the
+# token-sorted term_rows/postings tables (index/build.write_index) plus a
+# doc-length sidecar and a 1-row corpus-stats table. This is the
+# reference's actual serving architecture — IndexingListener.java:23-45
+# maintains an Elasticsearch index asynchronously and queries hit the
+# INDEX, never raw documents; the inline build+search queries above keep
+# their end-to-end oracles, while the *_serve variants below read this
+# store the way a search tier reads ES.
+_SEARCH_INDEX_DIR: dict[tuple[str, str], str] = {}
+_SEARCH_INDEX_DF: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def search_index_table(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    from bigdataindexing_spark.functions.text import tokens
+    from bigdataindexing_spark.index.build import write_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SEARCH_INDEX_DIR.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bdi_search_idx_")
+        docs = spread(table(spark, sf_dir, "documents"))
+        write_index(docs, path)
+        lens = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+        lens.repartition(1).sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/doclens.parquet")
+        lens.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).write.mode("overwrite").parquet(f"{path}/stats.parquet")
+        _SEARCH_INDEX_DIR[key] = path
+    dfkey = key + (name,)
+    df = _SEARCH_INDEX_DF.get(dfkey)
+    if df is None:
+        df = spark.read.parquet(f"{path}/{name}.parquet")
+        _SEARCH_INDEX_DF[dfkey] = df
+    return df
+
+
+@register(
+    "idx_bm25_serve",
+    oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
+    "AS token FROM documents), "
+    "lens AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl "
+    "FROM documents), "
+    "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens), "
+    "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok "
+    "WHERE token IN ('spark', 'data') GROUP BY doc_id, token), "
+    "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok "
+    "WHERE token IN ('spark', 'data') GROUP BY token) "
+    "SELECT doc_id, ROUND(SUM("
+    "LN(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) "
+    f"* (tf.tf * ({BM25_K1} + 1)) "
+    f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * lens.dl / stats.avgdl))"
+    "), 4) AS score "
+    "FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN stats "
+    "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10",
+    tags=("index", "search", "serve"),
+    doc="BM25 served from the MATERIALIZED index (same scorer and oracle "
+    "as idx_bm25_search, which keeps the inline build-and-search "
+    "formulation): term_rows is written token-sorted, so the query-term "
+    "filter both pushes to the parquet scan and skips row groups — the "
+    "serve path touches only the query terms' postings, the doc-length "
+    "sidecar, and a broadcast 1-row stats table, never a raw document. "
+    "This is the reference's search tier: IndexingListener.java "
+    "maintains the ES index asynchronously and PlanController queries "
+    "hit the index alone. The oracle (raw-scan BM25) proves the served "
+    "index is consistent with the source of truth.",
+)
+def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["spark", "data"]
+    rows = search_index_table(spark, sf_dir, "term_rows").filter(
+        F.col("token").isin(terms)
+    )
+    lens = search_index_table(spark, sf_dir, "doclens")
+    stats = search_index_table(spark, sf_dir, "stats")
+    dfreq = rows.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        rows.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * (BM25_K1 + 1)) / norm).alias("w"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -134,6 +134,8 @@ _R03_RECHECK = (
     "dedup_cluster_cc",       # CC loop now iterates to convergence
     "sim_semantic_clusters",  # same CC loop change
     "dedup_simhash",          # perf work this round
+    "dedup_simhash_banded",   # banded stage now reads the SimHash store
+    "q22_json_extract",       # from_json single-parse + pre-sort exchange
     "mm_decode_stats",        # real PIL decode path added behind the gate
     "idx_term_lookup",        # representative for the spread() no-op
 )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import presort_barrier, spread, table
 
 # Codec gate: Pillow is the real image decoder when importable (this
 # container ships without it — the deterministic byte-stats fake is the
@@ -275,8 +275,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 200)
     feats = extract_features(media)
-    return feats.select(
-        "doc_id", F.round(F.element_at("features", 1), 4).alias("bin0")
+    return presort_barrier(
+        feats.select(
+            "doc_id", F.round(F.element_at("features", 1), 4).alias("bin0")
+        ),
+        "doc_id",
     ).orderBy("doc_id")
 
 
@@ -290,4 +293,6 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 100)
-    return decode_image(media).select("doc_id", "n_bytes").orderBy("doc_id")
+    return presort_barrier(
+        decode_image(media).select("doc_id", "n_bytes"), "doc_id"
+    ).orderBy("doc_id")

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.functions.text import tokens, word_shingles
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import presort_barrier, spread, table
 
 # Marker stopwords per language for the n-gram/keyword language-ID heuristic.
 LANG_MARKERS = {
@@ -63,7 +63,7 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    return (
+    return presort_barrier(
         spread(table(spark, sf_dir, "documents"), heavy=True)
         .select("doc_id", tokens("text").alias("t"))
         .select(
@@ -75,9 +75,9 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.least(n / 100.0, F.lit(1.0)) * (nd * 1.0 / n), 4).alias(
                 "quality"
             ),
-        )
-        .orderBy("doc_id")
-    )
+        ),
+        "doc_id",
+    ).orderBy("doc_id")
 
 
 def _langid_oracle() -> str:
@@ -245,8 +245,8 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.get("t", i), F.get("t", i + 1)),
     )
     dup = F.lit(1) - F.size(F.array_distinct(grams)) / F.size(grams)
-    return d.select(
-        "doc_id", F.round(dup, 4).alias("dup2_frac")
+    return presort_barrier(
+        d.select("doc_id", F.round(dup, 4).alias("dup2_frac")), "doc_id"
     ).orderBy("doc_id")
 
 

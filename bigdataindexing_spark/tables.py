@@ -137,6 +137,23 @@ def spread(df: DataFrame, heavy: bool = False) -> DataFrame:
     return df
 
 
+def presort_barrier(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash exchange inserted between an expensive narrow pipeline and a
+    global ORDER BY.
+
+    Range-sort preparation SAMPLES its child to compute partition
+    bounds; when the sort sits directly on a costly no-shuffle stage
+    (tokenize/regex array math, an Arrow Python stage), that sampling
+    pass re-executes the stage a second time — measured ~250ms extra on
+    txt_repetition at sf0.1 and a full second Python round-trip on
+    mapInPandas outputs. Shuffling the (small, already-projected) result
+    first makes the sampler re-read shuffle bytes instead. Only worth it
+    when the pre-sort stage dominates one extra small exchange; queries
+    whose sort already sits above an aggregate/join exchange don't need
+    it (the sampler re-reads that shuffle's output)."""
+    return df.repartition(*[F.col(c) for c in cols])
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -137,7 +137,6 @@ _R03_RECHECK = (
     "dedup_simhash_banded",   # banded stage now reads the SimHash store
     "q22_json_extract",       # from_json single-parse + pre-sort exchange
     "mm_decode_stats",        # real PIL decode path added behind the gate
-    "idx_term_lookup",        # representative for the spread() no-op
 )
 
 _PIN_POS = {n: i for i, n in enumerate(_R03_PRIORITY + _R03_RECHECK)}

@@ -209,3 +209,41 @@ def st8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("view_id", "purchase_id", "user_id").orderBy(
         "view_id", "purchase_id"
     )
+
+
+@register(
+    "st10_stream_static_enrich",
+    oracle="SELECT c_mktsegment AS segment, COUNT(*) AS cnt, "
+    "ROUND(SUM(value), 4) AS sum_value "
+    "FROM events JOIN customer ON c_custkey = user_id "
+    "GROUP BY segment ORDER BY segment",
+    tags=("streaming", "join"),
+    bench=False,
+    doc="ST: stream-static dimension enrichment — the standard streaming "
+    "pattern the stream-stream join (st8) does NOT cover: each event "
+    "micro-batch joins a STATIC dimension (customer profile keyed by "
+    "user_id) via broadcast, so enrichment is stateless — no watermark, "
+    "no state store, the dimension rebroadcasts per batch and can be "
+    "swapped under a running query (how a 100 TB pipeline attaches "
+    "slowly-changing reference data to a firehose). Aggregated by "
+    "market segment in complete mode; must equal the batch join "
+    "(the oracle).",
+)
+def st10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table
+
+    events = stream_table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    result = run_available_now(agg, output_mode="complete")
+    return result.select(
+        F.col("c_mktsegment").alias("segment"), "cnt", "sum_value"
+    ).orderBy("segment")

@@ -269,3 +269,28 @@ def test_tpch_q16_null_aware_anti_join(plan):
     # anti hash join with the tiny supplier side broadcast.
     p = plan("q88_sql_tpch_q16")
     assert "LeftAnti" in p
+
+
+def test_weighted_sample_is_take_ordered(plan):
+    # A-ES top-K must plan as TakeOrderedAndProject (per-partition top-K
+    # + tiny driver combine), never a global range sort
+    p = plan("q101_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bm25_serve_pushes_terms_into_index_scan(plan):
+    # the served index must prune to the query terms at the parquet scan
+    # (token-sorted store -> pushed In filter + row-group skipping)
+    p = plan("idx_bm25_serve")
+    assert "In(token, [data,spark])" in p or "In(token, [spark,data])" in p
+    # raw documents are never scanned on the serve path
+    assert "documents.parquet" not in p
+
+
+def test_unigram_logprob_broadcasts_vocab(plan):
+    # the vocab and the 1-row total must broadcast to the scoring join —
+    # a shuffle join against the corpus-sized token relation would be the
+    # scale killer
+    p = plan("q100_unigram_logprob")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total cross join

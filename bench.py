@@ -198,7 +198,10 @@ def main() -> None:
 
 def _index_build_bench(spark, sf_dir: str) -> dict:
     """Wall-clock for the full inverted-index build (term_rows + postings
-    written to Parquet) on both engines at the benched sf."""
+    written to Parquet) on both engines at the benched sf — best of two
+    runs each, the same policy the per-query timings use (a single cold
+    Spark run pays one-time codegen/committer costs the steady-state
+    build never sees)."""
     import shutil
     import tempfile
 
@@ -209,40 +212,44 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
 
     docs = spread(table(spark, sf_dir, "documents"))
     n_docs = docs.count()
-    out_dir = tempfile.mkdtemp(prefix="bdi_index_bench_")
-    try:
-        t0 = time.perf_counter()
-        write_index(docs, out_dir)
-        spark_sec = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    spark_sec = float("inf")
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="bdi_index_bench_")
+        try:
+            t0 = time.perf_counter()
+            write_index(docs, out_dir)
+            spark_sec = min(spark_sec, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
-    duck_dir = tempfile.mkdtemp(prefix="bdi_index_duck_")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    try:
-        t0 = time.perf_counter()
-        con.execute(
-            "COPY (SELECT token, doc_id, COUNT(*) AS tf FROM ("
-            "SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token "
-            "FROM documents) WHERE token <> '' GROUP BY token, doc_id "
-            "ORDER BY token) TO "
-            f"'{duck_dir}/term_rows.parquet' (FORMAT PARQUET)"
-        )
-        con.execute(
-            "COPY (SELECT token, COUNT(*) AS df, "
-            "list_sort(list(doc_id)) AS doc_ids FROM ("
-            "SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) "
-            "AS token FROM documents) WHERE token <> '' GROUP BY token "
-            "ORDER BY token) TO "
-            f"'{duck_dir}/postings.parquet' (FORMAT PARQUET)"
-        )
-        duck_sec = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(duck_dir, ignore_errors=True)
+    duck_sec = float("inf")
+    for _ in range(2):
+        duck_dir = tempfile.mkdtemp(prefix="bdi_index_duck_")
+        try:
+            t0 = time.perf_counter()
+            con.execute(
+                "COPY (SELECT token, doc_id, COUNT(*) AS tf FROM ("
+                "SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token "
+                "FROM documents) WHERE token <> '' GROUP BY token, doc_id "
+                "ORDER BY token) TO "
+                f"'{duck_dir}/term_rows.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                "COPY (SELECT token, COUNT(*) AS df, "
+                "list_sort(list(doc_id)) AS doc_ids FROM ("
+                "SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) "
+                "AS token FROM documents) WHERE token <> '' GROUP BY token "
+                "ORDER BY token) TO "
+                f"'{duck_dir}/postings.parquet' (FORMAT PARQUET)"
+            )
+            duck_sec = min(duck_sec, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(duck_dir, ignore_errors=True)
     return {
         "docs": n_docs,
         "spark_sec": round(spark_sec, 4),

@@ -597,45 +597,36 @@ _PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
     + " ORDER BY col",
     tags=("pipeline", "profiling"),
     doc="Dataset profiling (ANALYZE-style column statistics): null count, "
-    "exact distinct count, and min/max for every numeric fact column in "
-    "ONE scan. The columns unpivot to (col, value) long form inside the "
-    "scan stage, then a two-stage aggregate: groupBy(col, value) with "
-    "map-side combine collapses duplicates before the only full shuffle, "
-    "and the per-col rollup (ndv = surviving rows, nulls/min/max ride "
-    "along) is tiny. This replaces a 4-way multi-count-distinct, which "
-    "Catalyst plans as a 5x Expand of every row into a single monster "
-    "hash aggregate — the long-form two-stage shape is both smaller "
-    "(4x rows, deduped map-side) and skew-free. The duckdb oracle "
-    "expresses the same result as a UNION ALL of per-column aggregates.",
+    "exact distinct count, and min/max for every numeric fact column — "
+    "one independent two-stage aggregate per column, unioned. Each "
+    "branch's parquet scan prunes to its single column (columnar IO: "
+    "4 one-column scans read the same bytes as 1 four-column scan) and "
+    "its count-distinct shuffles only that column's survivors after "
+    "map-side partial dedup, so the per-column branches parallelize "
+    "independently and a single high-cardinality column (here "
+    "l_extendedprice, ~97% distinct) can't serialize the others behind "
+    "one monster hash aggregate. Measured faster than both the "
+    "long-form (col, value) unpivot and Catalyst's 5x-Expand "
+    "multi-count-distinct at sf0.1. The duckdb oracle is the same "
+    "UNION ALL of per-column aggregates.",
 )
 def q95_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    lf = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col"),
-                        F.col(c).cast("double").alias("v"),
-                    )
-                    for c in _PROFILE_COLS
-                ]
-            )
-        ).alias("p")
-    ).select("p.col", "p.v")
-    per_value = lf.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        per_value.groupBy("col")
+    parts = [
+        li.groupBy()
         .agg(
-            F.sum(
-                F.when(F.col("v").isNull(), F.col("c")).otherwise(F.lit(0))
-            ).alias("nulls"),
-            F.count("v").alias("ndv"),
-            F.round(F.min("v"), 4).alias("min_v"),
-            F.round(F.max("v"), 4).alias("max_v"),
+            (F.count(F.lit(1)) - F.count(c)).alias("nulls"),
+            F.count_distinct(F.col(c)).alias("ndv"),
+            F.round(F.min(F.col(c).cast("double")), 4).alias("min_v"),
+            F.round(F.max(F.col(c).cast("double")), 4).alias("max_v"),
         )
-        .orderBy("col")
-    )
+        .select(F.lit(c).alias("col"), "nulls", "ndv", "min_v", "max_v")
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")
 
 
 CHUNK_TOKENS = 64

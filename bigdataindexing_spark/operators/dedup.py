@@ -640,3 +640,59 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+CONTAINMENT_TAU = 0.5
+
+
+@register(
+    "q104_containment_pairs",
+    oracle=_SHINGLE_SQL
+    + "SELECT da AS doc_a, db AS doc_b, "
+    "ROUND(i * 1.0 / sa.n, 4) AS cont_ab, "
+    "ROUND(i * 1.0 / sb.n, 4) AS cont_ba "
+    "FROM inter JOIN sizes sa ON sa.doc_id = da "
+    "JOIN sizes sb ON sb.doc_id = db "
+    f"WHERE i * 1.0 / sa.n >= {CONTAINMENT_TAU} "
+    f"OR i * 1.0 / sb.n >= {CONTAINMENT_TAU} "
+    "ORDER BY doc_a, doc_b",
+    tags=("dedup", "decontamination"),
+    doc="Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A| "
+    "over 3-gram shingles, both directions, flagged when either side is "
+    ">= 0.5-contained. This is the metric symmetric Jaccard structurally "
+    "misses: a benchmark document pasted inside a much larger training "
+    "document has tiny J (the union is huge) but containment ~1 — the "
+    "case decontamination and quote/boilerplate detection actually need. "
+    "Reads the corpus signature store; candidates come from the exact "
+    "shingle equi-join (recall 1 — any pair with C > 0 shares a "
+    "shingle), intersection sizes from one grouped count, per-side "
+    "sizes row-local from the stored arrays. Oracle: the same math over "
+    "shingle strings in SQL.",
+)
+def q104_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_sh = shingle_sig_store(spark, sf_dir).select("doc_id", "shingles")
+    sizes = docs_sh.select("doc_id", F.size("shingles").alias("n"))
+    u = docs_sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = u.select(F.col("doc_id").alias("doc_a"), "s")
+    b = u.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (a.s == b.s_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c_ab = F.col("i") * 1.0 / F.col("na")
+    c_ba = F.col("i") * 1.0 / F.col("nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((c_ab >= CONTAINMENT_TAU) | (c_ba >= CONTAINMENT_TAU))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 4).alias("cont_ab"),
+            F.round(c_ba, 4).alias("cont_ba"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -289,3 +289,49 @@ def q100_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(nll), 4).alias("nll"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q105_lang_top_bigrams",
+    oracle="WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') "
+    "AS t FROM documents), "
+    "g AS (SELECT lang, UNNEST(list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks WHERE len(t) >= 2), "
+    "c AS (SELECT lang, bg, COUNT(*) AS cnt FROM g GROUP BY lang, bg), "
+    "r AS (SELECT lang, bg, cnt, ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY cnt DESC, bg) AS rk FROM c) "
+    "SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5 ORDER BY lang, rk",
+    tags=("text", "pipeline", "corpus-stats"),
+    doc="Per-language top-5 word bigrams — the corpus statistic a "
+    "tokenizer-training / merge-rule-induction step starts from, and "
+    "the per-stratum heavy-hitter shape generally. Bigrams are "
+    "row-local array math; the count is a two-stage (lang, bigram) "
+    "aggregate with map-side combine; the top-5 is a rank window "
+    "PARTITIONED BY lang (cnt DESC with bigram tie-break for "
+    "determinism), so no global sort ever sees the full bigram "
+    "relation — at 100 TB each language's rank stage only handles its "
+    "own distinct bigrams.",
+)
+def q105_lang_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("lang", tokens("text").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.get("t", i), F.get("t", i + 1)),
+    )
+    counts = (
+        d.select("lang", F.explode(grams).alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bg")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )

@@ -837,3 +837,83 @@ def q94_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "p_partkey")
         .limit(5)
     )
+
+
+@register(
+    "q106_full_outer_reconcile",
+    oracle="WITH p AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS purchases "
+    "FROM events WHERE event_type = 'purchase' AND user_id <= 40 GROUP BY day), "
+    "s AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS signups "
+    "FROM events WHERE event_type = 'signup' AND user_id <= 40 GROUP BY day) "
+    "SELECT COALESCE(p.day, s.day) AS day, p.purchases, s.signups "
+    "FROM p FULL JOIN s ON p.day = s.day ORDER BY day",
+    tags=("join", "set-op"),
+    doc="Full-outer reconciliation: daily purchase totals against daily "
+    "signup totals, keeping days present on either side with NULLs "
+    "marking the gaps — the symmetric-difference report shape every "
+    "two-system reconciliation (source-vs-index, yesterday-vs-today "
+    "snapshot) reduces to, and the declared-query face of the full_outer "
+    "join the document merge/round-trip machinery (documents/merge.py:71, "
+    "documents/contracts.py:61) already runs internally. Both inputs "
+    "aggregate before the join, so the full-outer matches tiny per-day "
+    "relations, never raw events.",
+)
+def q106_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    day = F.col("ts").cast("date").alias("day")
+
+    def daily(etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(day)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    p = daily("purchase", "purchases")
+    s = daily("signup", "signups").withColumnRenamed("day", "s_day")
+    return (
+        p.join(s, p.day == s.s_day, "full_outer")
+        .select(
+            F.coalesce(p.day, F.col("s_day")).alias("day"),
+            "purchases",
+            "signups",
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q107_range_frame_agg",
+    oracle="SELECT event_id, user_id, ROUND(SUM(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) "
+    "AS w_sum FROM events WHERE user_id <= 10 ORDER BY event_id",
+    tags=("window-frame",),
+    doc="Time-valued RANGE window frame: for every event, the sum of "
+    "`value` over that user's trailing 1-hour window — the rolling "
+    "time-bounded aggregate (rate limiting, trailing spend, anomaly "
+    "baselines) that ROWS frames cannot express when events are "
+    "irregularly spaced. Spark's rangeBetween needs a numeric ordering "
+    "key, so ts orders as epoch seconds with a [-3600, 0] frame — "
+    "identical semantics to the oracle's INTERVAL frame, including tied "
+    "timestamps (RANGE includes all peers, so the result is "
+    "deterministic under any within-tie order). One shuffle on user_id.",
+)
+def q107_range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 10)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 4).alias("w_sum"),
+        )
+        .orderBy("event_id")
+    )

@@ -144,7 +144,13 @@ _R03_RECHECK = (
 # consciously queued for the NEXT round's window (below) rather than
 # silently spilling past the cap. Both remain covered by the committed
 # three-sf self-sweeps.
-_R03_DEFER = frozenset({"q105_lang_top_bigrams"})
+_R03_DEFER = frozenset(
+    {
+        "q105_lang_top_bigrams",
+        "q106_full_outer_reconcile",
+        "q107_range_frame_agg",
+    }
+)
 
 _PIN_POS = {n: i for i, n in enumerate(_R03_PRIORITY + _R03_RECHECK)}
 

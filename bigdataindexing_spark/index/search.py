@@ -323,3 +323,48 @@ def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "idx_store_freshness",
+    oracle="SELECT 'postings' AS tbl, CAST(0 AS BIGINT) AS drift_rows "
+    "UNION ALL SELECT 'term_rows', CAST(0 AS BIGINT) ORDER BY tbl",
+    tags=("index", "serve", "ops"),
+    doc="Anti-entropy check between the SERVED index store and the source "
+    "of truth: recompute both index relations from raw documents and "
+    "count rows that differ from the materialized store in either "
+    "direction (symmetric difference via two anti-joins per table). The "
+    "oracle asserts the invariant itself — drift must be exactly zero — "
+    "so any staleness, partial write, or build/serve divergence "
+    "(index/build.py refactors, store-dir corruption) turns into a hash "
+    "mismatch. This is the consistency audit an async-maintained search "
+    "tier (the reference's listener-fed Elasticsearch) runs to prove "
+    "the index still reflects the corpus; at 100 TB the same plan runs "
+    "per token-range partition.",
+)
+def idx_store_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.index.build import postings_from_rows
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    fresh_rows = term_rows(docs)
+    fresh_post = postings_from_rows(fresh_rows)
+    stored_rows = search_index_table(spark, sf_dir, "term_rows")
+    stored_post = search_index_table(spark, sf_dir, "postings").select(
+        "token", "df", "doc_ids"
+    )
+
+    def drift(a: DataFrame, b: DataFrame, cols: list[str]) -> DataFrame:
+        return a.join(b, cols, "left_anti").unionByName(
+            b.join(a, cols, "left_anti")
+        )
+
+    d_rows = drift(
+        fresh_rows, stored_rows.select("token", "doc_id", "tf"),
+        ["token", "doc_id", "tf"],
+    ).agg(F.count(F.lit(1)).alias("drift_rows")).select(
+        F.lit("term_rows").alias("tbl"), "drift_rows"
+    )
+    d_post = drift(fresh_post, stored_post, ["token", "df", "doc_ids"]).agg(
+        F.count(F.lit(1)).alias("drift_rows")
+    ).select(F.lit("postings").alias("tbl"), "drift_rows")
+    return d_post.unionByName(d_rows).orderBy("tbl")

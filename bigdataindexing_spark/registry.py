@@ -149,6 +149,7 @@ _R03_DEFER = frozenset(
         "q105_lang_top_bigrams",
         "q106_full_outer_reconcile",
         "q107_range_frame_agg",
+        "idx_store_freshness",
     }
 )
 

@@ -83,3 +83,35 @@ def test_event_pattern_counts_conversion_runs(spark, sf_dir):
         .collect()
     }
     assert all(r.conversions <= purchases.get(r.user_id, 0) for r in out)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    # For any doc pair, max-side containment >= Jaccard (|A∩B|/min-ish
+    # denominator vs union denominator) — every Jaccard-flagged pair must
+    # appear containment-flagged at a threshold <= its J value
+    from bigdataindexing_spark.registry import queries
+
+    qs = queries()
+    jac = {
+        (r.doc_a, r.doc_b): r.jac
+        for r in qs["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): max(r.cont_ab, r.cont_ba)
+        for r in qs["q104_containment_pairs"](spark, sf_dir).collect()
+    }
+    for pair, j in jac.items():
+        # union >= either set size, so max containment >= jaccard;
+        # any pair at J >= 0.5 must therefore be in the containment set
+        if j >= 0.5:
+            assert pair in cont and cont[pair] >= j
+
+
+def test_store_freshness_reports_zero_drift(spark, sf_dir):
+    from bigdataindexing_spark.registry import queries
+
+    rows = queries()["idx_store_freshness"](spark, sf_dir).collect()
+    assert {r.tbl: r.drift_rows for r in rows} == {
+        "postings": 0,
+        "term_rows": 0,
+    }

@@ -330,6 +330,8 @@ def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT 'postings' AS tbl, CAST(0 AS BIGINT) AS drift_rows "
     "UNION ALL SELECT 'term_rows', CAST(0 AS BIGINT) ORDER BY tbl",
     tags=("index", "serve", "ops"),
+    bench=False,  # ops audit; its oracle asserts an invariant, not
+    # equivalent work — a duckdb-vs-Spark ratio would be meaningless
     doc="Anti-entropy check between the SERVED index store and the source "
     "of truth: recompute both index relations from raw documents and "
     "count rows that differ from the materialized store in either "

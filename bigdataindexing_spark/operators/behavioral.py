@@ -174,3 +174,48 @@ def q103_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conversions"),
         F.length("s").cast("long").alias("n_events"),
     ).orderBy("user_id")
+
+
+@register(
+    "q108_event_transitions",
+    oracle="WITH seq AS (SELECT user_id, event_type, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_type FROM events), "
+    "c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt "
+    "FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type) "
+    "SELECT prev_type, next_type, cnt, "
+    "ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY prev_type), 4) AS p "
+    "FROM c ORDER BY prev_type, next_type",
+    tags=("behavioral", "pattern"),
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: lag each user's (ts, event_id)-ordered events one step, "
+    "count (prev, next) pairs, and normalize rows into transition "
+    "probabilities — the statistic behind next-action prediction, "
+    "anomaly scoring (improbable transitions), and funnel discovery "
+    "(vs q70's fixed stage list). One shuffle on user_id for the lag, "
+    "then the count collapses to |types|^2 rows, so the normalizing "
+    "window runs on a constant-size relation at any corpus scale.",
+)
+def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        spread(table(spark, sf_dir, "events"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(norm), 4).alias("p"),
+    ).orderBy("prev_type", "next_type")

@@ -721,3 +721,41 @@ def q101_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+@register(
+    "q109_length_quartiles",
+    oracle="WITH q AS (SELECT lang, n_chars, NTILE(4) OVER ("
+    "PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile "
+    "FROM documents) "
+    "SELECT lang, quartile, COUNT(*) AS n_docs, "
+    "ROUND(AVG(n_chars), 4) AS avg_chars, "
+    "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+    "FROM q GROUP BY lang, quartile ORDER BY lang, quartile",
+    tags=("pipeline", "sampling"),
+    doc="Per-language document-length quartile bands: NTILE(4) over a "
+    "total (n_chars, doc_id) order within each language, summarized per "
+    "band — the stratification step behind length-balanced batch "
+    "mixing, curriculum schedules, and per-stratum quota sampling. The "
+    "ntile partitions by lang (never global — q47's global-ntile "
+    "anti-pattern is documented on q54), the tie-break makes band "
+    "assignment engine-independent, and the band summary is a "
+    "constant-size output at any corpus scale.",
+)
+def q109_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    q = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("lang", "n_chars", "doc_id")
+        .withColumn("quartile", F.ntile(4).over(w))
+    )
+    return (
+        q.groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "quartile")
+    )

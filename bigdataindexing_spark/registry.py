@@ -150,6 +150,8 @@ _R03_DEFER = frozenset(
         "q106_full_outer_reconcile",
         "q107_range_frame_agg",
         "idx_store_freshness",
+        "q108_event_transitions",
+        "q109_length_quartiles",
     }
 )
 

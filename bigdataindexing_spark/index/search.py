@@ -370,3 +370,51 @@ def idx_store_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("drift_rows")
     ).select(F.lit("postings").alias("tbl"), "drift_rows")
     return d_post.unionByName(d_rows).orderBy("tbl")
+
+
+@register(
+    "txt_keywords",
+    oracle="WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ("
+    "SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token "
+    "FROM documents) WHERE token <> '' GROUP BY doc_id, token), "
+    "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token), "
+    "n AS (SELECT COUNT(*) AS n FROM documents), "
+    "s AS (SELECT doc_id, token, tf * LN(n.n * 1.0 / df.df) AS w "
+    "FROM tf JOIN df USING (token) CROSS JOIN n WHERE doc_id <= 100), "
+    "r AS (SELECT doc_id, token, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY w DESC, token) AS rk FROM s) "
+    "SELECT doc_id, token AS keyword, rk FROM r WHERE rk <= 3 "
+    "ORDER BY doc_id, rk",
+    tags=("text", "index", "enrichment"),
+    doc="Per-document keyword extraction: top-3 tokens by TF-IDF weight "
+    "(corpus df from the full term relation, ln(N/df) idf, token "
+    "tie-break) — the enrichment step that turns raw documents into "
+    "tagged/search-facetable records, inverse of idx_tfidf_search's "
+    "query-side ranking. The df weights are vocabulary-sized and "
+    "broadcast; the per-doc rank window partitions by doc_id, so "
+    "nothing global touches the corpus-sized relation. Ranks (not raw "
+    "float weights) are compared cross-engine, so the oracle is immune "
+    "to last-ulp float differences except at exact ties, which the "
+    "token tie-break resolves.",
+)
+def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    rows = term_rows(docs)
+    dfreq = rows.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
+    scored = (
+        rows.filter(F.col("doc_id") <= 100)
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", w.alias("w"))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("token").alias("keyword"), "rk")
+        .orderBy("doc_id", "rk")
+    )

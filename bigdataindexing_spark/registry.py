@@ -152,6 +152,7 @@ _R03_DEFER = frozenset(
         "idx_store_freshness",
         "q108_event_transitions",
         "q109_length_quartiles",
+        "txt_keywords",
     }
 )
 

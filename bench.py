@@ -94,6 +94,12 @@ def main() -> None:
         # queries at sf0.1. Results are identical either way; on a real
         # cluster the session default (AQE on, session.py) governs.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # one scan task per ingest-re-chunked file (tables._ingest_path):
+        # with maxPartitionBytes <= openCostInBytes the bin-packer stops
+        # packing chunk files back into a single task. Only sane when the
+        # per-file payload is tiny (it is: <=1MB chunks at sf<=0.1); real
+        # deployments keep the 128MB default.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     _warmup(spark, sf_dir)
 
     # Each query is timed in THREE full passes over the whole suite (fresh

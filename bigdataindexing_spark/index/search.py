@@ -390,20 +390,26 @@ def idx_store_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(corpus df from the full term relation, ln(N/df) idf, token "
     "tie-break) — the enrichment step that turns raw documents into "
     "tagged/search-facetable records, inverse of idx_tfidf_search's "
-    "query-side ranking. The df weights are vocabulary-sized and "
-    "broadcast; the per-doc rank window partitions by doc_id, so "
-    "nothing global touches the corpus-sized relation. Ranks (not raw "
-    "float weights) are compared cross-engine, so the oracle is immune "
-    "to last-ulp float differences except at exact ties, which the "
-    "token tie-break resolves.",
+    "query-side ranking. Corpus-wide statistics (per-token df, N) are "
+    "SERVED from the materialized index store (search_index_table, the "
+    "same tier idx_bm25_serve reads — the reference's async-maintained "
+    "ES index): the enrichment query touches only the target documents' "
+    "term rows plus the vocabulary-sized df table (broadcast) and the "
+    "1-row stats table, never re-tokenizing the corpus. The per-doc "
+    "rank window partitions by doc_id, so nothing global touches the "
+    "corpus-sized relation. Ranks (not raw float weights) are compared "
+    "cross-engine, so the oracle is immune to last-ulp float "
+    "differences except at exact ties, which the token tie-break "
+    "resolves.",
 )
 def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = spread(table(spark, sf_dir, "documents"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    rows = term_rows(docs)
-    dfreq = rows.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = search_index_table(spark, sf_dir, "stats").select("n_docs")
+    dfreq = search_index_table(spark, sf_dir, "postings").select(
+        "token", "df"
+    )
+    rows = search_index_table(spark, sf_dir, "term_rows")
     w = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
     scored = (
         rows.filter(F.col("doc_id") <= 100)

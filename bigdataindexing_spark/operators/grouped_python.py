@@ -41,10 +41,17 @@ def geomean(v: pd.Series) -> float:
     "inside groupBy().agg — the UDAF path (Arrow batch per group, partial "
     "aggregation unavailable so the group's values shuffle to one reducer; "
     "acceptable for bounded-cardinality keys — for high-cardinality keys "
-    "use the partial-aggregable form, q55_geomean_partial_agg).",
+    "use the partial-aggregable form, q55_geomean_partial_agg). Only "
+    "(event_type, value) are projected before the shuffle: every other "
+    "column (including the wide props JSON string) would otherwise ride "
+    "the exchange and the Arrow transfer into the Python worker.",
 )
 def q42_grouped_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spread(table(spark, sf_dir, "events")).filter(F.col("value") > 0)
+    ev = (
+        spread(table(spark, sf_dir, "events"))
+        .filter(F.col("value") > 0)
+        .select("event_type", "value")
+    )
     return (
         ev.groupBy("event_type")
         .agg(F.round(geomean("value"), 4).alias("geo"))
@@ -92,13 +99,19 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     tags=("window-agg", "pandas-udf"),
     doc="U2 applyInPandas: per-group full-frame transform (z-score within "
     "event_type) — one shuffle on the group key, pandas frame per group; "
-    "the oracle is the equivalent windowed-aggregate SQL.",
+    "the oracle is the equivalent windowed-aggregate SQL. The final sort "
+    "sits behind a presort barrier so the range-sort sampling pass "
+    "re-reads a small exchange instead of re-running the Python stage.",
 )
 def q43_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import presort_barrier
+
     ev = spread(table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )
     z = ev.groupBy("event_type").applyInPandas(
         _zscore, "event_id BIGINT, event_type STRING, z DOUBLE"
     )
-    return z.filter(F.col("event_id") < 500).orderBy("event_id")
+    return presort_barrier(
+        z.filter(F.col("event_id") < 500), "event_id"
+    ).orderBy("event_id")

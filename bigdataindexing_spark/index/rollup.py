@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 
 def build_hourly_rollup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -98,7 +98,7 @@ def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("cnt"),
             F.round(F.sum("sum_value"), 2).alias("sum_value"),
         )
-        .orderBy("day", "event_type")
+        .transform(lambda d: bounded_sort(d, "day", "event_type"))
     )
 
 
@@ -140,5 +140,5 @@ def q102_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("cnt"),
             F.round(F.sum("sv"), 4).alias("sum_value"),
         )
-        .orderBy("bucket", "event_type")
+        .transform(lambda d: bounded_sort(d, "bucket", "event_type"))
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.index.build import term_rows
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 
 @register(
@@ -28,7 +28,9 @@ from bigdataindexing_spark.tables import spread, table
 def idx_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = term_rows(spread(table(spark, sf_dir, "documents")))
     return (
-        rows.filter(F.col("token") == "spark").select("doc_id").orderBy("doc_id")
+        rows.filter(F.col("token") == "spark")
+        .select("doc_id")
+        .transform(lambda d: bounded_sort(d, "doc_id", barrier=True))
     )
 
 
@@ -422,5 +424,5 @@ def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("token").alias("keyword"), "rk")
-        .orderBy("doc_id", "rk")
+        .transform(lambda d: bounded_sort(d, "doc_id", "rk"))
     )

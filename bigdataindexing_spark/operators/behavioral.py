@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 _FUNNEL_SQL = """
 WITH s1 AS (
@@ -125,7 +125,7 @@ def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort", "day_offset")
         .agg(F.count(F.lit(1)).alias("users"))
-        .orderBy("cohort", "day_offset")
+        .transform(lambda d: bounded_sort(d, "cohort", "day_offset"))
     )
 
 
@@ -218,4 +218,6 @@ def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         "cnt",
         F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(norm), 4).alias("p"),
-    ).orderBy("prev_type", "next_type")
+    ).transform(
+        lambda d: bounded_sort(d, "prev_type", "next_type", barrier=True)
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 
 @F.pandas_udf(T.DoubleType())
@@ -55,7 +55,7 @@ def q42_grouped_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.round(geomean("value"), 4).alias("geo"))
-        .orderBy("event_type")
+        .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
 
@@ -77,7 +77,7 @@ def q55_geomean_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.round(F.exp(F.avg(F.log("value"))), 4).alias("geo"))
-        .orderBy("event_type")
+        .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
 
@@ -104,14 +104,12 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     "re-reads a small exchange instead of re-running the Python stage.",
 )
 def q43_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.tables import presort_barrier
-
     ev = spread(table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )
     z = ev.groupBy("event_type").applyInPandas(
         _zscore, "event_id BIGINT, event_type STRING, z DOUBLE"
     )
-    return presort_barrier(
-        z.filter(F.col("event_id") < 500), "event_id"
-    ).orderBy("event_id")
+    return bounded_sort(
+        z.filter(F.col("event_id") < 500), "event_id", barrier=True
+    )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import presort_barrier, spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 # Codec gate: Pillow is the real image decoder when importable (this
 # container ships without it — the deterministic byte-stats fake is the
@@ -241,7 +241,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.n_bytes").alias("n_bytes"),
             F.sha2("payload", 256).alias("payload_sha"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: bounded_sort(d, "doc_id", barrier=True))
     )
 
 
@@ -261,7 +261,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         frames.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("doc_id")
+        .transform(lambda d: bounded_sort(d, "doc_id"))
     )
 
 
@@ -275,12 +275,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 200)
     feats = extract_features(media)
-    return presort_barrier(
+    return bounded_sort(
         feats.select(
             "doc_id", F.round(F.element_at("features", 1), 4).alias("bin0")
         ),
         "doc_id",
-    ).orderBy("doc_id")
+        barrier=True,
+    )
 
 
 @register(
@@ -293,6 +294,6 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 100)
-    return presort_barrier(
-        decode_image(media).select("doc_id", "n_bytes"), "doc_id"
-    ).orderBy("doc_id")
+    return bounded_sort(
+        decode_image(media).select("doc_id", "n_bytes"), "doc_id", barrier=True
+    )

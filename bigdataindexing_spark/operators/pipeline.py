@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.functions.text import tokens
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import (
+    bounded_sort,
+    presort_barrier,
+    spread,
+    table,
+)
 
 
 @register(
@@ -54,7 +59,7 @@ def q59_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(split.alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("split", "lang")
+        .transform(lambda d: bounded_sort(d, "split", "lang"))
     )
 
 
@@ -113,7 +118,7 @@ def q61_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((n >= 30) & (ttr >= 0.5) & (stop_ratio <= 0.08))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("kept"))
-        .orderBy("lang")
+        .transform(lambda d: bounded_sort(d, "lang"))
     )
 
 
@@ -134,7 +139,7 @@ def q62_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("bucket")
+        .transform(lambda d: bounded_sort(d, "bucket"))
     )
 
 
@@ -261,7 +266,7 @@ def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id", (err / F.size("embedding")).alias("mae")
-    ).orderBy("vec_id")
+    ).transform(lambda d: bounded_sort(d, "vec_id", barrier=True))
 
 
 DECON_N = 5  # shingle width; production pipelines use 13-gram decontamination
@@ -320,7 +325,7 @@ def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("contaminated"))
-        .orderBy("lang")
+        .transform(lambda d: bounded_sort(d, "lang"))
     )
 
 
@@ -353,7 +358,9 @@ def q82_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("source", "doc_id")
-        .orderBy("source", "doc_id")
+        .transform(
+            lambda d: bounded_sort(d, "source", "doc_id", barrier=True)
+        )
     )
 
 
@@ -390,7 +397,7 @@ def q83_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(F.col("n") / F.col("k")))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("kept"))
-        .orderBy("lang")
+        .transform(lambda d: bounded_sort(d, "lang"))
     )
 
 
@@ -434,7 +441,7 @@ def q90_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") <= TOKEN_BUDGET)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
-        .orderBy("lang")
+        .transform(lambda d: bounded_sort(d, "lang"))
     )
 
 
@@ -487,7 +494,7 @@ def q99_budget_select_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") <= TOKEN_BUDGET // BUDGET_SHARDS)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
-        .orderBy("lang")
+        .transform(lambda d: bounded_sort(d, "lang"))
     )
 
 
@@ -553,6 +560,7 @@ def q91_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "label", F.round("cos", 4).alias("cos_sim")
         )
+        .transform(lambda d: presort_barrier(d, "vec_id"))
         .orderBy("vec_id")
     )
 
@@ -579,7 +587,7 @@ def q63_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", (F.col("pos0") + 1).alias("pos"), "v")
         .groupBy("label", "pos")
         .agg(F.round(F.avg("v"), 4).alias("centroid"))
-        .orderBy("label", "pos")
+        .transform(lambda d: bounded_sort(d, "label", "pos"))
     )
 
 
@@ -636,9 +644,12 @@ def q95_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 4).alias("max_v"),
     )
     names = F.array(*[F.lit(c) for c in _PROFILE_COLS])
-    return stats.select(
-        names[F.col("i")].alias("col"), "nulls", "ndv", "min_v", "max_v"
-    ).orderBy("col")
+    return bounded_sort(
+        stats.select(
+            names[F.col("i")].alias("col"), "nulls", "ndv", "min_v", "max_v"
+        ),
+        "col",
+    )
 
 
 CHUNK_TOKENS = 64
@@ -769,5 +780,5 @@ def q109_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
-        .orderBy("lang", "quartile")
+        .transform(lambda d: bounded_sort(d, "lang", "quartile"))
     )

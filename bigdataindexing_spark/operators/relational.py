@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import table
+from bigdataindexing_spark.tables import bounded_sort, table
 
 
 # --- §2.2 projections / filters ------------------------------------------------
@@ -99,7 +99,7 @@ def q04_join_2way(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .select("o_orderkey", "c_name")
-        .orderBy("o_orderkey")
+        .transform(lambda d: bounded_sort(d, "o_orderkey", barrier=True))
     )
 
 
@@ -175,7 +175,7 @@ def q08_multiway_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("n_name")
+        .transform(lambda d: bounded_sort(d, "n_name"))
     )
 
 
@@ -209,7 +209,9 @@ def q09_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(
+            lambda d: bounded_sort(d, "l_returnflag", "l_linestatus")
+        )
     )
 
 
@@ -236,9 +238,12 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
+        .transform(
+            lambda d: bounded_sort(
+                d,
+                F.col("l_returnflag").asc_nulls_first(),
+                F.col("l_linestatus").asc_nulls_first(),
+            )
         )
     )
 
@@ -264,7 +269,7 @@ def q12_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") <= 50)
         .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
-        .orderBy("o_custkey")
+        .transform(lambda d: bounded_sort(d, "o_custkey", barrier=True))
     )
 
 
@@ -345,7 +350,7 @@ def q15_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.union(s).distinct().orderBy("k")
+    return bounded_sort(c.union(s).distinct(), "k")
 
 
 @register(
@@ -357,7 +362,7 @@ def q16_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_nationkey")
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
-    return c.intersect(s).orderBy("c_nationkey")
+    return bounded_sort(c.intersect(s), "c_nationkey")
 
 
 # --- §2.7 scalar functions ----------------------------------------------------
@@ -378,7 +383,7 @@ def q18_key_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.concat_ws("_", F.lit("orders"), F.col("o_orderkey")).alias("okey"),
         )
-        .orderBy("o_orderkey")
+        .transform(lambda d: bounded_sort(d, "o_orderkey", barrier=True))
     )
 
 
@@ -393,7 +398,7 @@ def q19_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .groupBy(F.year("o_orderdate").alias("y"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("y")
+        .transform(lambda d: bounded_sort(d, "y"))
     )
 
 
@@ -425,7 +430,7 @@ def q30_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, cond)
         .groupBy(F.col("e1.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("user_id")
+        .transform(lambda d: bounded_sort(d, "user_id"))
     )
 
 
@@ -443,9 +448,12 @@ def q31_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
+        .transform(
+            lambda d: bounded_sort(
+                d,
+                F.col("l_returnflag").asc_nulls_first(),
+                F.col("l_linestatus").asc_nulls_first(),
+            )
         )
     )
 
@@ -537,7 +545,7 @@ def q40_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.split_part(F.col("okey"), F.lit("_"), F.lit(1)).alias("obj_type"),
         F.regexp_extract("okey", "_([0-9]+)_", 1).cast("long").alias("parsed_id"),
-    ).orderBy("o_orderkey")
+    ).transform(lambda d: bounded_sort(d, "o_orderkey", barrier=True))
 
 
 @register(
@@ -564,7 +572,7 @@ def q41_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_v"),
             F.size("embedding").alias("dim"),
         )
-        .orderBy("vec_id")
+        .transform(lambda d: bounded_sort(d, "vec_id", barrier=True))
     )
 
 
@@ -589,7 +597,7 @@ def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
             F.round(F.max("value"), 4).alias("mx"),
         )
-        .orderBy("event_type")
+        .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
 
@@ -617,7 +625,7 @@ def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("F").alias("qty_f"),
             F.col("O").alias("qty_o"),
         )
-        .orderBy("l_returnflag")
+        .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
 
 
@@ -669,7 +677,7 @@ def q48_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("o_totalprice").over(w_full), 4).alias("last_price"),
         )
         .distinct()
-        .orderBy("o_custkey")
+        .transform(lambda d: bounded_sort(d, "o_custkey"))
     )
 
 
@@ -697,7 +705,7 @@ def q49_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("dashed"),
             F.length("p_name").alias("len"),
         )
-        .orderBy("p_partkey")
+        .transform(lambda d: bounded_sort(d, "p_partkey", barrier=True))
     )
 
 
@@ -727,7 +735,7 @@ def q50_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("avg_f"),
         )
-        .orderBy("o_orderpriority")
+        .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )
 
 
@@ -878,7 +886,7 @@ def q106_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchases",
             "signups",
         )
-        .orderBy("day")
+        .transform(lambda d: bounded_sort(d, "day"))
     )
 
 

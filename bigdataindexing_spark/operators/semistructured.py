@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 
 @register(
@@ -30,7 +30,7 @@ def q21_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.explode("embedding").alias("v"))
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("label")
+        .transform(lambda d: bounded_sort(d, "label"))
     )
 
 
@@ -83,7 +83,7 @@ def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        .orderBy("w", "event_type")
+        .transform(lambda d: bounded_sort(d, "w", "event_type"))
     )
 
 
@@ -102,7 +102,7 @@ def q27_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.countDistinct(F.col("m")["k"]).alias("distinct_k"))
-        .orderBy("event_type")
+        .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
 
@@ -133,7 +133,7 @@ def q58_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(k), 4).alias("avg_k"),
         )
-        .orderBy("event_type")
+        .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.functions.vectors import as_double, cosine
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import pin, spread, table
+from bigdataindexing_spark.tables import bounded_sort, pin, spread, table
 
 COSINE_NEARDUP_TAU = 0.45
 N_QUERIES = 10
@@ -90,7 +90,7 @@ def q25_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("qid", "cid", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("qid", F.col("cid").alias("neighbor_id"))
-        .orderBy("qid")
+        .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
 
 
@@ -278,7 +278,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback_scored = e.join(F.broadcast(missing), F.col("vec_id") != F.col("qid")).select(
         "qid", F.col("vec_id").alias("cid"), cosine("qv", "v").alias("c")
     )
-    return found.union(top1(fallback_scored)).orderBy("qid")
+    return bounded_sort(
+        found.union(top1(fallback_scored)), "qid", barrier=True
+    )
 
 
 @register(
@@ -319,7 +321,7 @@ def sim_ann_label_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("qid", "cid", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("qid", F.col("cid").alias("neighbor_id"))
-        .orderBy("qid")
+        .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
 
 
@@ -433,7 +435,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("qid", "cid", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("qid", F.col("cid").alias("neighbor_id"))
-        .orderBy("qid")
+        .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
 
 
@@ -493,7 +495,7 @@ def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("v", F.row_number().over(wv))
         .filter(F.col("v") == 1)
         .select("qid", F.col("label").alias("pred"))
-        .orderBy("qid")
+        .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
 
 

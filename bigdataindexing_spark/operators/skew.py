@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import pin, spread, table
+from bigdataindexing_spark.tables import bounded_sort, pin, spread, table
 
 N_SALTS = 16
 
@@ -62,7 +62,7 @@ def q39_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread(table(spark, sf_dir, "events")).withColumn(
         "value", F.round("value", 4)
     )
-    return salted_agg(ev, "event_type", "value").orderBy("event_type")
+    return bounded_sort(salted_agg(ev, "event_type", "value"), "event_type")
 
 
 # A key is "hot" when its estimated row count exceeds this many rows —
@@ -172,5 +172,5 @@ def q96_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("rev"), 2).alias("revenue"),
         )
-        .orderBy("o_orderpriority")
+        .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.functions.text import tokens, word_shingles
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import presort_barrier, spread, table
+from bigdataindexing_spark.tables import bounded_sort, presort_barrier, spread, table
 
 # Marker stopwords per language for the n-gram/keyword language-ID heuristic.
 LANG_MARKERS = {
@@ -212,7 +212,7 @@ def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.sha2(F.encode(norm, "utf-8"), 256).alias("norm_sha")
         )
-        .orderBy("doc_id")
+        .transform(lambda d: bounded_sort(d, "doc_id", barrier=True))
     )
 
 
@@ -254,10 +254,11 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q100_unigram_logprob",
     oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
     "AS w FROM documents), "
-    "tf AS (SELECT doc_id, w FROM tok WHERE w <> ''), "
-    "vocab AS (SELECT w, COUNT(*) AS cnt FROM tf GROUP BY w), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE w <> '' "
+    "GROUP BY doc_id, w), "
+    "vocab AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w), "
     "n AS (SELECT SUM(cnt) AS n FROM vocab) "
-    "SELECT doc_id, ROUND(AVG(-LN(cnt / n)), 4) AS nll "
+    "SELECT doc_id, ROUND(SUM(tf * -LN(cnt / n)) / SUM(tf), 4) AS nll "
     "FROM tf JOIN vocab USING (w) CROSS JOIN n "
     "GROUP BY doc_id ORDER BY doc_id",
     tags=("text", "pipeline", "quality"),
@@ -267,26 +268,35 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nll = made of common words (fluent but possibly boilerplate), high "
     "nll = rare-token soup (OCR noise, spam, wrong-language residue) — "
     "the standard cheap stand-in for KenLM perplexity filtering in "
-    "pretraining pipelines. Plan: one tokenize scan feeds both the "
-    "vocab aggregate and the scoring join; the vocab (bounded by "
-    "vocabulary size, not corpus size — cap to top-V at 100 TB) "
-    "broadcasts to the scoring side, so the only real shuffle is the "
-    "per-document average.",
+    "pretraining pipelines. Both the LM counts and the per-document "
+    "term frequencies are SERVED from the materialized index store "
+    "(search_index_table — the same async-maintained tier idx_bm25_serve "
+    "reads): the unigram LM is exactly a marginal of the inverted "
+    "index, so scoring touches no raw document and re-tokenizes "
+    "nothing. The tf-weighted sum is algebraically the same mean NLL "
+    "over token instances; the vocab relation (bounded by vocabulary "
+    "size, not corpus size — cap to top-V at 100 TB) broadcasts to the "
+    "scoring join, so the only real shuffle is the per-document "
+    "aggregate. Oracle recomputes the same weighted form from raw text.",
 )
 def q100_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tf = (
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", F.explode(tokens("text")).alias("w"))
-        .filter(F.col("w") != "")
+    from bigdataindexing_spark.index.search import search_index_table
+
+    tf = search_index_table(spark, sf_dir, "term_rows").select(
+        "doc_id", F.col("token").alias("w"), "tf"
     )
-    vocab = tf.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     nll = -F.log(F.col("cnt") / F.col("n"))
     return (
         tf.join(F.broadcast(vocab), "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
-        .agg(F.round(F.avg(nll), 4).alias("nll"))
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * nll) / F.sum("tf"), 4
+            ).alias("nll")
+        )
         .orderBy("doc_id")
     )
 
@@ -333,5 +343,5 @@ def q105_lang_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .orderBy("lang", "rk")
+        .transform(lambda d: bounded_sort(d, "lang", "rk", barrier=True))
     )

@@ -95,10 +95,54 @@ _GROUPING_SETS = (
 )
 
 
-def _sql_builder(sql: str):
+# SQL queries whose result is BOUNDED (grouped by a low-cardinality /
+# calendar key) and whose ORDER BY is the trailing top-level clause with
+# no LIMIT: the Spark-side plan strips that tail from the shared text and
+# sorts the handful of result rows in one partition (tables.bounded_sort
+# — no range-sampling pass, no range exchange). The ORACLE keeps the
+# canonical ORDER BY text — same engine-level-rewrite contract as
+# _Q18_SPARK. Values are name -> sort columns (strings ascending, or a
+# ("col", "desc") pair).
+_BOUNDED_TAILS: dict[str, tuple] = {
+    "q35_sql_tpch_q5": ("n_name",),
+    "q36_sql_exists": ("o_orderpriority",),
+    "q52_sql_grouping_sets": (
+        ("l_returnflag", "asc_nulls_first"),
+        ("l_linestatus", "asc_nulls_first"),
+    ),
+    "q56_sql_recursive_cte": ("m",),
+    "q65_sql_tpch_q12": ("l_returnflag",),
+    "q72_sql_tpch_q22": ("c_nationkey",),
+    "q75_sql_tpch_q13": (("custdist", "desc"), ("c_count", "desc")),
+    "q76_sql_tpch_q7": ("supp_nation", "cust_nation", "l_year"),
+    "q79_sql_tpch_q15": ("s_suppkey",),
+    "q85_sql_tpch_q8": ("o_year",),
+    "q86_sql_tpch_q9": ("nation", ("o_year", "desc")),
+}
+
+_ORDER_TAIL = " ORDER BY "
+
+
+def _sql_builder(sql: str, name: str | None = None):
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
-        return spark.sql(sql)
+        tail = _BOUNDED_TAILS.get(name) if name else None
+        if tail is None:
+            return spark.sql(sql)
+        from pyspark.sql import functions as F
+
+        from bigdataindexing_spark.tables import bounded_sort
+
+        cut = sql.rindex(_ORDER_TAIL)
+        cols = [
+            F.col(c)
+            if isinstance(c, str)
+            else F.col(c[0]).desc()
+            if c[1] == "desc"
+            else F.col(c[0]).asc_nulls_first()
+            for c in tail
+        ]
+        return bounded_sort(spark.sql(sql[:cut]), *cols)
 
     return build
 
@@ -326,7 +370,9 @@ for _name, _sql, _doc in [
         "NULL ordering pinned explicitly for cross-engine determinism.",
     ),
 ]:
-    register(_name, oracle=_sql, tags=("sql",), doc=_doc)(_sql_builder(_sql))
+    register(_name, oracle=_sql, tags=("sql",), doc=_doc)(
+        _sql_builder(_sql, _name)
+    )
 
 
 # The remaining TPC-H shapes, completing all 22. This corpus has no
@@ -462,7 +508,9 @@ for _name, _sql, _doc in [
         "compare every group against the global sum.",
     ),
 ]:
-    register(_name, oracle=_sql, tags=("sql",), doc=_doc)(_sql_builder(_sql))
+    register(_name, oracle=_sql, tags=("sql",), doc=_doc)(
+        _sql_builder(_sql, _name)
+    )
 
 register(
     "q37_sql_having",

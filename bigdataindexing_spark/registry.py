@@ -135,15 +135,20 @@ _R03_RECHECK = (
     "sim_semantic_clusters",  # same CC loop change
     "dedup_simhash_banded",   # banded stage now reads the SimHash store
     "q22_json_extract",       # from_json single-parse + pre-sort exchange
+    "q25_ann_bruteforce",     # per-vector norm factoring changes the
+                              # cosine float expression (last-ulp rank risk)
+    "q43_group_zscore",       # presort barrier ahead of the final sort
+    "q42_grouped_udaf_geomean",  # pre-shuffle projection
 )
 # Window triage (the driver checks exactly ~50 entries, and the new
 # round-3 queries must land inside it): mm_decode_stats is deliberately
 # NOT re-pinned because its new PIL branch only activates when Pillow is
 # importable — which it is not under driver conditions — leaving the
-# r2-verified fake-codec path byte-identical; and one brand-new query is
-# consciously queued for the NEXT round's window (below) rather than
-# silently spilling past the cap. Both remain covered by the committed
-# three-sf self-sweeps.
+# r2-verified fake-codec path byte-identical; the entries below are
+# consciously queued for the NEXT round's window rather than silently
+# spilling past the cap (rechecking changed builders — q25/q42/q43 above
+# — outranks first-time rows for low-risk serve/stream variants). All
+# remain covered by the committed three-sf self-sweeps.
 _R03_DEFER = frozenset(
     {
         "q105_lang_top_bigrams",
@@ -153,6 +158,9 @@ _R03_DEFER = frozenset(
         "q108_event_transitions",
         "q109_length_quartiles",
         "txt_keywords",
+        "q102_rollup_merge",
+        "idx_bm25_serve",
+        "st10_stream_static_enrich",
     }
 )
 

@@ -63,9 +63,15 @@ def get_spark(
         # disk at sf0.1) qualified for broadcast and Catalyst built a
         # 600k-row hashed relation per join instead of probing with it;
         # 8MB keeps every true dimension (nation/region/supplier/customer/
-        # part/orders) broadcastable and the fact table on the probe side
-        # (measured: 21-query TPC-H block total -6% at sf0.1, and the
-        # only plan shape that survives at 100 TB).
+        # part/orders) broadcastable and the fact table on the probe side.
+        # Measured both directions at sf0.1: dropping to 2MB shaved ~15%
+        # off the TPC-H block (orders' 150k-row hashed-relation build
+        # costs more than shuffle-joining it) but cost the dedup/LSH
+        # family 2-3x (their session-materialized signature stores sit in
+        # the 2-8MB band and genuinely benefit from broadcast at test
+        # scale). 8MB wins net; at real scale those signature relations
+        # outgrow any threshold and the SAME config demotes them to
+        # shuffle joins — the adaptive behavior we want.
         .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         # static conf: catalog tables (bucketed layouts) land outside the
         # repo; a cluster deployment points this at durable storage

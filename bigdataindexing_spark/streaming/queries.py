@@ -79,14 +79,14 @@ _SLIDING_ORACLE = (
     "window starts per event).",
 )
 def q28_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.tables import table
+    from bigdataindexing_spark.tables import bounded_sort, table
 
     return (
         table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("w"), "event_type", "cnt")
-        .orderBy("w", "event_type")
+        .transform(lambda d: bounded_sort(d, "w", "event_type"))
     )
 
 

@@ -207,6 +207,34 @@ def spread(df: DataFrame, heavy: bool = False) -> DataFrame:
     return df
 
 
+def bounded_sort(df: DataFrame, *cols, barrier: bool = False) -> DataFrame:
+    """Global sort for a BOUNDED-cardinality result (a grouped aggregate
+    over a low-cardinality key, a ranked top-k, a filtered id set — any
+    relation whose row count is capped by key cardinality, not data
+    volume).
+
+    A plain ``orderBy`` range-partitions: it runs a sampling job over the
+    child to compute range bounds, then shuffles into N sorted
+    partitions — the right machinery for corpus-sized output, pure
+    overhead for a few hundred rows (two extra stages per query). A
+    bounded result sorts in ONE partition with no sampling pass:
+    ``coalesce(1)`` + in-partition sort. The upstream plan keeps its
+    parallelism — coalesce only collapses the stage after the last
+    shuffle (the final-aggregate read of a handful of groups).
+
+    ``barrier=True`` inserts a single-partition EXCHANGE instead
+    (``repartition(1)``): required when the input is a narrow no-shuffle
+    pipeline (a scan-stage filter, a Python stage) that must stay
+    parallel — coalesce would fold the whole pipeline into one task,
+    and a bare sort would re-execute it in the range sampler.
+
+    Column arguments may be names or Column expressions (e.g.
+    ``F.col(c).desc()``). NEVER use this for data-proportional output —
+    that is what range sort exists for."""
+    one = df.repartition(1) if barrier else df.coalesce(1)
+    return one.sortWithinPartitions(*cols)
+
+
 def presort_barrier(df: DataFrame, *cols: str) -> DataFrame:
     """Hash exchange inserted between an expensive narrow pipeline and a
     global ORDER BY.

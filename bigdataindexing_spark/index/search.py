@@ -41,12 +41,25 @@ def idx_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT token, COUNT(*) AS df FROM u WHERE token <> '' GROUP BY token "
     "ORDER BY df DESC, token LIMIT 10",
     tags=("index",),
-    doc="Document-frequency top-10 terms from the postings table.",
+    doc="Document-frequency top-10 terms from the postings relation. df "
+    "only needs each document's DISTINCT tokens, so the per-doc dedupe "
+    "runs ROW-LOCALLY (array_distinct before the explode) and the single "
+    "aggregate keys on token alone — a vocabulary-sized hash table per "
+    "partition and one shuffle, versus the two-level (doc_id, token) -> "
+    "token aggregation the naive formulation pays.",
 )
 def idx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = term_rows(spread(table(spark, sf_dir, "documents")))
+    from bigdataindexing_spark.functions.text import tokens
+
+    toks = (
+        spread(table(spark, sf_dir, "documents"))
+        .select(
+            F.explode(F.array_distinct(tokens("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
     return (
-        rows.groupBy("token")
+        toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), "token")
         .limit(10)
@@ -67,8 +80,16 @@ def idx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the surviving documents.",
 )
 def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.functions.text import tokens
+
     docs = spread(table(spark, sf_dir, "documents"))
-    rows = term_rows(docs)
+    # row-local per-doc dedupe (df counts documents, not occurrences),
+    # then the anti-join against the tombstone set runs on the flat
+    # (doc_id, token) rows and the single rebuild aggregate keys on token
+    rows = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("token"),
+    ).filter(F.col("token") != "")
     deletes = docs.select("doc_id").filter(F.col("doc_id") < 100)
     remaining = rows.join(F.broadcast(deletes), "doc_id", "left_anti")
     return (

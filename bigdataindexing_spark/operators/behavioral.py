@@ -104,23 +104,27 @@ ORDER BY cohort, day_offset
     oracle=_RETENTION_SQL,
     tags=("behavioral", "agg"),
     doc="Daily cohort retention: cohort = each user's first-event date, "
-    "then distinct active days per user joined back and counted by "
-    "(cohort, day offset 0-7). Both the cohort aggregate and the "
-    "distinct-activity relation partition on user_id, so the join is "
-    "co-partitioned (no extra exchange under AQE); the output is "
-    "cohorts x 8 offsets regardless of corpus size. The duckdb oracle "
-    "is dialect-shared except DATE subtraction (bigint days in duckdb, "
-    "datediff here).",
+    "counted by (cohort, day offset 0-7) over the user's distinct active "
+    "days. ONE shuffle on user_id computes both facts at once — "
+    "groupBy(user).agg(min(day), collect_set(day)) — instead of a "
+    "cohort aggregate plus a separate distinct relation joined back "
+    "(two shuffles + a join): each user's active-day set is bounded by "
+    "the calendar, so the set aggregate is safe at any corpus size, and "
+    "the output is cohorts x 8 offsets regardless of scale. The duckdb "
+    "oracle keeps the relational two-step formulation (dialect-shared "
+    "except DATE subtraction: bigint days in duckdb, datediff here).",
 )
 def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread(table(spark, sf_dir, "events")).select(
         "user_id", F.col("ts").cast("date").alias("day")
     )
-    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
-    activity = ev.distinct()
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("cohort"),
+        F.collect_set("day").alias("days"),
+    )
     offset = F.datediff(F.col("day"), F.col("cohort"))
     return (
-        activity.join(firsts, "user_id")
+        per_user.select("cohort", F.explode("days").alias("day"))
         .select("cohort", offset.alias("day_offset"))
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort", "day_offset")

@@ -104,20 +104,18 @@ def _langid_oracle() -> str:
     oracle=_langid_oracle(),
     tags=("text",),
     doc="Marker-stopword language-ID heuristic: score per language = count "
-    "of marker-word occurrences; argmax with fixed tie-break order.",
+    "of marker-word occurrences; argmax with fixed tie-break order. The "
+    "per-language scores are ROW-LOCAL array expressions (size(filter(t, "
+    "marker-set))) — no explode, no per-doc shuffle, the whole classifier "
+    "runs inside the scan stage and is embarrassingly parallel at any "
+    "scale. The oracle computes the same counts via UNNEST + GROUP BY, "
+    "proving the row-local form equals the relational form.",
 )
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = (
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", F.explode(tokens("text")).alias("w"))
-    )
-    scores = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("w").isin(*markers), 1).otherwise(0)).alias(f"s_{lang}")
-            for lang, markers in LANG_MARKERS.items()
-        ]
-    )
-    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    def marker_count(markers: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(F.col("t"), lambda w: w.isin(*markers)))
+
+    s = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
     detected = (
         F.when(
             (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
@@ -126,7 +124,12 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s["es"] >= s["fr"], "es")
         .otherwise("fr")
     )
-    return scores.select("doc_id", detected.alias("detected_lang")).orderBy("doc_id")
+    return presort_barrier(
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", tokens("text").alias("t"))  # tokenize ONCE
+        .select("doc_id", detected.alias("detected_lang")),
+        "doc_id",
+    ).orderBy("doc_id")
 
 
 @register(

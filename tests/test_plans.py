@@ -294,3 +294,31 @@ def test_unigram_logprob_broadcasts_vocab(plan):
     p = plan("q100_unigram_logprob")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row total cross join
+
+
+def test_bounded_sort_skips_range_partitioning(plan, spark, sf_dir):
+    """Bounded-result sorts (tables.bounded_sort) must not range-partition:
+    no sampling pass, no rangepartitioning exchange — a single sorted
+    partition — while matching the plain orderBy row-for-row."""
+    from pyspark.sql import functions as F
+
+    from bigdataindexing_spark.tables import bounded_sort, table
+
+    # a converted builder: grouped agg over a low-cardinality key
+    p = plan("q09_tpch_q1")
+    assert "rangepartitioning" not in p
+    # semantics: bounded_sort == orderBy on the same relation
+    ev = table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert (
+        bounded_sort(ev, "event_type").collect()
+        == ev.orderBy("event_type").collect()
+    )
+    # barrier form keeps the narrow pipeline parallel behind one exchange
+    narrow = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 10
+    ).select("o_orderkey")
+    got = bounded_sort(narrow, "o_orderkey", barrier=True)
+    assert got.collect() == narrow.orderBy("o_orderkey").collect()
+    assert got.rdd.getNumPartitions() == 1

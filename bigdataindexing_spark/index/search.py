@@ -113,33 +113,58 @@ def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM tf JOIN df USING (token) CROSS JOIN n "
     "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10",
     tags=("index", "search"),
-    doc="Ranked retrieval: TF-IDF scoring of a two-term query through the "
-    "postings tables (tf per doc-term, ln(N/df) weights broadcast) — the "
-    "Spark-native analogue of the reference's Elasticsearch relevance "
-    "ranking. Only postings rows for the query terms are touched. N is a "
-    "1-row count aggregate broadcast-cross-joined into the plan (mirrors "
-    "the oracle's CROSS JOIN n) — one DAG, no driver-side action during "
-    "query construction.",
+    doc="Ranked retrieval: TF-IDF scoring of a two-term query, computed "
+    "TERM-AT-A-TIME and ROW-LOCALLY — for a fixed small query, each "
+    "document's per-term tf is size(filter(tokens, = term)) inside the "
+    "scan stage, so the inline formulation needs NO tokenize-explode-"
+    "aggregate pipeline at all: one scan produces (doc_id, tf_0, tf_1), "
+    "one 1-row aggregate derives (df per term, N) and broadcast-cross-"
+    "joins back, and the score is a row-local expression into a top-k "
+    "combine. The Spark-native analogue of the reference's Elasticsearch "
+    "relevance ranking; the serve path (idx_bm25_serve) reads the "
+    "materialized postings instead of scanning raw documents.",
 )
 def idx_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.functions.text import tokens
+
     terms = ["spark", "data"]
-    docs = spread(table(spark, sf_dir, "documents"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    rows = term_rows(docs).filter(F.col("token").isin(terms))
-    dfreq = rows.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    scored = (
-        rows.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(n))
+
+    def tf_of(term: str) -> F.Column:
+        return F.size(F.filter(F.col("t"), lambda w: w == F.lit(term)))
+
+    from bigdataindexing_spark.tables import pin
+
+    per_doc = pin(  # feeds the df/N aggregate AND the scoring branch:
+        # persist the tiny (doc_id, tf...) relation so the tokenize scan
+        # runs once, not once per consumer
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", tokens("text").alias("t"))
         .select(
             "doc_id",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+            *[tf_of(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
         )
     )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = sum(
+        F.when(
+            F.col(f"df_{i}") > 0,
+            F.col(f"tf_{i}")
+            * F.log(F.col("n_docs") / F.col(f"df_{i}")),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(terms))
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 4).alias("score"))
+        per_doc.filter(
+            sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
@@ -173,43 +198,61 @@ BM25_B = 0.75
     "reference's search surface (IndexingListener.java indexes into ES; "
     "ES similarity default is BM25), so this is closer parity than the "
     "classic TF-IDF (idx_tfidf_search, kept as the textbook baseline). "
-    "Corpus stats (N, avgdl) are ONE 1-row aggregate broadcast-cross-"
-    "joined into the plan; per-doc length joins the (query-term-filtered, "
-    "therefore small) postings side, so the full doc-length relation "
-    "streams through one shuffle and nothing driver-side runs during "
-    "build.",
+    "Scored term-at-a-time and row-local: one scan yields each doc's "
+    "(dl, per-term tf) inside the scan stage — no tokenize-explode-"
+    "aggregate pipeline; corpus stats (N, avgdl, per-term df) are ONE "
+    "1-row aggregate broadcast-cross-joined back, and the scorer is a "
+    "row-local expression into a top-k combine. Nothing driver-side "
+    "runs during build.",
 )
 def idx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.functions.text import tokens
+    from bigdataindexing_spark.tables import pin
 
     terms = ["spark", "data"]
-    docs = spread(table(spark, sf_dir, "documents"))
-    lens = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    rows = term_rows(docs).filter(F.col("token").isin(terms))
-    dfreq = rows.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    idf = F.log(
-        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    scored = (
-        rows.join(F.broadcast(dfreq), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
+
+    def tf_of(term: str) -> F.Column:
+        return F.size(F.filter(F.col("t"), lambda w: w == F.lit(term)))
+
+    # term-at-a-time row-local scoring (see idx_tfidf_search): one scan
+    # yields (doc_id, dl, tf per query term); corpus stats (N, avgdl, df
+    # per term) are ONE 1-row aggregate broadcast-cross-joined back; the
+    # BM25 expression is row-local into a top-k combine
+    per_doc = pin(
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", tokens("text").alias("t"))
         .select(
             "doc_id",
-            (idf * (F.col("tf") * (BM25_K1 + 1)) / norm).alias("w"),
+            F.size(F.col("t")).alias("dl"),
+            *[tf_of(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
         )
     )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def w_of(i: int) -> F.Column:
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        norm = tf + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * (tf * (BM25_K1 + 1)) / norm).otherwise(
+            F.lit(0.0)
+        )
+
+    score = sum(w_of(i) for i in range(len(terms)))
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 4).alias("score"))
+        per_doc.filter(
+            sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )

@@ -134,6 +134,8 @@ _R03_RECHECK = (
     "dedup_cluster_cc",       # CC loop now iterates to convergence
     "sim_semantic_clusters",  # same CC loop change
     "dedup_simhash_banded",   # banded stage now reads the SimHash store
+    "idx_tfidf_search",       # term-at-a-time row-local rewrite (no
+                              # tokenize-explode-aggregate pipeline)
     "q22_json_extract",       # from_json single-parse + pre-sort exchange
     "q25_ann_bruteforce",     # per-vector norm factoring changes the
                               # cosine float expression (last-ulp rank risk)

@@ -101,6 +101,71 @@ def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "idx_postings_merge",
+    oracle="WITH u AS (SELECT DISTINCT doc_id, "
+    "UNNEST(string_split(lower(text), ' ')) AS token FROM documents), "
+    "p AS (SELECT token, COUNT(*) AS df, list_sort(list(doc_id)) AS ids "
+    "FROM u WHERE token <> '' GROUP BY token) "
+    "SELECT token, df, len(ids) AS n_ids, "
+    "md5(array_to_string(ids, ',')) AS ids_md5 FROM p ORDER BY token",
+    tags=("index", "incremental"),
+    doc="Incremental index maintenance: merge a DELTA postings table "
+    "(newly arrived docs, doc_id % 10 >= 8) into the BASE postings "
+    "without touching raw documents again — full-outer join on token, "
+    "df adds, posting lists concat row-locally (both inputs are "
+    "per-doc-sorted and disjoint, so one sort_array over the "
+    "concatenation restores order). This is the batch form of the "
+    "reference's continuous ES upsert (IndexingListener.java:115-125): "
+    "the serving index absorbs an increment at vocabulary-join cost — "
+    "two vocabulary-sized relations through one shuffle, never a corpus "
+    "rescan. The oracle rebuilds postings from ALL documents, proving "
+    "merge-then-serve is byte-equivalent to rebuild-from-scratch; the "
+    "posting list itself is asserted through its length and the md5 of "
+    "its comma-joined ids (scalar columns hash across engines).",
+)
+def idx_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.index.build import postings
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    base = postings(docs.filter(F.col("doc_id") % 10 < 8))
+    delta = postings(docs.filter(F.col("doc_id") % 10 >= 8))
+    merged = (
+        base.select("token", F.col("df").alias("df_a"), F.col("doc_ids").alias("ids_a"))
+        .join(
+            delta.select(
+                "token", F.col("df").alias("df_b"), F.col("doc_ids").alias("ids_b")
+            ),
+            "token",
+            "full_outer",
+        )
+        .select(
+            "token",
+            (
+                F.coalesce(F.col("df_a"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            ).alias("df"),
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("ids_a"), F.array().cast("array<bigint>")),
+                    F.coalesce(F.col("ids_b"), F.array().cast("array<bigint>")),
+                )
+            ).alias("ids"),
+        )
+    )
+    return bounded_sort(
+        merged.select(
+            "token",
+            "df",
+            F.size("ids").cast("bigint").alias("n_ids"),
+            F.md5(
+                F.array_join(F.transform(F.col("ids"), lambda x: x.cast("string")), ",")
+            ).alias("ids_md5"),
+        ),
+        "token",
+    )
+
+
+@register(
     "idx_tfidf_search",
     oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
     "AS token FROM documents), "

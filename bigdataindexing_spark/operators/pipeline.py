@@ -782,3 +782,45 @@ def q109_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda d: bounded_sort(d, "lang", "quartile"))
     )
+
+
+TRAIN_SHUFFLE_EPOCH = 7
+
+
+@register(
+    "q110_train_shard_shuffle",
+    oracle="SELECT substr(md5(CAST(doc_id AS VARCHAR) || "
+    f"':ep{TRAIN_SHUFFLE_EPOCH}'), 1, 1) AS shard, doc_id, "
+    f"md5(CAST(doc_id AS VARCHAR) || ':ep{TRAIN_SHUFFLE_EPOCH}') AS h "
+    "FROM documents ORDER BY h, doc_id",
+    tags=("pipeline", "training"),
+    doc="Deterministic epoch shuffle for training-data delivery: every "
+    "document hashes to h = md5(doc_id:epoch), the first hex nibble is "
+    "its output shard (16 shards), and the global ORDER BY h is the "
+    "epoch's reading order — reshuffled by changing one epoch constant, "
+    "reproducible across runs and engines, no RNG state to coordinate. "
+    "The plan is one row-local projection plus one range exchange (the "
+    "sort), which is exactly the distributed epoch shuffle at 100 TB: "
+    "hash-ordering is uniform so range partitions balance by "
+    "construction, shard boundaries align with sort prefixes (a shard "
+    "is a contiguous run of the output), and downstream trainers read "
+    "their shard by Parquet min/max pruning on h. The doc_id tiebreak "
+    "is unreachable (md5 collisions) but makes the declared order "
+    "total for the oracle hash.",
+)
+def q110_train_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(f":ep{TRAIN_SHUFFLE_EPOCH}"),
+        )
+    )
+    return (
+        docs.select(
+            F.substring(h, 1, 1).alias("shard"),
+            "doc_id",
+            h.alias("h"),
+        )
+        .orderBy("h", "doc_id")
+    )

@@ -85,11 +85,17 @@ def q25_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
+    # top-1 as MIN(struct(-c, cid)): argmax by (c desc, cid asc) expressed
+    # as an ordinary aggregate, so the per-pair relation partial-reduces
+    # map-side to one row per (partition, qid) — nothing but Q rows cross
+    # the exchange, where a ranking window would shuffle every scored
+    # pair and sort whole partitions. IEEE negation is exact, so the
+    # float compare matches the oracle's ORDER BY c DESC tie-broken
+    # by cid.
     return (
-        scored.select("qid", "cid", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("cid").alias("neighbor_id"))
+        scored.groupBy("qid")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("cid"))).alias("b"))
+        .select("qid", F.col("b.cid").alias("neighbor_id"))
         .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
 
@@ -481,20 +487,30 @@ def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         F.col("vec_id").alias("cid"),
         "label",
-        F.round(cosine("qv", "v"), 9).alias("c"),
+        (-F.round(cosine("qv", "v"), 9)).alias("nc"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
-    top = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-        .groupBy("qid", "label")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # One aggregate instead of two ranking windows: collect (−c, cid,
+    # label), sort ascending (= c desc, cid asc), slice the top k, then
+    # the majority vote is a row-local array expression — label with the
+    # largest count, ties to the smaller label, exactly the oracle's
+    # (n DESC, label) rank. Collapses rank-window → groupBy-count →
+    # vote-window (3 shuffling stages over every scored pair) into one
+    # shuffle keyed by qid.
+    vote = (
+        "array_min(transform(array_distinct(transform(top, x -> x.label)), "
+        "l -> named_struct('n', -size(filter(top, x -> x.label = l)), "
+        "'lab', l))).lab"
     )
-    wv = Window.partitionBy("qid").orderBy(F.col("n").desc(), "label")
     return (
-        top.withColumn("v", F.row_number().over(wv))
-        .filter(F.col("v") == 1)
-        .select("qid", F.col("label").alias("pred"))
+        scored.groupBy("qid")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("nc", "cid", "label"))),
+                1,
+                KNN_K,
+            ).alias("top")
+        )
+        .select("qid", F.expr(vote).alias("pred"))
         .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
 

@@ -348,3 +348,59 @@ def q105_lang_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .transform(lambda d: bounded_sort(d, "lang", "rk", barrier=True))
     )
+
+
+# Denylist for the scrub demonstration: terms chosen to actually occur in
+# the synthetic corpus so the redaction path is exercised, standing in
+# for a real deployment's PII patterns / banned-phrase list.
+SCRUB_TERMS = ("customer", "vector")
+SCRUB_MASK = "[redacted]"
+
+
+@register(
+    "txt_blocklist_scrub",
+    oracle="WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+    "FROM documents), "
+    "r AS (SELECT doc_id, "
+    "CAST(len(list_filter(t, x -> x IN ('customer', 'vector'))) AS BIGINT) "
+    "AS n_redacted, "
+    "md5(array_to_string(list_transform(t, x -> CASE WHEN x IN "
+    "('customer', 'vector') THEN '[redacted]' ELSE x END), ' ')) "
+    "AS clean_md5 FROM s) "
+    "SELECT doc_id, n_redacted, clean_md5 FROM r "
+    "WHERE n_redacted > 0 ORDER BY doc_id",
+    tags=("text", "pipeline", "redaction"),
+    doc="Blocklist redaction (the PII-scrub / banned-term shape every "
+    "training pipeline runs before release): tokens on the denylist are "
+    "replaced with a mask, and each document reports its redaction "
+    "count plus the md5 of the scrubbed text — the content proof that "
+    "both engines produced the identical cleaned document, not just the "
+    "same counts. Entirely row-local (tokenize, filter-count, "
+    "transform-mask, rejoin, hash — zero shuffles before the final "
+    "sort), so it is embarrassingly parallel at 100 TB; token-level "
+    "CASE matching rather than regex keeps the semantics identical "
+    "across engines (Java util.regex vs duckdb RE2 dialects diverge on "
+    "word-boundary classes). A real deployment swaps the IN-list for "
+    "broadcast-joined pattern tables or an Arrow-batched NER pass; the "
+    "dataflow shape is unchanged.",
+)
+def txt_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    in_list = ", ".join(f"'{t}'" for t in SCRUB_TERMS)
+    # one SQL-fragment parse (see functions/vectors.py note on py4j
+    # round-trips); t is bound by the outer lateral-style select below
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens("text").alias("t")
+    )
+    scrubbed = d.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(filter(t, x -> x IN ({in_list}))) as bigint)"
+        ).alias("n_redacted"),
+        F.expr(
+            f"md5(array_join(transform(t, x -> CASE WHEN x IN ({in_list}) "
+            f"THEN '{SCRUB_MASK}' ELSE x END), ' '))"
+        ).alias("clean_md5"),
+    )
+    return bounded_sort(
+        scrubbed.filter(F.col("n_redacted") > 0), "doc_id", barrier=True
+    )

@@ -138,7 +138,11 @@ _R03_RECHECK = (
                               # tokenize-explode-aggregate pipeline)
     "q22_json_extract",       # from_json single-parse + pre-sort exchange
     "q25_ann_bruteforce",     # per-vector norm factoring changes the
-                              # cosine float expression (last-ulp rank risk)
+                              # cosine float expression (last-ulp rank
+                              # risk); top-1 now a min(struct) aggregate
+    "q73_knn_classify",       # two ranking windows fused into one
+                              # collect-sort-slice aggregate + row-local
+                              # vote expression
     "q43_group_zscore",       # presort barrier ahead of the final sort
     "q42_grouped_udaf_geomean",  # pre-shuffle projection
 )
@@ -153,6 +157,7 @@ _R03_RECHECK = (
 # remain covered by the committed three-sf self-sweeps.
 _R03_DEFER = frozenset(
     {
+        "q103_event_pattern",
         "q105_lang_top_bigrams",
         "q106_full_outer_reconcile",
         "q107_range_frame_agg",
@@ -163,6 +168,9 @@ _R03_DEFER = frozenset(
         "q102_rollup_merge",
         "idx_bm25_serve",
         "st10_stream_static_enrich",
+        "idx_postings_merge",
+        "q110_train_shard_shuffle",
+        "txt_blocklist_scrub",
     }
 )
 

@@ -115,3 +115,76 @@ def test_store_freshness_reports_zero_drift(spark, sf_dir):
         "postings": 0,
         "term_rows": 0,
     }
+
+
+def test_postings_merge_equals_rebuild(spark, sf_dir):
+    # merging base+delta postings must equal a from-scratch build over
+    # the full corpus — same tokens, same df, same posting-list content
+    from bigdataindexing_spark.index.build import postings
+    from bigdataindexing_spark.tables import table as _table
+
+    merged = {
+        r.token: (r.df, r.n_ids, r.ids_md5)
+        for r in SPECS["idx_postings_merge"].builder(spark, sf_dir).collect()
+    }
+    full = postings(_table(spark, sf_dir, "documents")).collect()
+    assert set(merged) == {r.token for r in full}
+    for r in full:
+        df, n_ids, _ = merged[r.token]
+        assert df == r.df and n_ids == len(r.doc_ids)
+        # df counts documents: the posting list length must equal it
+        assert df == n_ids
+
+
+def test_train_shard_shuffle_reshuffles_by_epoch(spark, sf_dir):
+    out = SPECS["q110_train_shard_shuffle"].builder(spark, sf_dir)
+    rows = out.collect()
+    from bigdataindexing_spark.tables import table as _table
+
+    n_docs = _table(spark, sf_dir, "documents").count()
+    # a permutation of the corpus: every doc exactly once
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    # shard is the first hex nibble of h, so the global h-order is
+    # shard-contiguous (a trainer reads its shard as one output run)
+    shards = [r.shard for r in rows]
+    first_seen = {}
+    for i, s in enumerate(shards):
+        first_seen.setdefault(s, i)
+    assert shards == sorted(shards, key=lambda s: first_seen[s])
+    # deterministic: rebuilding yields the identical order
+    again = [
+        r.doc_id
+        for r in SPECS["q110_train_shard_shuffle"].builder(spark, sf_dir).collect()
+    ]
+    assert again == [r.doc_id for r in rows]
+
+
+def test_blocklist_scrub_masks_all_listed_terms(spark, sf_dir):
+    from bigdataindexing_spark.operators.text_analysis import SCRUB_MASK, SCRUB_TERMS
+    from bigdataindexing_spark.functions.text import tokens as _tokens
+    from bigdataindexing_spark.tables import table as _table
+
+    out = SPECS["txt_blocklist_scrub"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "denylist terms must occur in the corpus"
+    # n_redacted matches an independent count of denylist hits per doc
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                _tokens("text"), lambda t: t.isin(*SCRUB_TERMS)
+            )
+        ).alias("n"),
+    )
+    expected = {r.doc_id: r.n for r in docs.filter(F.col("n") > 0).collect()}
+    assert {r.doc_id: r.n_redacted for r in rows} == expected
+    # the scrubbed text hash differs from the raw text hash exactly when
+    # something was redacted
+    raw = {
+        r.doc_id: r.m
+        for r in _table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.lower("text")).alias("m"))
+        .collect()
+    }
+    assert all(raw[r.doc_id] != r.clean_md5 for r in rows)

@@ -696,3 +696,91 @@ def q104_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Incremental ingest dedup: the arriving batch is defined deterministically
+# as every 20th document (doc_id % 20 == 7) so the operator is scale-free
+# and oracle-expressible; a real pipeline substitutes the micro-batch ids.
+DELTA_MOD = 20
+DELTA_REM = 7
+
+_DELTA_SQL = (
+    "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2), "
+    "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ss FROM tok WHERE len(t) >= 3), "
+    "u AS (SELECT doc_id, UNNEST(ss) AS s FROM sh), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id), "
+    f"d AS (SELECT * FROM u WHERE doc_id % {DELTA_MOD} = {DELTA_REM}), "
+    f"base AS (SELECT * FROM u WHERE doc_id % {DELTA_MOD} <> {DELTA_REM}), "
+    "inter AS (SELECT d.doc_id AS dd, base.doc_id AS db, COUNT(*) AS i "
+    "FROM d JOIN base ON d.s = base.s GROUP BY 1, 2) "
+    "SELECT dd AS delta_id, db AS base_id, "
+    "ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac "
+    "FROM inter JOIN sizes sa ON sa.doc_id = dd "
+    "JOIN sizes sb ON sb.doc_id = db "
+    f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU} "
+    "ORDER BY delta_id, base_id"
+)
+
+
+@register(
+    "dedup_delta_vs_corpus",
+    oracle=_DELTA_SQL,
+    tags=("dedup", "incremental"),
+    doc="Ingest-time incremental near-dup screen: an arriving delta batch "
+    "(every 20th doc, a stand-in for the micro-batch) is checked against "
+    "the EXISTING corpus signature store at O(delta) cost — the delta's "
+    "band buckets are computed fresh and BROADCAST against the corpus "
+    "band relation, so the corpus is touched once by an equi-join probe "
+    "and never re-banded pair-to-pair. Survivor candidates are verified "
+    "with exact shingle Jaccard (tau=0.2). This is the batch twin of the "
+    "streaming LSH dedup (streaming/lsh_dedup.py) and the reason the "
+    "signature store exists: corpus-side work is amortized across every "
+    "arriving batch, the per-batch cost is bands(delta) + candidate "
+    "verification — at 100 TB the delta never triggers a corpus rescan. "
+    "Oracle: exact delta-vs-base shingle Jaccard in SQL (recall 1 on "
+    "this corpus, same contract as dedup_minhash_lsh).",
+)
+def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = shingle_sig_store(spark, sf_dir)
+    is_delta = (F.col("doc_id") % DELTA_MOD) == DELTA_REM
+    n_bands = NUM_MINHASHES // BAND_ROWS
+    row_refs = ", ".join(
+        f"sig[b * {BAND_ROWS} + {r}]" for r in range(BAND_ROWS)
+    )
+    band_hashes = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> hash({row_refs}))"
+    )
+    bands = store.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    delta_bands = bands.filter(is_delta).select(
+        F.col("doc_id").alias("delta_id"), "band", "bucket"
+    )
+    base_bands = bands.filter(~is_delta).select(
+        F.col("doc_id").alias("base_id"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        base_bands.join(
+            F.broadcast(delta_bands),
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b")),
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    verified = _jaccard_pairs(
+        store.select("doc_id", "shingles"),
+        pairs=cand.select(
+            F.col("delta_id").alias("doc_a"), F.col("base_id").alias("doc_b")
+        ),
+    )
+    # _jaccard_pairs already orders by (doc_a, doc_b) = (delta_id, base_id);
+    # the rename is a narrow projection that preserves that order
+    return verified.select(
+        F.col("doc_a").alias("delta_id"),
+        F.col("doc_b").alias("base_id"),
+        "jac",
+    )

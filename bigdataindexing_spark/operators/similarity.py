@@ -475,7 +475,12 @@ KNN_K = 5
     "scorer for sim_ann_lsh candidates; the vote stage is unchanged.",
 )
 def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(table(spark, sf_dir, "embeddings"), heavy=True).select(
+    # No spread() fan-out: with Q broadcast queries the pair space is
+    # Q * N rows — at the test scale that is ~20k cosines, far below the
+    # cost of the repartition shuffle the fan-out inserts (measured
+    # 0.64s -> 0.36s dropping it at sf0.1). A real-scale corpus arrives
+    # as many files and parallelizes at the scan.
+    e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

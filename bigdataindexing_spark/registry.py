@@ -228,7 +228,7 @@ def _ensure_loaded() -> None:
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401
     from bigdataindexing_spark.index import rollup, search  # noqa: F401
-    from bigdataindexing_spark.sources import json_ingest  # noqa: F401
+    from bigdataindexing_spark.sources import json_ingest, skipping  # noqa: F401
     from bigdataindexing_spark.streaming import (  # noqa: F401
         lsh_dedup,
         queries,

@@ -1,0 +1,57 @@
+"""File-level min/max skipping: the manifest must actually prune files,
+and pruning must not change results (same contract as salting: a pure
+execution/I-O change)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.sources import skipping
+from bigdataindexing_spark.tables import table
+
+
+def test_manifest_covers_every_file(spark, sf_dir):
+    import os
+
+    layout = skipping.clustered_lineitem_dir(spark, sf_dir)
+    files = [f for f in os.listdir(layout) if f.endswith(".parquet")]
+    manifest = skipping.file_stats_manifest(
+        spark, [os.path.join(layout, f) for f in files], "l_shipdate", "date"
+    )
+    rows = manifest.collect()
+    assert len(rows) == len(files)
+    total = sum(r["num_rows"] for r in rows)
+    assert total == table(spark, sf_dir, "lineitem").count()
+    assert all(r["min_v"] <= r["max_v"] for r in rows)
+
+
+def test_range_query_prunes_files(spark, sf_dir):
+    layout = skipping.clustered_lineitem_dir(spark, sf_dir)
+    keep, total = skipping.pruned_files(
+        spark, layout, "l_shipdate", "date", skipping.SKIP_LO, skipping.SKIP_HI
+    )
+    # the clustered layout puts a 3-month slice of a ~7-year domain in a
+    # strict subset of the files
+    assert 0 < len(keep) < total
+
+
+def test_pruned_result_equals_full_scan(spark, sf_dir):
+    pruned = skipping.q111_minmax_skipping(spark, sf_dir).collect()
+    full = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit(skipping.SKIP_LO), F.lit(skipping.SKIP_HI)
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert pruned == full

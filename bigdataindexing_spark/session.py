@@ -48,6 +48,14 @@ def get_spark(
         # Python generator, is the dominant cost at scale)
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Static conf, default 100: the generated-class cache is keyed by
+        # plan source, and a workload with >100 distinct plans (this
+        # engine's query registry alone has ~160) evicts round-robin, so
+        # every query pays janino recompilation (~50-300ms) on each
+        # re-execution. Sized above the registry so repeated plans reuse
+        # their compiled classes — the same win on a long-lived serving
+        # cluster running a mixed query workload.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # TIMESTAMP(NANOS) parquet columns (events.ts) read as raw-nanos
         # LONG session-wide; tables.table() applies the micros transform.
         # Set here so the semantics are fixed at session creation rather

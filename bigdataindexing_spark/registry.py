@@ -70,7 +70,7 @@ _R01_VERIFIED = frozenset(
         "q27_map_functions", "q26_token_count", "txt_quality_score",
         "txt_langid", "txt_fingerprint", "txt_bpe_tokens", "txt_normalize",
         "q24_distinct_text_count", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_simhash_pairs",
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
         "q25_ann_bruteforce", "sim_cosine_neardup",
     }
 )
@@ -116,6 +116,12 @@ _R03_PRIORITY = (
     "q89_sql_tpch_q20", "q91_centroid_outliers", "q95_profile_columns",
     "q97_chunk_windows", "udtf_char_shingles", "idx_bm25_search",
     "st8_stream_stream_join", "st9_stream_lsh_dedup",
+    # First-time rows for operators added or rebuilt this round: the
+    # sharded greedy-cumsum variants (VERDICT r2 #5 asks for green rows),
+    # the manifest-served data-skipping scan, and the store-served
+    # postings merge (both rebuilt onto session-materialized state).
+    "q98_sequence_pack_sharded", "q99_budget_select_sharded",
+    "q111_minmax_skipping", "idx_postings_merge",
 )
 
 # Verified queries whose builder or oracle CHANGED this round: a green row
@@ -168,7 +174,6 @@ _R03_DEFER = frozenset(
         "q102_rollup_merge",
         "idx_bm25_serve",
         "st10_stream_static_enrich",
-        "idx_postings_merge",
         "q110_train_shard_shuffle",
         "txt_blocklist_scrub",
     }

@@ -149,14 +149,21 @@ def pruned_files(
     manifest — pure driver-side work over O(files) rows, no Spark job
     (the scan-planning step of a table format's data skipping)."""
     _path, manifest = clustered_lineitem_layout(spark, sf_dir)
-    keep = [
+    keep = manifest_keep(manifest, lo, hi)
+    return keep, len(manifest)
+
+
+def manifest_keep(manifest: list[dict], lo, hi) -> list[str]:
+    """Files the range predicate cannot rule out. A file with absent
+    stats CANNOT be pruned — skipping may only drop files proven
+    non-overlapping (the conservative contract every table format
+    honors; dropping an unproven file would change results)."""
+    return [
         m["file"]
         for m in manifest
-        if m["min_v"] is not None
-        and str(m["min_v"]) <= hi
-        and str(m["max_v"]) >= lo
+        if m["min_v"] is None
+        or (str(m["min_v"]) <= hi and str(m["max_v"]) >= lo)
     ]
-    return keep, len(manifest)
 
 
 SKIP_LO = "1995-06-01"

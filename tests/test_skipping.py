@@ -34,6 +34,16 @@ def test_range_query_prunes_files(spark, sf_dir):
     assert 0 < len(keep) < total
 
 
+def test_absent_stats_never_pruned():
+    manifest = [
+        {"file": "a", "min_v": "1995-01-01", "max_v": "1995-03-31"},
+        {"file": "b", "min_v": None, "max_v": None},
+        {"file": "c", "min_v": "1996-01-01", "max_v": "1996-03-31"},
+    ]
+    keep = skipping.manifest_keep(manifest, "1995-02-01", "1995-02-28")
+    assert keep == ["a", "b"]  # b unproven -> kept; c proven-out -> pruned
+
+
 def test_manifest_cached_with_layout(spark, sf_dir):
     # planning consults the cached manifest: no new Spark job per query
     skipping.clustered_lineitem_layout(spark, sf_dir)

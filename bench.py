@@ -105,21 +105,22 @@ def main() -> None:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     _warmup(spark, sf_dir)
 
-    # Each query is timed in THREE full passes over the whole suite (fresh
+    # Each query is timed in FOUR full passes over the whole suite (fresh
     # build + clearCache per run, so all data is recomputed every time) and
     # the per-query min is reported. Separated passes decorrelate the
     # measurements from transient system noise (GC, JIT, co-tenant CPU —
     # measured ±20% run-to-run on this host at idle): a slow patch
-    # inflates one pass, the others recover the signal; three passes also
-    # guarantee at least two serve-only samples for the session-
-    # materialized stores (rollup, LSH/shingle/SimHash signatures), whose
+    # inflates one pass, the others recover the signal; four passes also
+    # guarantee at least three serve-only samples for the session-
+    # materialized stores (rollup, LSH/shingle/SimHash signatures, the
+    # search-index and base-postings stores, the clustered layout), whose
     # one-time build is charged to the first pass by design.
     # The timed region starts BEFORE spec.builder(): any work a builder does
     # eagerly (e.g. q44_rollup_serve materializing the hourly rollup) counts
     # toward its number instead of hiding in untimed setup.
     timings: dict[str, float] = {}
     n_run = 0
-    for _pass in range(3):
+    for _pass in range(4):
         for name, spec in sorted(registry.all_specs().items()):
             if not spec.bench:
                 continue
@@ -142,7 +143,7 @@ def main() -> None:
             # every 15 queries keeps measurements independent, the same
             # role JMH's forked-JVM-per-benchmark isolation plays.
             n_run += 1
-            if n_run % 15 == 0:
+            if n_run % 10 == 0:
                 spark.sparkContext._jvm.System.gc()
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
@@ -282,7 +283,7 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
     }
 
 
-def _duckdb_timings(sf_dir: str, passes: int = 2) -> dict[str, float]:
+def _duckdb_timings(sf_dir: str, passes: int = 3) -> dict[str, float]:
     """Best-of-N duckdb wall-clock for every benched query with an oracle."""
     import duckdb
 

@@ -212,3 +212,218 @@ def q111_minmax_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
+
+
+# --- Z-order (multi-column) skipping ----------------------------------
+# One clustering column gives one prunable dimension (the layout above);
+# a Z-ORDER layout interleaves the bit-ranks of TWO columns so each file
+# covers a small rectangle of the (l_shipdate, l_quantity) plane and a
+# conjunctive range predicate prunes on BOTH — the Databricks OPTIMIZE
+# ZORDER / Iceberg sort-order technique. Each column is quantized to a
+# 6-bit equal-width bucket (row-local arithmetic; production systems use
+# range ranks from column quantiles for skewed domains — same interleave
+# afterwards), the 12-bit z-value range-partitions the write, and the
+# manifest records per-file min/max of BOTH raw columns, so pruning
+# correctness never depends on the bucketing at all.
+
+Z_BITS = 6
+Z_FILES = 16
+# Table-level layout metadata (in a real system: from column stats).
+Z_DATE_EPOCH = "1995-01-01"
+Z_DATE_SPAN = 2500  # days covered by the lineitem shipdate domain
+Z_QTY_MAX = 50
+
+_ZORDER_DIR: dict[tuple[str, str], tuple[str, list[dict]]] = {}
+
+
+def _zvalue(d_bucket, q_bucket):
+    """Bit-interleave two Z_BITS-wide bucket columns (row-local)."""
+    import functools
+    import operator
+
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(
+            F.shiftleft(
+                F.shiftright(d_bucket, i).bitwiseAND(F.lit(1)).cast("long"),
+                2 * i + 1,
+            )
+        )
+        terms.append(
+            F.shiftleft(
+                F.shiftright(q_bucket, i).bitwiseAND(F.lit(1)).cast("long"),
+                2 * i,
+            )
+        )
+    return functools.reduce(operator.add, terms)
+
+
+def _footer_stats_multi(cols: list[str]):
+    """mapInPandas worker: per-file (path, rows, min_i/max_i per col) from
+    Parquet footer metadata only."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["file"]:
+                meta = pq.ParquetFile(path).metadata
+                row = {"file": path, "num_rows": meta.num_rows}
+                for ci, col in enumerate(cols):
+                    idx = meta.schema.names.index(col)
+                    mins, maxs = [], []
+                    for g in range(meta.num_row_groups):
+                        st = meta.row_group(g).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    row[f"min_{ci}"] = min(mins) if mins else None
+                    row[f"max_{ci}"] = max(maxs) if maxs else None
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def file_stats_manifest_multi(
+    spark: SparkSession, files: list[str], cols: list[str], value_types: list[str]
+) -> DataFrame:
+    paths = spark.createDataFrame([(f,) for f in sorted(files)], "file string")
+    stat_cols = ", ".join(
+        f"min_{i} {t}, max_{i} {t}" for i, t in enumerate(value_types)
+    )
+    return paths.mapInPandas(
+        _footer_stats_multi(cols), f"file string, num_rows bigint, {stat_cols}"
+    )
+
+
+def zorder_lineitem_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list[dict]]:
+    """Materialize (once per session) lineitem Z-ordered on
+    (l_shipdate, l_quantity), plus a two-column stats manifest."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ZORDER_DIR.get(key)
+    if cached is not None:
+        return cached
+    path = tempfile.mkdtemp(prefix="bdi_zorder_lineitem_")
+    n_buckets = 1 << Z_BITS
+    d_bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            (
+                F.datediff(F.col("l_shipdate"), F.lit(Z_DATE_EPOCH))
+                * n_buckets
+                / Z_DATE_SPAN
+            ).cast("int"),
+        ),
+    )
+    q_bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            (F.col("l_quantity") * n_buckets / (Z_QTY_MAX + 1)).cast("int"),
+        ),
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .withColumn("_z", _zvalue(d_bucket, q_bucket))
+        .repartitionByRange(Z_FILES, F.col("_z"))
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    manifest = [
+        r.asDict()
+        for r in file_stats_manifest_multi(
+            spark, files, ["l_shipdate", "l_quantity"], ["date", "double"]
+        ).collect()
+    ]
+    _ZORDER_DIR[key] = (path, manifest)
+    return path, manifest
+
+
+def manifest_keep_multi(manifest: list[dict], preds: list[tuple[int, object, object]]) -> list[str]:
+    """Files no predicate dimension can rule out. ``preds`` is a list of
+    (column index, lo, hi) with bounds of the SAME python type the stats
+    carry (datetime.date for dates, int for integers). A file is pruned
+    only when some dimension PROVES disjointness; absent stats keep the
+    file (same conservative contract as manifest_keep)."""
+    keep = []
+    for m in manifest:
+        pruned = False
+        for ci, lo, hi in preds:
+            mn, mx = m.get(f"min_{ci}"), m.get(f"max_{ci}")
+            if mn is not None and (mn > hi or mx < lo):
+                pruned = True
+                break
+        if not pruned:
+            keep.append(m["file"])
+    return keep
+
+
+ZQ_DATE_LO = "1996-01-01"
+ZQ_DATE_HI = "1996-03-31"
+ZQ_QTY_LO = 1
+ZQ_QTY_HI = 10
+
+
+@register(
+    "q112_zorder_skipping",
+    oracle="SELECT l_returnflag, COUNT(*) AS cnt, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    f"FROM lineitem WHERE l_shipdate BETWEEN DATE '{ZQ_DATE_LO}' "
+    f"AND DATE '{ZQ_DATE_HI}' AND l_quantity BETWEEN {ZQ_QTY_LO} AND "
+    f"{ZQ_QTY_HI} GROUP BY l_returnflag ORDER BY l_returnflag",
+    tags=("source", "skipping", "layout", "zorder"),
+    doc="Multi-column data skipping via a Z-ORDER clustered layout "
+    "(Databricks OPTIMIZE ZORDER / Iceberg sort-order re-expressed in "
+    "plain Spark): l_shipdate and l_quantity are quantized to 6-bit "
+    "buckets row-locally, bit-interleaved into a z-value, and lineitem "
+    "is range-partitioned on z at write time — each file then covers a "
+    "small RECTANGLE of the (date, quantity) plane, so this conjunctive "
+    "two-range query prunes files on BOTH dimensions from the cached "
+    "two-column manifest (driver-side plan-time consult, like "
+    "q111_minmax_skipping; a single-column layout can never prune on "
+    "the second predicate — tests/test_skipping.py proves the "
+    "difference). The predicate is re-applied to surviving rows, so "
+    "pruning stays a pure I/O reduction; oracle is the plain full-scan "
+    "SQL.",
+)
+def q112_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    _path, manifest = zorder_lineitem_layout(spark, sf_dir)
+    keep = manifest_keep_multi(
+        manifest,
+        [
+            (
+                0,
+                _dt.date.fromisoformat(ZQ_DATE_LO),
+                _dt.date.fromisoformat(ZQ_DATE_HI),
+            ),
+            (1, ZQ_QTY_LO, ZQ_QTY_HI),
+        ],
+    )
+    src = spark.read.parquet(*keep) if keep else spark.read.parquet(_path)
+    return (
+        src.filter(
+            F.col("l_shipdate").between(F.lit(ZQ_DATE_LO), F.lit(ZQ_DATE_HI))
+            & F.col("l_quantity").between(F.lit(ZQ_QTY_LO), F.lit(ZQ_QTY_HI))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .transform(lambda d: bounded_sort(d, "l_returnflag"))
+    )

@@ -53,6 +53,69 @@ def test_manifest_cached_with_layout(spark, sf_dir):
     assert before == after
 
 
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    import datetime as dt
+
+    _path, manifest = skipping.zorder_lineitem_layout(spark, sf_dir)
+    date_pred = (
+        0,
+        dt.date.fromisoformat(skipping.ZQ_DATE_LO),
+        dt.date.fromisoformat(skipping.ZQ_DATE_HI),
+    )
+    qty_pred = (1, skipping.ZQ_QTY_LO, skipping.ZQ_QTY_HI)
+    total = len(manifest)
+    both = skipping.manifest_keep_multi(manifest, [date_pred, qty_pred])
+    qty_only = skipping.manifest_keep_multi(manifest, [qty_pred])
+    assert 0 < len(both) < total
+    # the second dimension prunes BY ITSELF on the z-layout...
+    assert len(qty_only) < total
+    # ...which a single-column (date-clustered) layout can never do:
+    # every date-clustered file spans the full quantity domain
+    import os
+
+    layout = skipping.clustered_lineitem_dir(spark, sf_dir)
+    files = [
+        os.path.join(layout, f)
+        for f in os.listdir(layout)
+        if f.endswith(".parquet")
+    ]
+    date_manifest = [
+        r.asDict()
+        for r in skipping.file_stats_manifest_multi(
+            spark, files, ["l_shipdate", "l_quantity"], ["date", "double"]
+        ).collect()
+    ]
+    nonempty = [m for m in date_manifest if m["num_rows"] > 0]
+    assert len(skipping.manifest_keep_multi(nonempty, [qty_pred])) == len(
+        nonempty
+    )
+
+
+def test_zorder_result_equals_full_scan(spark, sf_dir):
+    pruned = skipping.q112_zorder_skipping(spark, sf_dir).collect()
+    full = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit(skipping.ZQ_DATE_LO), F.lit(skipping.ZQ_DATE_HI)
+            )
+            & F.col("l_quantity").between(
+                F.lit(skipping.ZQ_QTY_LO), F.lit(skipping.ZQ_QTY_HI)
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert pruned == full
+
+
 def test_pruned_result_equals_full_scan(spark, sf_dir):
     pruned = skipping.q111_minmax_skipping(spark, sf_dir).collect()
     full = (

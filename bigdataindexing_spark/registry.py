@@ -233,7 +233,11 @@ def _ensure_loaded() -> None:
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401
     from bigdataindexing_spark.index import rollup, search  # noqa: F401
-    from bigdataindexing_spark.sources import json_ingest, skipping  # noqa: F401
+    from bigdataindexing_spark.sources import (  # noqa: F401
+        json_ingest,
+        maintenance,
+        skipping,
+    )
     from bigdataindexing_spark.streaming import (  # noqa: F401
         lsh_dedup,
         queries,

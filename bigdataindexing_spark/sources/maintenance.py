@@ -1,0 +1,218 @@
+"""Layout maintenance: incremental append and small-file compaction for
+the clustered, manifest-backed layouts in ``sources/skipping.py``.
+
+A 100 TB table is never rewritten; it is MAINTAINED:
+
+- **Append**: each arriving batch lands as new files clustered the same
+  way as the base layout, and the manifest grows by exactly the new
+  files' footer stats — the add-file-log semantics of a table format.
+  Old files are never re-read and never re-harvested.
+- **Compact**: streaming/batch appends accumulate small files, which tax
+  listing, footers, and task scheduling. Compaction bin-packs ONLY the
+  small files, rewriting them range-clustered so the layout keeps its
+  skipping power; full-size files are left untouched (rewrite cost is
+  proportional to the small-file backlog, not the table).
+
+Both operations return the updated manifest, so planning stays a pure
+driver-side consult (``skipping.manifest_keep``) with no Spark job — the
+same contract the read path already honors. The reference has no
+analogue (its Redis keyspace has no layout at all); this is the
+operational layer any lakehouse deployment of this engine needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.sources.skipping import file_stats_manifest
+
+
+def _layout_files(layout_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(layout_dir, f)
+        for f in os.listdir(layout_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def append_to_layout(
+    spark: SparkSession,
+    layout_dir: str,
+    manifest: list[dict],
+    batch: DataFrame,
+    col: str,
+    value_type: str,
+    n_files: int = 2,
+) -> list[dict]:
+    """Append ``batch`` as ``n_files`` new range-clustered files and
+    return the extended manifest.
+
+    Only the NEW files are footer-harvested — the existing manifest rows
+    are reused verbatim, so append cost is O(batch) + O(new files),
+    independent of table size. (Spark's append commits through a staged
+    _temporary dir, so a crashed append leaves no visible new files and
+    the old manifest stays consistent.)"""
+    before = set(_layout_files(layout_dir))
+    (
+        batch.repartitionByRange(n_files, F.col(col))
+        .write.mode("append")
+        .parquet(layout_dir)
+    )
+    new_files = [f for f in _layout_files(layout_dir) if f not in before]
+    added = [
+        r.asDict()
+        for r in file_stats_manifest(spark, new_files, col, value_type).collect()
+    ]
+    return manifest + added
+
+
+def compact_layout(
+    spark: SparkSession,
+    layout_dir: str,
+    manifest: list[dict],
+    col: str,
+    value_type: str,
+    small_rows: int,
+    target_files: int,
+) -> list[dict]:
+    """Rewrite every file under ``small_rows`` into ``target_files``
+    range-clustered files; leave full-size files untouched.
+
+    The rewrite reads ONLY the small files (one bounded Spark job) and
+    re-clusters them on the layout column so the compacted files keep
+    narrow min/max ranges. Nothing is deleted here: the MANIFEST is the
+    log — readers plan from it, never from a directory listing — so the
+    returned manifest (untouched rows verbatim + fresh stats for the
+    compacted files) is the atomic swap, and the superseded small files
+    become unreferenced garbage for ``vacuum_layout`` to reclaim later.
+    Delta's OPTIMIZE/VACUUM split, for the same crash-safety reason: a
+    failure at any point leaves either the old manifest (compacted files
+    are invisible orphans) or the new one (small files are orphans) —
+    never a reader that can see half a swap."""
+    small = [m for m in manifest if m["num_rows"] < small_rows]
+    if len(small) <= target_files:
+        return manifest  # nothing to gain
+    keep_rows = [m for m in manifest if m["num_rows"] >= small_rows]
+    small_files = [m["file"] for m in small]
+
+    before = set(_layout_files(layout_dir))
+    (
+        spark.read.parquet(*small_files)
+        .repartitionByRange(target_files, F.col(col))
+        .write.mode("append")
+        .parquet(layout_dir)
+    )
+    new_files = [f for f in _layout_files(layout_dir) if f not in before]
+    added = [
+        r.asDict()
+        for r in file_stats_manifest(spark, new_files, col, value_type).collect()
+    ]
+    return keep_rows + added
+
+
+def vacuum_layout(layout_dir: str, manifest: list[dict]) -> int:
+    """Delete files the manifest no longer references (superseded by a
+    compaction); returns how many were removed. Safe to run any time
+    AFTER the new manifest is adopted — the read path never lists the
+    directory, so unreferenced files are dead weight, not data."""
+    live = {m["file"] for m in manifest}
+    removed = 0
+    for f in _layout_files(layout_dir):
+        if f not in live:
+            os.remove(f)
+            removed += 1
+    return removed
+
+
+# (applicationId, sf_dir) -> (layout_dir, manifest) AFTER the full
+# append -> compact -> vacuum cycle, built once per session.
+_MAINTAINED: dict[tuple[str, str], tuple[str, list[dict]]] = {}
+
+MAINT_LO = "1996-01-01"
+MAINT_HI = "1996-03-31"
+
+
+def _maintained_layout(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from bigdataindexing_spark.tables import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MAINTAINED.get(key)
+    if cached is not None:
+        return cached
+    path = tempfile.mkdtemp(prefix="bdi_maint_serve_")
+    li = table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    (
+        base.repartitionByRange(4, F.col("l_shipdate"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest = [
+        r.asDict()
+        for r in file_stats_manifest(
+            spark, _layout_files(path), "l_shipdate", "date"
+        ).collect()
+    ]
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    manifest = append_to_layout(
+        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    small = max(m["num_rows"] for m in manifest)
+    manifest = compact_layout(
+        spark, path, manifest, "l_shipdate", "date",
+        small_rows=small, target_files=1,
+    )
+    vacuum_layout(path, manifest)
+    _MAINTAINED[key] = (path, manifest)
+    return path, manifest
+
+
+def _register() -> None:
+    from bigdataindexing_spark.registry import register
+    from bigdataindexing_spark.sources.skipping import manifest_keep
+    from bigdataindexing_spark.tables import bounded_sort
+
+    @register(
+        "src_layout_maintenance",
+        oracle="SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) "
+        "AS total_rows, CAST((SELECT COUNT(*) FROM lineitem WHERE "
+        f"l_shipdate BETWEEN DATE '{MAINT_LO}' AND DATE '{MAINT_HI}') "
+        "AS BIGINT) AS window_rows",
+        tags=("source", "layout", "maintenance", "ops"),
+        bench=False,  # exercises a write/compact cycle, not a query plan;
+        # a duckdb-ratio for it would compare a table rewrite to a SELECT
+        doc="End-to-end layout maintenance contract: base write -> "
+        "incremental append (manifest extends by exactly the new files' "
+        "footer stats) -> small-file compaction (range-clustered rewrite "
+        "of only the small files) -> vacuum (drop manifest-unreferenced "
+        "files). The result is read back THROUGH the maintained manifest "
+        "— total rows and a skipping-pruned window count must equal the "
+        "source-of-truth scan (the oracle), proving the maintained "
+        "layout serves exactly the table at every step. The manifest is "
+        "the commit log: readers never list the directory, so every "
+        "transition is an atomic manifest swap (Delta's OPTIMIZE/VACUUM "
+        "split).",
+    )
+    def src_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _path, manifest = _maintained_layout(spark, sf_dir)
+        all_files = [m["file"] for m in manifest]
+        keep = manifest_keep(manifest, MAINT_LO, MAINT_HI)
+        total = spark.read.parquet(*all_files).select(
+            F.count(F.lit(1)).alias("total_rows")
+        )
+        window = (
+            spark.read.parquet(*keep)
+            .filter(F.col("l_shipdate").between(MAINT_LO, MAINT_HI))
+            .select(F.count(F.lit(1)).alias("window_rows"))
+        )
+        return total.crossJoin(window).transform(
+            lambda d: bounded_sort(d, "total_rows")
+        )
+
+
+_register()

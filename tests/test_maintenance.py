@@ -1,0 +1,117 @@
+"""Layout maintenance: append extends the manifest incrementally,
+compaction shrinks the file count without losing rows or skipping
+power, vacuum removes exactly the superseded files."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.sources import maintenance, skipping
+from bigdataindexing_spark.tables import table
+
+
+@pytest.fixture()
+def layout(spark, sf_dir):
+    """A standalone shipdate-clustered layout over 80% of lineitem, plus
+    its manifest (the other 20% plays the arriving batch)."""
+    path = tempfile.mkdtemp(prefix="bdi_maint_layout_")
+    li = table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    (
+        base.repartitionByRange(4, F.col("l_shipdate"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    files = maintenance._layout_files(path)
+    manifest = [
+        r.asDict()
+        for r in skipping.file_stats_manifest(
+            spark, files, "l_shipdate", "date"
+        ).collect()
+    ]
+    return path, manifest, li
+
+
+def _total_rows(manifest):
+    return sum(m["num_rows"] for m in manifest)
+
+
+def test_append_extends_manifest_incrementally(spark, sf_dir, layout):
+    path, manifest, li = layout
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    n_delta = delta.count()
+    before_rows = {m["file"]: m for m in manifest}
+
+    new_manifest = maintenance.append_to_layout(
+        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    # old rows reused verbatim; only the new files were harvested
+    assert all(
+        new_manifest[i] == manifest[i] for i in range(len(manifest))
+    )
+    added = new_manifest[len(manifest):]
+    assert 0 < len(added) <= 2
+    assert all(m["file"] not in before_rows for m in added)
+    assert _total_rows(new_manifest) == _total_rows(manifest) + n_delta
+    # the layout now serves base+delta exactly
+    assert (
+        spark.read.parquet(*[m["file"] for m in new_manifest]).count()
+        == li.count()
+    )
+
+
+def test_compact_preserves_rows_and_skipping(spark, sf_dir, layout):
+    path, base_manifest, li = layout
+    # the appended delta files are the small-file backlog; threshold at
+    # the smallest BASE file so compaction touches exactly the deltas
+    small_rows = min(m["num_rows"] for m in base_manifest)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    manifest = maintenance.append_to_layout(
+        spark, path, base_manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    n_files_before = len(manifest)
+    total_before = _total_rows(manifest)
+    compacted = maintenance.compact_layout(
+        spark, path, manifest, "l_shipdate", "date",
+        small_rows=small_rows, target_files=1,
+    )
+    assert len(compacted) < n_files_before
+    assert _total_rows(compacted) == total_before
+    # skipping still prunes on the compacted manifest
+    keep = skipping.manifest_keep(compacted, "1996-01-01", "1996-03-31")
+    assert 0 < len(keep) < len(compacted)
+    got = (
+        spark.read.parquet(*keep)
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .count()
+    )
+    want = li.filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    ).count()
+    assert got == want
+
+    # vacuum removes exactly the superseded files; the manifest's view
+    # of the data is untouched
+    on_disk = len(maintenance._layout_files(path))
+    removed = maintenance.vacuum_layout(path, compacted)
+    assert removed == on_disk - len(compacted)
+    assert sorted(maintenance._layout_files(path)) == sorted(
+        m["file"] for m in compacted
+    )
+    assert (
+        spark.read.parquet(*[m["file"] for m in compacted]).count()
+        == total_before
+    )
+
+
+def test_compact_noop_when_nothing_small(spark, sf_dir, layout):
+    path, manifest, _li = layout
+    out = maintenance.compact_layout(
+        spark, path, manifest, "l_shipdate", "date",
+        small_rows=1, target_files=1,
+    )
+    assert out == manifest

@@ -824,3 +824,68 @@ def q110_train_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h", "doc_id")
     )
+
+
+# --- materialized sketch store -----------------------------------------
+# (applicationId, sf_dir) -> parquet dir of per-shard HLL sketches over
+# events(user_id) keyed by event_type. Built once per session: at 100 TB
+# each ingest shard summarizes its own users into a kilobyte-sized
+# Datasketches HLL once, and every later cardinality question is a union
+# of sketches — never a rescan of raw events. Sketch union is exact with
+# respect to the sketch (register-wise max, order-independent), so the
+# merged estimate EQUALS the single-pass estimate — the mergeability
+# contract tests/test_pipeline_ops.py asserts bit-for-bit.
+_SKETCH_STORE_DIR: dict[tuple[str, str], str] = {}
+
+SKETCH_SHARDS = 8
+
+
+def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SKETCH_STORE_DIR.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bdi_hll_store_")
+        (
+            table(spark, sf_dir, "events")
+            .withColumn(
+                "shard", (F.col("event_id") % SKETCH_SHARDS).cast("int")
+            )
+            .groupBy("shard", "event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _SKETCH_STORE_DIR[key] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "q113_hll_sketch_merge",
+    oracle=None,  # Datasketches HLL is not reproducible in duckdb; the
+    # mergeability and accuracy contracts live in tests/test_pipeline_ops.py
+    tags=("agg", "approx", "sketch", "serve"),
+    doc="Distinct users per event_type served from the MATERIALIZED HLL "
+    "sketch store: each ingest shard aggregated its users into a "
+    "Datasketches HLL once (store built per session, like the inverted "
+    "index); this query unions the per-shard sketches and reads the "
+    "estimate — cardinality over the whole corpus at sketch-union cost, "
+    "no rescan. Union is register-wise max, so the merged estimate is "
+    "IDENTICAL to a single-pass sketch of the same data (asserted "
+    "bit-for-bit in tests) and within HLL error of the exact count "
+    "(also asserted). This is how a 100 TB deployment answers rolling "
+    "cardinality questions; the exact path (q10) and the inline approx "
+    "path (q32) are its registered siblings.",
+)
+def q113_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = hll_sketch_store(spark, sf_dir)
+    return (
+        store.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_users"
+            )
+        )
+        .transform(lambda d: bounded_sort(d, "event_type"))
+    )

@@ -188,3 +188,40 @@ def test_blocklist_scrub_masks_all_listed_terms(spark, sf_dir):
         .collect()
     }
     assert all(raw[r.doc_id] != r.clean_md5 for r in rows)
+
+
+def test_hll_sketch_merge_equals_single_pass(spark, sf_dir):
+    """Sketch union is register-wise max: merging per-shard sketches must
+    give BIT-IDENTICAL estimates to one sketch over all the data, and
+    land within HLL error of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from bigdataindexing_spark.operators.pipeline import q113_hll_sketch_merge
+    from bigdataindexing_spark.tables import table
+
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in q113_hll_sketch_merge(spark, sf_dir).collect()
+    }
+    single = {
+        r["event_type"]: r["approx_users"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "approx_users"
+            )
+        )
+        .collect()
+    }
+    assert merged == single  # mergeability: union ≡ single pass, exactly
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, est in merged.items():
+        assert abs(est - exact[et]) <= max(3, 0.05 * exact[et])

@@ -133,14 +133,14 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             tables.release_pinned()  # drop builder-pinned relations by ref
             spark.catalog.clearCache()
-            # JVM hygiene OUTSIDE the timed region: ~140 distinct plans x 3
+            # JVM hygiene OUTSIDE the timed region: ~140 distinct plans x 4
             # passes leave broadcasts, shuffle state, and codegen classes
             # reachable until a full GC lets the ContextCleaner reap them
             # (its own periodic GC defaults to every 30 min — longer than
             # the whole suite). Without this, later queries measure the
             # accumulated drag of earlier ones: the same query runs 2-3x
             # slower inside the sweep than in isolation. One System.gc()
-            # every 15 queries keeps measurements independent, the same
+            # every 10 queries keeps measurements independent, the same
             # role JMH's forked-JVM-per-benchmark isolation plays.
             n_run += 1
             if n_run % 10 == 0:

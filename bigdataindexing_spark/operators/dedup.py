@@ -829,19 +829,13 @@ ORDER BY dup_frac DESC, doc_id LIMIT 100
     "shards to 100 TB.",
 )
 def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.functions.text import tokens
+    from bigdataindexing_spark.functions.text import tokens, word_shingles
 
     t = tokens("text")
-    spans_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (SPAN_N - 1)),
-            lambda i: F.array_join(F.slice(t, i, SPAN_N), " "),
-        )
-    )
     docs = pin(
         spread(table(spark, sf_dir, "documents"))
         .filter(F.size(t) >= SPAN_N)
-        .select("doc_id", spans_arr.alias("spans"))
+        .select("doc_id", word_shingles(t, SPAN_N).alias("spans"))
     )
     sp = docs.select("doc_id", F.explode("spans").alias("s"))
     shared = (

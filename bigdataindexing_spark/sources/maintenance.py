@@ -158,11 +158,14 @@ def _maintained_layout(spark: SparkSession, sf_dir: str):
             spark, _layout_files(path), "l_shipdate", "date"
         ).collect()
     ]
+    # threshold BELOW the smallest base file: compaction must touch only
+    # the appended small-file backlog, never rewrite the base layout
+    # (that is the module's whole contract)
+    small = min(m["num_rows"] for m in manifest)
     delta = li.filter(F.col("l_orderkey") % 5 == 0)
     manifest = append_to_layout(
         spark, path, manifest, delta, "l_shipdate", "date", n_files=2
     )
-    small = max(m["num_rows"] for m in manifest)
     manifest = compact_layout(
         spark, path, manifest, "l_shipdate", "date",
         small_rows=small, target_files=1,

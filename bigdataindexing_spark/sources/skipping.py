@@ -153,17 +153,33 @@ def pruned_files(
     return keep, len(manifest)
 
 
+def _coerce_bound(bound, stat):
+    """Give ``bound`` the stat's type so comparisons are typed, never
+    lexicographic: an ISO string bound against a date stat parses to a
+    date; numeric stats expect numeric bounds and pass through (a string
+    bound against an int stat would mis-prune — '9' > '10')."""
+    import datetime as _dt
+
+    if isinstance(stat, _dt.datetime) and isinstance(bound, str):
+        return _dt.datetime.fromisoformat(bound)
+    if isinstance(stat, _dt.date) and isinstance(bound, str):
+        return _dt.date.fromisoformat(bound)
+    return bound
+
+
 def manifest_keep(manifest: list[dict], lo, hi) -> list[str]:
     """Files the range predicate cannot rule out. A file with absent
     stats CANNOT be pruned — skipping may only drop files proven
     non-overlapping (the conservative contract every table format
     honors; dropping an unproven file would change results)."""
-    return [
-        m["file"]
-        for m in manifest
-        if m["min_v"] is None
-        or (str(m["min_v"]) <= hi and str(m["max_v"]) >= lo)
-    ]
+    out = []
+    for m in manifest:
+        mn, mx = m["min_v"], m["max_v"]
+        if mn is None or (
+            mn <= _coerce_bound(hi, mn) and mx >= _coerce_bound(lo, mx)
+        ):
+            out.append(m["file"])
+    return out
 
 
 SKIP_LO = "1995-06-01"
@@ -352,16 +368,19 @@ def zorder_lineitem_layout(
 
 def manifest_keep_multi(manifest: list[dict], preds: list[tuple[int, object, object]]) -> list[str]:
     """Files no predicate dimension can rule out. ``preds`` is a list of
-    (column index, lo, hi) with bounds of the SAME python type the stats
-    carry (datetime.date for dates, int for integers). A file is pruned
-    only when some dimension PROVES disjointness; absent stats keep the
-    file (same conservative contract as manifest_keep)."""
+    (column index, lo, hi); bounds are compared TYPED against the stats
+    (ISO strings coerce to the stat's date/datetime type, numerics pass
+    through — never lexicographic). A file is pruned only when some
+    dimension PROVES disjointness; absent stats keep the file (same
+    conservative contract as manifest_keep)."""
     keep = []
     for m in manifest:
         pruned = False
         for ci, lo, hi in preds:
             mn, mx = m.get(f"min_{ci}"), m.get(f"max_{ci}")
-            if mn is not None and (mn > hi or mx < lo):
+            if mn is not None and (
+                mn > _coerce_bound(hi, mn) or mx < _coerce_bound(lo, mx)
+            ):
                 pruned = True
                 break
         if not pruned:

@@ -34,6 +34,16 @@ def test_range_query_prunes_files(spark, sf_dir):
     assert 0 < len(keep) < total
 
 
+def test_typed_bounds_never_compare_lexicographically():
+    # regression: int stats with numeric bounds — '9' > '10' as strings,
+    # but the file overlaps [10, 20] and must be kept
+    manifest = [{"file": "x", "min_v": 9, "max_v": 100}]
+    assert skipping.manifest_keep(manifest, 10, 20) == ["x"]
+    assert skipping.manifest_keep_multi(
+        [{"file": "x", "min_0": 9, "max_0": 100}], [(0, 10, 20)]
+    ) == ["x"]
+
+
 def test_absent_stats_never_pruned():
     manifest = [
         {"file": "a", "min_v": "1995-01-01", "max_v": "1995-03-31"},

@@ -889,3 +889,105 @@ def q113_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda d: bounded_sort(d, "event_type"))
     )
+
+
+_CURATION_SQL = f"""
+WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+q AS (SELECT doc_id, lang, len(t) AS n,
+             len(list_distinct(t)) * 1.0 / len(t) AS score
+      FROM (SELECT doc_id, lang, string_split(lower(text),' ') AS t
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM surv))
+      WHERE len(t) >= 30 AND len(list_distinct(t)) * 1.0 / len(t) >= 0.5
+        AND len(list_filter(t, w -> w IN ('a','the'))) * 1.0 / len(t) <= 0.08),
+sh AS (SELECT doc_id,
+              UNNEST(list_transform(generate_series(1, len(t) - {DECON_N - 1}),
+                     i -> list_aggregate(t[i:i+{DECON_N - 1}], 'string_agg', ' '))) AS s
+       FROM (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents)
+       WHERE len(t) >= {DECON_N}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)),
+clean AS (SELECT * FROM q WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+sel AS (SELECT lang, n, SUM(n) OVER (PARTITION BY lang
+        ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM clean)
+SELECT lang, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens
+FROM sel WHERE cum <= {TOKEN_BUDGET} GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "q114_curation_pipeline",
+    oracle=_CURATION_SQL,
+    tags=("pipeline", "dedup", "text", "sampling", "composed"),
+    doc="The full curation pipeline COMPOSED end to end in one DAG — "
+    "exact dedup (md5 survivor per content hash) -> C4-style quality "
+    "gate (length, type-token ratio, filler ceiling; q61's predicate) "
+    "-> benchmark decontamination (shared 5-gram vs the held-out set; "
+    "q81's semi-join) -> per-language greedy token-budget selection "
+    "(q90's partitioned cumsum). Every stage is the registered "
+    "operator's exact logic, so the composition is verified against the "
+    "identical CTE chain in SQL; Catalyst fuses the stages (the quality "
+    "predicate and scoring run row-local in the scan, the dedup "
+    "survivor set and decontamination sets join on their natural keys, "
+    "and the only ordered stage is the per-lang budget window). This is "
+    "the query a training-data user actually runs nightly: corpus in, "
+    "(lang, docs, tokens) budget report out, one plan.",
+)
+def q114_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import pin
+
+    docs = pin(spread(table(spark, sf_dir, "documents")))
+    t = tokens("text")
+    n = F.size(t)
+    ttr = F.size(F.array_distinct(t)) * 1.0 / n
+    stop_ratio = (
+        F.size(F.filter(t, lambda w: w.isin("a", "the"))) * 1.0 / n
+    )
+    surv = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    quality = (
+        docs.select(
+            "doc_id", "lang", n.alias("n"), ttr.alias("score"),
+            stop_ratio.alias("stop_ratio"),
+        )
+        .filter(
+            (F.col("n") >= 30)
+            & (F.col("score") >= 0.5)
+            & (F.col("stop_ratio") <= 0.08)
+        )
+        .join(surv, "doc_id", "left_semi")
+    )
+    shingle = F.explode(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (DECON_N - 1)),
+                lambda i: F.array_join(F.slice(t, i, DECON_N), " "),
+            )
+        )
+    )
+    sh = docs.filter(n >= DECON_N).select("doc_id", shingle.alias("s"))
+    bench_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    dirty = (
+        sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.filter(F.col("doc_id") % 97 != 0).join(
+        dirty, "doc_id", "left_anti"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clean.withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
+        .transform(lambda d: bounded_sort(d, "lang"))
+    )

@@ -20,15 +20,15 @@ def tokens(text: Column | str) -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a token array.
 
-    Caller must guarantee ``size(toks) >= n`` (filter first); uses 0-based
-    ``F.get`` so positions are explicit.
-    """
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    Caller must guarantee ``size(toks) >= n`` (filter first), and should
+    pass a MATERIALIZED array column (``select(tokens(...).alias("t"))``
+    first), never the raw ``tokens()`` expression: the input is
+    referenced per shingle, so an unprojected expression re-runs the
+    tokenizer inside every reference. One ``slice`` + ``array_join`` per
+    shingle (1-based slice) rather than n ``get`` calls."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-        )
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
 
 

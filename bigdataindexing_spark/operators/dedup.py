@@ -831,11 +831,16 @@ ORDER BY dup_frac DESC, doc_id LIMIT 100
 def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.functions.text import tokens, word_shingles
 
-    t = tokens("text")
+    # project the token array FIRST: word_shingles references its input
+    # n times per span, and handing it the raw tokens() expression would
+    # re-run the tokenizer inside every reference (measured 16x on this
+    # query) — the same reason text_analysis materializes `t` before
+    # shingling
     docs = pin(
         spread(table(spark, sf_dir, "documents"))
-        .filter(F.size(t) >= SPAN_N)
-        .select("doc_id", word_shingles(t, SPAN_N).alias("spans"))
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= SPAN_N)
+        .select("doc_id", word_shingles(F.col("t"), SPAN_N).alias("spans"))
     )
     sp = docs.select("doc_id", F.explode("spans").alias("s"))
     shared = (

@@ -348,7 +348,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash from md5-derived token hashes."""
     tok = (
-        spread(table(spark, sf_dir, "documents"), heavy=True)
+        table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens("text")).alias("w"))
         .withColumn("hv", md5_long(F.col("w")))
     )

@@ -311,7 +311,7 @@ def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = (
-        spread(table(spark, sf_dir, "documents"), heavy=True)
+        table(spark, sf_dir, "documents")
         .filter(F.size(t) >= DECON_N)
         .select("doc_id", "lang", shingles.alias("s"))
     )

@@ -64,7 +64,7 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, v: s + v,
     )
     return presort_barrier(
-        spread(table(spark, sf_dir, "documents"), heavy=True)
+        table(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("t"))
         .select(
             "doc_id",
@@ -147,7 +147,7 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
-        spread(table(spark, sf_dir, "documents"), heavy=True)
+        table(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.md5(F.lower("text")).alias("fp"),

@@ -131,44 +131,52 @@ def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFr
     """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
     to a candidate `pairs(doc_a, doc_b)` DataFrame).
 
-    ``docs_sh`` is the (doc_id, shingles-array) relation: per-doc sizes are
-    a row-local ``size()`` (zero shuffles — the old formulation re-derived
-    them with a groupBy over the exploded rows). Without a candidate set,
-    intersections come from the shingle self-equi-join — the shingle key
-    is the shuffle key, so Catalyst plans a shuffled hash join, never a
-    cartesian. (A bucket formulation — groupBy(shingle) + collect_list +
-    higher-order pair explosion — was measured ~1.6x SLOWER despite a
-    third of the shuffle traffic: Spark's higher-order array functions
-    are CodegenFallback, i.e. interpreted per row.) At 100 TB a
+    ``docs_sh`` is the (doc_id, shingles-array) relation: per-doc sizes
+    are a row-local ``size()`` carried THROUGH the explode and picked up
+    by ``first()`` inside the pair-count aggregate — 8 bytes per exploded
+    row on the existing shuffle instead of two extra doc-keyed joins
+    against a sizes relation (which a per-doc relation would make
+    shuffle joins at scale). Without a candidate set, intersections come
+    from the shingle self-equi-join — the shingle key is the shuffle
+    key, so Catalyst plans a shuffled hash join, never a cartesian. (A
+    bucket formulation — groupBy(shingle) + collect_list + higher-order
+    pair explosion — was measured ~1.6x SLOWER despite a third of the
+    shuffle traffic: Spark's higher-order array functions are
+    CodegenFallback, i.e. interpreted per row.) At 100 TB a
     stopword-shingle bucket is the hot spot either way — the MinHash-LSH
     variant (banded buckets, bounded per-band agreement odds) is the
     declared scale path; this operator is the exact recall-1 baseline."""
-    sizes = docs_sh.select("doc_id", F.size("shingles").alias("n"))
-    u = docs_sh.select("doc_id", F.explode("shingles").alias("s"))
+    u = docs_sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
+    a = u.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = u.select(
+        F.col("doc_id").alias("db"), F.col("n").alias("nb"), F.col("s").alias("s_b")
+    )
     if pairs is None:
-        a = u.select(F.col("doc_id").alias("doc_a"), "s")
-        b = u.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
         inter = (
-            a.join(b, (a.s == b.s_b) & (a.doc_a < b.doc_b))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("i"))
+            a.join(b, (a.s == b.s_b) & (a.doc_a < b.db))
+            .groupBy(F.col("doc_a"), F.col("db").alias("doc_b"))
+            .agg(
+                F.count(F.lit(1)).alias("i"),
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+            )
         )
     else:
-        a = u.select(F.col("doc_id").alias("doc_a"), "s")
-        b = u.select(F.col("doc_id").alias("db"), F.col("s").alias("s_b"))
         inter = (
             pairs.join(a, "doc_a")
             .join(b, (F.col("doc_b") == F.col("db")) & (F.col("s") == F.col("s_b")))
             .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("i"))
+            .agg(
+                F.count(F.lit(1)).alias("i"),
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+            )
         )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_TAU)
+        inter.filter(jac >= JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
         .orderBy("doc_a", "doc_b")
     )
@@ -665,29 +673,33 @@ CONTAINMENT_TAU = 0.5
     "case decontamination and quote/boilerplate detection actually need. "
     "Reads the corpus signature store; candidates come from the exact "
     "shingle equi-join (recall 1 — any pair with C > 0 shares a "
-    "shingle), intersection sizes from one grouped count, per-side "
-    "sizes row-local from the stored arrays. Oracle: the same math over "
-    "shingle strings in SQL.",
+    "shingle), intersection sizes from one grouped count; per-side "
+    "sizes are row-local size() over the stored arrays, carried through "
+    "the explode so no separate sizes join is needed. Oracle: the same "
+    "math over shingle strings in SQL.",
 )
 def q104_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_sh = shingle_sig_store(spark, sf_dir).select("doc_id", "shingles")
-    sizes = docs_sh.select("doc_id", F.size("shingles").alias("n"))
-    u = docs_sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = u.select(F.col("doc_id").alias("doc_a"), "s")
-    b = u.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    inter = (
-        a.join(b, (a.s == b.s_b) & (a.doc_a < b.doc_b))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    u = docs_sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    a = u.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = u.select(
+        F.col("doc_id").alias("db"), F.col("n").alias("nb"), F.col("s").alias("s_b")
+    )
+    inter = (
+        a.join(b, (a.s == b.s_b) & (a.doc_a < b.db))
+        .groupBy(F.col("doc_a"), F.col("db").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
     c_ab = F.col("i") * 1.0 / F.col("na")
     c_ba = F.col("i") * 1.0 / F.col("nb")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter((c_ab >= CONTAINMENT_TAU) | (c_ba >= CONTAINMENT_TAU))
+        inter.filter((c_ab >= CONTAINMENT_TAU) | (c_ba >= CONTAINMENT_TAU))
         .select(
             "doc_a",
             "doc_b",

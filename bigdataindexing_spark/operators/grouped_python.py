@@ -55,7 +55,12 @@ def q42_grouped_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.round(geomean("value"), 4).alias("geo"))
-        .transform(lambda d: bounded_sort(d, "event_type"))
+        # barrier=True: coalesce(1) would fold the Arrow-batched final
+        # aggregate into one task, serializing every group's Python
+        # round-trip; the single-partition exchange keeps the UDAF stage
+        # parallel and sorts only its tiny output (measured 0.50->0.30s
+        # at sf0.1)
+        .transform(lambda d: bounded_sort(d, "event_type", barrier=True))
     )
 
 

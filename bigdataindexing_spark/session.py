@@ -67,20 +67,23 @@ def get_spark(
         # Below Spark's 10MB default, not above it: the threshold compares
         # against compressed file size, and snappy parquet packs ~6x — a
         # "32MB" relation is ~200MB of rows hash-built single-threaded on
-        # the driver. At 32MB the fact table itself (lineitem, 10.8MB on
-        # disk at sf0.1) qualified for broadcast and Catalyst built a
-        # 600k-row hashed relation per join instead of probing with it;
-        # 8MB keeps every true dimension (nation/region/supplier/customer/
-        # part/orders) broadcastable and the fact table on the probe side.
-        # Measured both directions at sf0.1: dropping to 2MB shaved ~15%
-        # off the TPC-H block (orders' 150k-row hashed-relation build
-        # costs more than shuffle-joining it) but cost the dedup/LSH
-        # family 2-3x (their session-materialized signature stores sit in
-        # the 2-8MB band and genuinely benefit from broadcast at test
-        # scale). 8MB wins net; at real scale those signature relations
-        # outgrow any threshold and the SAME config demotes them to
-        # shuffle joins — the adaptive behavior we want.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        # the driver. Worse, the estimate scales by PRUNED column fraction,
+        # so at 8MB a 4-column projection of the fact table itself
+        # (lineitem, 600k rows at sf0.1) qualified for broadcast and
+        # Catalyst built the 600k-row hashed relation per join instead of
+        # probing with it. 2MB keeps every true dimension (nation/region/
+        # supplier/customer/part) broadcastable while orders/lineitem
+        # projections shuffle-join. Re-measured across all 143 benched
+        # queries at sf0.1 after the signature/index stores moved to
+        # session-materialized parquet with explicit broadcast() hints on
+        # their small probe sides: 2MB wins or ties on 141 of 143 (the
+        # TPC-H block ~2x, the dedup/CC family up to 7x — their big
+        # intermediates should never have been broadcast), and the two
+        # regressions carry explicit hints now. An earlier 8MB choice was
+        # protecting implicit broadcasts the stores no longer rely on. At
+        # real scale relations outgrow any threshold and the SAME config
+        # demotes them to shuffle joins — the adaptive behavior we want.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
         # static conf: catalog tables (bucketed layouts) land outside the
         # repo; a cluster deployment points this at durable storage
         .config(

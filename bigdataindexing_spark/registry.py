@@ -122,6 +122,9 @@ _R03_PRIORITY = (
     # postings merge (both rebuilt onto session-materialized state).
     "q98_sequence_pack_sharded", "q99_budget_select_sharded",
     "q111_minmax_skipping", "idx_postings_merge",
+    # First-time row whose builder was also rewritten late in the round
+    # (sizes carried through the explode instead of joined).
+    "q104_containment_pairs",
 )
 
 # Verified queries whose builder or oracle CHANGED this round: a green row
@@ -150,7 +153,19 @@ _R03_RECHECK = (
                               # collect-sort-slice aggregate + row-local
                               # vote expression
     "q43_group_zscore",       # presort barrier ahead of the final sort
-    "q42_grouped_udaf_geomean",  # pre-shuffle projection
+    "q42_grouped_udaf_geomean",  # pre-shuffle projection + barrier sort
+    # Late-round plan-shape changes, ordered by residual risk (every one
+    # is oracle-verified at all three sf locally; entries past the
+    # driver's ~50-entry cap spill to the next round's window and stay
+    # covered by the committed self-sweeps):
+    "mm_decode_stats",        # Python stage resized to filtered input
+    # (udtf_char_shingles also changed; it is already pinned in the
+    # priority block above)
+    "q81_decontaminate",      # pre-tokenize repartition dropped
+    "dedup_simhash",          # same (exact integer aggs, doc-keyed sort)
+    "dedup_simhash_pairs",    # same
+    "txt_fingerprint",        # same
+    "txt_quality_score",      # same
 )
 # Window triage (the driver checks exactly ~50 entries, and the new
 # round-3 queries must land inside it): mm_decode_stats is deliberately

@@ -597,7 +597,10 @@ def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
             F.round(F.max("value"), 4).alias("mx"),
         )
-        .transform(lambda d: bounded_sort(d, "event_type"))
+        # barrier: exact percentile's merge buffers every value, so the
+        # final aggregate must stay parallel — coalesce(1) would fold the
+        # whole merge into one task (measured 0.39->0.30s at sf0.1)
+        .transform(lambda d: bounded_sort(d, "event_type", barrier=True))
     )
 
 

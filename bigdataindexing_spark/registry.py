@@ -166,6 +166,7 @@ _R03_RECHECK = (
     "dedup_simhash_pairs",    # same
     "txt_fingerprint",        # same
     "txt_quality_score",      # same
+    "q45_percentiles",        # barrier sort (parallel percentile merge)
 )
 # Window triage (the driver checks exactly ~50 entries, and the new
 # round-3 queries must land inside it): mm_decode_stats is deliberately

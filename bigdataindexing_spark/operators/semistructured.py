@@ -166,7 +166,12 @@ def q58_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q92_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    pts = (
+    from bigdataindexing_spark.tables import pin
+
+    # pinned: both the grid (min/max per user) and the left join consume
+    # pts, and Catalyst does not CSE across DataFrame branches — without
+    # the persist the events scan + hourly aggregate run twice
+    pts = pin(
         table(spark, sf_dir, "events")
         .filter((F.col("event_type") == "purchase") & (F.col("user_id") <= 20))
         .groupBy(

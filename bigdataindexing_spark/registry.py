@@ -167,6 +167,7 @@ _R03_RECHECK = (
     "txt_fingerprint",        # same
     "txt_quality_score",      # same
     "q45_percentiles",        # barrier sort (parallel percentile merge)
+    "q92_gap_fill_ffill",     # pts pinned (was computed twice)
 )
 # Window triage (the driver checks exactly ~50 entries, and the new
 # round-3 queries must land inside it): mm_decode_stats is deliberately

@@ -756,7 +756,10 @@ def q50_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    all_cust = o.select("o_custkey").distinct()
+    # no pre-distinct: subtract IS "EXCEPT DISTINCT" — its aggregate
+    # dedups the left side, so a distinct() underneath is a second
+    # full shuffle producing the identical result
+    all_cust = o.select("o_custkey")
     big_cust = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     return all_cust.subtract(big_cust).orderBy("o_custkey")
 

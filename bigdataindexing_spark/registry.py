@@ -168,6 +168,8 @@ _R03_RECHECK = (
     "txt_quality_score",      # same
     "q45_percentiles",        # barrier sort (parallel percentile merge)
     "q92_gap_fill_ffill",     # pts pinned (was computed twice)
+    "q53_except",             # redundant pre-distinct dropped
+    "q114_curation_pipeline", # tokenize-once pinned relation
 )
 # Window triage (the driver checks exactly ~50 entries, and the new
 # round-3 queries must land inside it): mm_decode_stats is deliberately

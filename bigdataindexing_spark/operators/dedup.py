@@ -783,8 +783,21 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_id", "base_id")
         .distinct()
     )
+    # Prefilter the store to candidate ids BEFORE the verify explode:
+    # without it the exact-Jaccard stage unnests every document's
+    # shingles — an O(corpus) pass that would break this operator's
+    # O(delta) contract at scale (the candidate set is delta-sized, so
+    # the verify work must be too). The id set is band-candidate-bounded
+    # and broadcasts.
+    cand_ids = (
+        cand.select(F.col("delta_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("base_id").alias("doc_id")))
+        .distinct()
+    )
     verified = _jaccard_pairs(
-        store.select("doc_id", "shingles"),
+        store.select("doc_id", "shingles").join(
+            F.broadcast(cand_ids), "doc_id", "left_semi"
+        ),
         pairs=cand.select(
             F.col("delta_id").alias("doc_a"), F.col("base_id").alias("doc_b")
         ),

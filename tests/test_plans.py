@@ -322,3 +322,22 @@ def test_bounded_sort_skips_range_partitioning(plan, spark, sf_dir):
     got = bounded_sort(narrow, "o_orderkey", barrier=True)
     assert got.collect() == narrow.orderBy("o_orderkey").collect()
     assert got.rdd.getNumPartitions() == 1
+
+
+def test_delta_dedup_verify_is_candidate_bounded(plan):
+    """dedup_delta_vs_corpus contracts O(delta) work per batch: the
+    exact-Jaccard verify stage must explode only candidate documents'
+    shingles, i.e. every Generate(explode(shingles)) in the verify
+    subtree sits above the semi join against the candidate id set —
+    an unfiltered corpus-wide explode would silently reintroduce the
+    O(corpus) rescan the operator exists to avoid."""
+    p = plan("dedup_delta_vs_corpus")
+    # both verify sides explode a store scan that is first semi-joined
+    # to the candidate ids: the formatted plan interleaves
+    # "Generate (n)" directly above "BroadcastHashJoin LeftSemi"
+    import re
+
+    semis_under_generate = re.findall(
+        r"Generate \(\d+\)\s*\n\s*\+- \*? ?BroadcastHashJoin LeftSemi", p
+    )
+    assert len(semis_under_generate) >= 2, p[:2000]

@@ -157,19 +157,22 @@ _R03_RECHECK = (
     # Late-round plan-shape changes, ordered by residual risk (every one
     # is oracle-verified at all three sf locally; entries past the
     # driver's ~50-entry cap spill to the next round's window and stay
-    # covered by the committed self-sweeps):
+    # covered by the committed three-sf self-sweeps). Highest risk first:
+    # restructured dataflows (new pinned relations, dropped stages),
+    # then exchange-only changes, then the zero-float-risk repartition
+    # drops whose outputs are exact integer aggregates under unique sort
+    # keys. (udtf_char_shingles also changed; it is already pinned in
+    # the priority block above.)
+    "q114_curation_pipeline", # tokenize-once pinned relation
+    "q92_gap_fill_ffill",     # pts pinned (was computed twice)
+    "q53_except",             # redundant pre-distinct dropped
+    "q45_percentiles",        # barrier sort (parallel percentile merge)
     "mm_decode_stats",        # Python stage resized to filtered input
-    # (udtf_char_shingles also changed; it is already pinned in the
-    # priority block above)
     "q81_decontaminate",      # pre-tokenize repartition dropped
     "dedup_simhash",          # same (exact integer aggs, doc-keyed sort)
     "dedup_simhash_pairs",    # same
     "txt_fingerprint",        # same
     "txt_quality_score",      # same
-    "q45_percentiles",        # barrier sort (parallel percentile merge)
-    "q92_gap_fill_ffill",     # pts pinned (was computed twice)
-    "q53_except",             # redundant pre-distinct dropped
-    "q114_curation_pipeline", # tokenize-once pinned relation
 )
 # Window triage (the driver checks exactly ~50 entries, and the new
 # round-3 queries must land inside it): mm_decode_stats is deliberately

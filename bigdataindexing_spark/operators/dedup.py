@@ -774,7 +774,10 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    cand = (
+    # pinned: three consumers (the id-prefilter union reads it twice,
+    # the verify join once) — without the persist the whole band-bucket
+    # candidate pipeline re-runs per consumer
+    cand = pin(
         base_bands.join(
             F.broadcast(delta_bands),
             (F.col("band") == F.col("band_b"))

@@ -131,21 +131,48 @@ def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFr
     """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
     to a candidate `pairs(doc_a, doc_b)` DataFrame).
 
-    ``docs_sh`` is the (doc_id, shingles-array) relation: per-doc sizes
-    are a row-local ``size()`` carried THROUGH the explode and picked up
-    by ``first()`` inside the pair-count aggregate — 8 bytes per exploded
-    row on the existing shuffle instead of two extra doc-keyed joins
-    against a sizes relation (which a per-doc relation would make
-    shuffle joins at scale). Without a candidate set, intersections come
-    from the shingle self-equi-join — the shingle key is the shuffle
-    key, so Catalyst plans a shuffled hash join, never a cartesian. (A
-    bucket formulation — groupBy(shingle) + collect_list + higher-order
-    pair explosion — was measured ~1.6x SLOWER despite a third of the
-    shuffle traffic: Spark's higher-order array functions are
-    CodegenFallback, i.e. interpreted per row.) At 100 TB a
-    stopword-shingle bucket is the hot spot either way — the MinHash-LSH
-    variant (banded buckets, bounded per-band agreement odds) is the
-    declared scale path; this operator is the exact recall-1 baseline."""
+    ``docs_sh`` is the (doc_id, shingles-array) relation.
+
+    WITH a candidate set (the LSH/delta verify stage): the pair relation
+    joins the store twice on doc id to attach both shingle ARRAYS, and
+    |A∩B| is a row-local ``size(array_intersect(sa, sb))`` — no explode,
+    no shingle-keyed shuffle. Candidate sets are bounded (delta- or
+    bucket-sized), so they broadcast and the corpus store is touched by
+    streaming equi-join probes only; verification is O(pairs) compute,
+    not O(corpus-shingles) shuffle. (array_intersect is a codegen'd
+    collection expression, unlike the interpreted lambda higher-order
+    functions.)
+
+    WITHOUT a candidate set (the exact recall-1 baseline), intersections
+    come from the shingle self-equi-join — the shingle key is the
+    shuffle key, so Catalyst plans a shuffled hash join, never a
+    cartesian; per-doc sizes ride the explode and are picked up by
+    ``first()`` in the pair-count aggregate. (A bucket formulation —
+    groupBy(shingle) + collect_list + higher-order pair explosion — was
+    measured ~1.6x SLOWER despite a third of the shuffle traffic.) At
+    100 TB a stopword-shingle bucket is the hot spot either way — the
+    MinHash-LSH variant (banded buckets, bounded per-band agreement
+    odds) is the declared scale path."""
+    if pairs is not None:
+        withA = pairs.join(
+            docs_sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+            ),
+            "doc_a",
+        )
+        withB = withA.join(
+            docs_sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+            ),
+            "doc_b",
+        )
+        i = F.size(F.array_intersect("sa", "sb"))
+        jacp = i * 1.0 / (F.size("sa") + F.size("sb") - i)
+        return (
+            withB.filter(jacp >= JACCARD_TAU)
+            .select("doc_a", "doc_b", F.round(jacp, 4).alias("jac"))
+            .orderBy("doc_a", "doc_b")
+        )
     u = docs_sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
@@ -153,27 +180,15 @@ def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFr
     b = u.select(
         F.col("doc_id").alias("db"), F.col("n").alias("nb"), F.col("s").alias("s_b")
     )
-    if pairs is None:
-        inter = (
-            a.join(b, (a.s == b.s_b) & (a.doc_a < b.db))
-            .groupBy(F.col("doc_a"), F.col("db").alias("doc_b"))
-            .agg(
-                F.count(F.lit(1)).alias("i"),
-                F.first("na").alias("na"),
-                F.first("nb").alias("nb"),
-            )
+    inter = (
+        a.join(b, (a.s == b.s_b) & (a.doc_a < b.db))
+        .groupBy(F.col("doc_a"), F.col("db").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
-    else:
-        inter = (
-            pairs.join(a, "doc_a")
-            .join(b, (F.col("doc_b") == F.col("db")) & (F.col("s") == F.col("s_b")))
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.count(F.lit(1)).alias("i"),
-                F.first("na").alias("na"),
-                F.first("nb").alias("nb"),
-            )
-        )
+    )
     jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.filter(jac >= JACCARD_TAU)
@@ -774,10 +789,7 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    # pinned: three consumers (the id-prefilter union reads it twice,
-    # the verify join once) — without the persist the whole band-bucket
-    # candidate pipeline re-runs per consumer
-    cand = pin(
+    cand = (
         base_bands.join(
             F.broadcast(delta_bands),
             (F.col("band") == F.col("band_b"))
@@ -786,21 +798,12 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_id", "base_id")
         .distinct()
     )
-    # Prefilter the store to candidate ids BEFORE the verify explode:
-    # without it the exact-Jaccard stage unnests every document's
-    # shingles — an O(corpus) pass that would break this operator's
-    # O(delta) contract at scale (the candidate set is delta-sized, so
-    # the verify work must be too). The id set is band-candidate-bounded
-    # and broadcasts.
-    cand_ids = (
-        cand.select(F.col("delta_id").alias("doc_id"))
-        .unionByName(cand.select(F.col("base_id").alias("doc_id")))
-        .distinct()
-    )
+    # Verification is the pairs branch of _jaccard_pairs: the delta-
+    # bounded candidate set joins the store twice to attach both shingle
+    # arrays and intersects row-locally — the corpus is never exploded
+    # or re-shingled, preserving this operator's O(delta) contract.
     verified = _jaccard_pairs(
-        store.select("doc_id", "shingles").join(
-            F.broadcast(cand_ids), "doc_id", "left_semi"
-        ),
+        store.select("doc_id", "shingles"),
         pairs=cand.select(
             F.col("delta_id").alias("doc_a"), F.col("base_id").alias("doc_b")
         ),

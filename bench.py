@@ -71,6 +71,20 @@ def _warmup(spark, sf_dir: str) -> None:
             pass  # a warmup failure must never block the measured run
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative hypervisor steal ticks (all cores) from /proc/stat.
+    On a shared host, bursts of steal inflate every timing in a run by
+    30-40% (measured: identical code benched 2.1x and 2.7x vs duckdb an
+    hour apart); recording the delta makes a noisy run identifiable
+    instead of indistinguishable from a regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu  user nice sys idle iowait irq softirq steal
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -103,6 +117,7 @@ def main() -> None:
         # per-file payload is tiny (it is: <=1MB chunks at sf<=0.1); real
         # deployments keep the 128MB default.
         spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    steal0 = _steal_ticks()
     _warmup(spark, sf_dir)
 
     # Each query is timed in FOUR full passes over the whole suite (fresh
@@ -172,8 +187,16 @@ def main() -> None:
     # the round driver keeps only a 2000-char tail of stdout and parses the
     # JSON out of it (BENCH_r01.json: tail len 2000, parsed null — the
     # round-1 line was 2011 chars and lost its opening brace).
+    steal1 = _steal_ticks()
+    host_steal_sec = (
+        round((steal1 - steal0) / 100.0, 1)
+        if steal0 is not None and steal1 is not None
+        else None
+    )
+
     detail = {
         "sf": sf,
+        "host_steal_sec": host_steal_sec,
         "spark_total_sec": total,
         "duckdb_total_sec": duck_total,
         "spark_comparable_total_sec": spark_comparable,
@@ -206,6 +229,7 @@ def main() -> None:
         "sf": sf,
         "vs_duckdb_ratio": ratio,
         "index_build_docs_per_sec": index_build["spark_docs_per_sec"],
+        "host_steal_sec": host_steal_sec,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out, separators=(",", ":"))

@@ -285,6 +285,90 @@ def doc_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_precondition",
+    oracle=None,
+    tags=("documents",),
+    bench=False,
+    doc="Conditional-write gate (If-Match → 412, PlanController.java:"
+    "213–221): a PATCH presenting the CURRENT content ETag is applied; a "
+    "stale ETag is rejected 412; a missing ETag or unknown target is "
+    "rejected 404 (the reference's ResourceNotFound quirk for absent "
+    "If-Match, :214–217). Returns one check row per scenario plus "
+    "no-write-on-reject proofs: the stale/missing targets' documents are "
+    "byte-identical to the pre-attempt store.",
+)
+def doc_precondition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _store(spark)
+    docs = etag_mod.with_etag(reassemble(store))
+    current = docs.select("object_id", "etag")
+
+    patch_docs = {
+        "plan-5": {"objectId": "plan-5", "planType": "platinumTier"},
+        "plan-6": {"objectId": "plan-6", "planType": "stalePatch"},
+        "plan-7": {"objectId": "plan-7", "planType": "noEtagPatch"},
+        "plan-999": {"objectId": "plan-999", "planType": "ghost"},
+    }
+    patches = local_strings_df(
+        spark, [json.dumps(d) for d in patch_docs.values()]
+    ).select(
+        F.from_json("value", PLAN_SCHEMA).alias("doc"),
+    ).select(F.col("doc").getField("objectId").alias("object_id"), "doc")
+    # presented ETags: plan-5 → its current etag (fresh), plan-6 → a stale
+    # literal, plan-7 → none, plan-999 → a value for a nonexistent target
+    presented = patches.join(
+        current.filter(F.col("object_id") == "plan-5"), "object_id", "left"
+    ).select(
+        "object_id",
+        "doc",
+        F.when(F.col("object_id") == "plan-5", F.col("etag"))
+        .when(F.col("object_id") == "plan-6", F.lit("deadbeef"))
+        .when(F.col("object_id") == "plan-999", F.lit("cafebabe"))
+        .alias("if_match"),
+    )
+    accepted, rejected = etag_mod.precondition_gate(docs, presented)
+
+    merged = reassemble(merge_mod.merge(store, accepted.select("doc")))
+    before = reassemble(store).select(
+        "object_id", F.to_json("doc").alias("before_json")
+    )
+    after = merged.select("object_id", F.to_json("doc").alias("after_json"))
+    ba = before.join(after, "object_id")
+
+    applied = ba.filter(F.col("object_id") == "plan-5").select(
+        F.lit("fresh_etag_applied").alias("check"),
+        (F.col("before_json") != F.col("after_json")).alias("ok"),
+    )
+    untouched = (
+        ba.filter(F.col("object_id").isin("plan-6", "plan-7"))
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("before_json") == F.col("after_json"), 0
+                    ).otherwise(1)
+                )
+                == 0
+            ).alias("ok")
+        )
+        .select(F.lit("rejected_targets_unwritten").alias("check"), "ok")
+    )
+    statuses = rejected.groupBy().pivot(
+        "object_id", ["plan-6", "plan-7", "plan-999"]
+    ).agg(F.first("status"))
+    status_ok = statuses.select(
+        F.lit("reject_statuses").alias("check"),
+        (
+            (F.col("plan-6") == 412)
+            & (F.col("plan-7") == 404)
+            & (F.col("plan-999") == 404)
+        ).alias("ok"),
+    )
+    return applied.unionByName(untouched).unionByName(status_ok).orderBy(
+        "check"
+    )
+
+
+@register(
     "doc_schema_inference",
     oracle=None,
     tags=("documents", "schema"),

@@ -98,116 +98,78 @@ _R02_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED
-
-
-# The 29 oracle-bearing queries round-2 VERDICT.md flagged as never
-# driver-checked — pinned to the very front of the driver's ~50-entry
-# correctness window so every one gets a green row this round (the same
-# mechanism took all 27 round-2 pins green).
-_R03_PRIORITY = (
-    "q56_sql_recursive_cte", "q57_sql_lateral_topk", "q63_embedding_centroid",
-    "q64_sql_tpch_q10", "q65_sql_tpch_q12", "q66_sql_tpch_q14",
-    "q70_event_funnel", "q71_cohort_retention", "q72_sql_tpch_q22",
-    "q74_sql_tpch_q6", "q75_sql_tpch_q13", "q76_sql_tpch_q7",
-    "q77_sql_tpch_q17", "q78_sql_tpch_q19", "q79_sql_tpch_q15",
-    "q80_sql_tpch_q21", "q84_sql_tpch_q2", "q85_sql_tpch_q8",
-    "q86_sql_tpch_q9", "q87_sql_tpch_q11", "q88_sql_tpch_q16",
-    "q89_sql_tpch_q20", "q91_centroid_outliers", "q95_profile_columns",
-    "q97_chunk_windows", "udtf_char_shingles", "idx_bm25_search",
-    "st8_stream_stream_join", "st9_stream_lsh_dedup",
-    # First-time rows for operators added or rebuilt this round: the
-    # sharded greedy-cumsum variants (VERDICT r2 #5 asks for green rows),
-    # the manifest-served data-skipping scan, and the store-served
-    # postings merge (both rebuilt onto session-materialized state).
-    "q98_sequence_pack_sharded", "q99_budget_select_sharded",
-    "q111_minmax_skipping", "idx_postings_merge",
-    # First-time row whose builder was also rewritten late in the round
-    # (sizes carried through the explode instead of joined).
-    "q104_containment_pairs",
-)
-
-# Verified queries whose builder or oracle CHANGED this round: a green row
-# from a prior round no longer evidences the current code, so they rotate
-# back into the driver window right behind the never-checked set instead
-# of hiding in the verified tail (round-2 ADVICE: don't demote verified
-# queries whose builders changed).
-_R03_RECHECK = (
-    "q67_sequence_pack",      # oracle CAST fix (r2 hash-fail)
-    "q90_budget_select",      # oracle CAST fix (r2 hash-fail)
-    "q39_salted_agg",         # integer-cents float-determinism rewrite
-    "q44_rollup_serve",       # serve-only rebuild fix
-    "q96_salted_join",        # hot-key-gated salting rewrite
-    "dedup_ngram_jaccard",    # row-local sizes in the shared Jaccard core
-    "dedup_minhash_lsh",      # same shared-core change (verify path)
-    "dedup_cluster_cc",       # CC loop now iterates to convergence
-    "sim_semantic_clusters",  # same CC loop change
-    "dedup_simhash_banded",   # banded stage now reads the SimHash store
-    "idx_tfidf_search",       # term-at-a-time row-local rewrite (no
-                              # tokenize-explode-aggregate pipeline)
-    "q22_json_extract",       # from_json single-parse + pre-sort exchange
-    "q25_ann_bruteforce",     # per-vector norm factoring changes the
-                              # cosine float expression (last-ulp rank
-                              # risk); top-1 now a min(struct) aggregate
-    "q73_knn_classify",       # two ranking windows fused into one
-                              # collect-sort-slice aggregate + row-local
-                              # vote expression
-    "q43_group_zscore",       # presort barrier ahead of the final sort
-    "q42_grouped_udaf_geomean",  # pre-shuffle projection + barrier sort
-    # Late-round plan-shape changes, ordered by residual risk (every one
-    # is oracle-verified at all three sf locally; entries past the
-    # driver's ~50-entry cap spill to the next round's window and stay
-    # covered by the committed three-sf self-sweeps). Highest risk first:
-    # restructured dataflows (new pinned relations, dropped stages),
-    # then exchange-only changes, then the zero-float-risk repartition
-    # drops whose outputs are exact integer aggregates under unique sort
-    # keys. (udtf_char_shingles also changed; it is already pinned in
-    # the priority block above.)
-    "q114_curation_pipeline", # tokenize-once pinned relation
-    "q92_gap_fill_ffill",     # pts pinned (was computed twice)
-    "q53_except",             # redundant pre-distinct dropped
-    "q45_percentiles",        # barrier sort (parallel percentile merge)
-    "mm_decode_stats",        # Python stage resized to filtered input
-    "q81_decontaminate",      # pre-tokenize repartition dropped
-    "dedup_simhash",          # same (exact integer aggs, doc-keyed sort)
-    "dedup_simhash_pairs",    # same
-    "txt_fingerprint",        # same
-    "txt_quality_score",      # same
-)
-# Window triage (the driver checks exactly ~50 entries, and the new
-# round-3 queries must land inside it): mm_decode_stats is deliberately
-# NOT re-pinned because its new PIL branch only activates when Pillow is
-# importable — which it is not under driver conditions — leaving the
-# r2-verified fake-codec path byte-identical; the entries below are
-# consciously queued for the NEXT round's window rather than silently
-# spilling past the cap (rechecking changed builders — q25/q42/q43 above
-# — outranks first-time rows for low-risk serve/stream variants). All
-# remain covered by the committed three-sf self-sweeps.
-_R03_DEFER = frozenset(
+# Green driver rows from CORRECTNESS_r03.json (all 50 checked entries
+# passed — including the two round-2 hash-fails q67/q90 after the oracle
+# CAST fix).
+_R03_VERIFIED = frozenset(
     {
-        "q103_event_pattern",
-        "q105_lang_top_bigrams",
-        "q106_full_outer_reconcile",
-        "q107_range_frame_agg",
-        "idx_store_freshness",
-        "q108_event_transitions",
-        "q109_length_quartiles",
-        "txt_keywords",
-        "q102_rollup_merge",
-        "idx_bm25_serve",
-        "st10_stream_static_enrich",
-        "q110_train_shard_shuffle",
-        "txt_blocklist_scrub",
+        "q56_sql_recursive_cte", "q57_sql_lateral_topk",
+        "q63_embedding_centroid", "q64_sql_tpch_q10", "q65_sql_tpch_q12",
+        "q66_sql_tpch_q14", "q70_event_funnel", "q71_cohort_retention",
+        "q72_sql_tpch_q22", "q74_sql_tpch_q6", "q75_sql_tpch_q13",
+        "q76_sql_tpch_q7", "q77_sql_tpch_q17", "q78_sql_tpch_q19",
+        "q79_sql_tpch_q15", "q80_sql_tpch_q21", "q84_sql_tpch_q2",
+        "q85_sql_tpch_q8", "q86_sql_tpch_q9", "q87_sql_tpch_q11",
+        "q88_sql_tpch_q16", "q89_sql_tpch_q20", "q91_centroid_outliers",
+        "q95_profile_columns", "q97_chunk_windows", "udtf_char_shingles",
+        "idx_bm25_search", "st8_stream_stream_join", "st9_stream_lsh_dedup",
+        "q98_sequence_pack_sharded", "q99_budget_select_sharded",
+        "q111_minmax_skipping", "idx_postings_merge", "q104_containment_pairs",
+        "q67_sequence_pack", "q90_budget_select", "q39_salted_agg",
+        "q44_rollup_serve", "q96_salted_join", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_cluster_cc", "sim_semantic_clusters",
+        "dedup_simhash_banded", "idx_tfidf_search", "q22_json_extract",
+        "q25_ann_bruteforce", "q73_knn_classify", "q43_group_zscore",
+        "q42_grouped_udaf_geomean",
     }
 )
 
-_PIN_POS = {n: i for i, n in enumerate(_R03_PRIORITY + _R03_RECHECK)}
+_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
+
+
+# Round-4 window. The driver checks the FIRST ~50 entries of queries() in
+# order. Priority tier 1: the 37 registry entries VERDICT.md r3 flags as
+# never driver-checked (union of the three prior windows covers the other
+# 134, all green at last check) — oracle-bearing first, then the no-oracle
+# contracts the driver records as rows-only checks. Tier 2: verified
+# queries whose builder changed THIS round (round-2 ADVICE: a green row
+# from a prior round no longer evidences changed code). Keep the recheck
+# changelog comments current as round-4 edits land.
+_R04_PRIORITY = (
+    # never-checked, oracle-bearing (round-3 additions + round-3 defers)
+    "q114_curation_pipeline", "q100_unigram_logprob", "dedup_delta_vs_corpus",
+    "dedup_span_fraction", "q101_weighted_sample", "q112_zorder_skipping",
+    "src_layout_maintenance", "q106_full_outer_reconcile",
+    "q107_range_frame_agg", "q105_lang_top_bigrams", "txt_blocklist_scrub",
+    "q109_length_quartiles", "q110_train_shard_shuffle", "q103_event_pattern",
+    "q108_event_transitions", "q102_rollup_merge", "idx_bm25_serve",
+    "idx_store_freshness", "txt_keywords", "st10_stream_static_enrich",
+    # never-checked, no-oracle (driver rows-only check; each also carries a
+    # pytest contract — recall bounds, store round-trips, ETag/412 gates)
+    "sim_ann_lsh", "sim_ann_ivf", "mm_feature_extract",
+    "q113_hll_sketch_merge", "doc_roundtrip", "doc_validation_quarantine",
+    "doc_merge_contract", "doc_replace_contract", "doc_cascade_delete",
+    "doc_etag", "doc_schema_inference", "search_match", "search_wildcard",
+    "search_range", "search_nested_inner_hits", "src_json_ingest",
+    # new this round (VERDICT r3 #3/#4)
+    "st5_watermark_drop", "doc_precondition",
+)
+
+# Verified queries whose builder or oracle CHANGED in round 4 — rotated
+# back into the window right behind the never-checked set. Append here as
+# round-4 edits land, with the reason.
+_R04_RECHECK = (
+)
+
+_R04_DEFER = frozenset()
+
+_PIN_POS = {n: i for i, n in enumerate(_R04_PRIORITY + _R04_RECHECK)}
 
 
 def _driver_tier(spec: QuerySpec) -> tuple[int, int]:
     if spec.name in _PIN_POS:
         return (0, _PIN_POS[spec.name])
-    if spec.name in _R03_DEFER:
+    if spec.name in _R04_DEFER:
         return (2, -1)  # ahead of no-oracle contracts, behind the window
     if spec.name in _DRIVER_VERIFIED:
         return (3, 0)

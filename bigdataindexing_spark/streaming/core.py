@@ -86,6 +86,28 @@ def run_available_now(
     return sdf.sparkSession.table(qname)
 
 
+def write_arrivals(dfs, base_dir: str) -> list[str]:
+    """Write each DataFrame as one file-source 'arrival'. Explicit mtimes
+    force the FileStreamSource to pick the files up in list order under
+    ``maxFilesPerTrigger=1`` — the deterministic replay harness for
+    multi-batch semantics (watermark advancement, late-data drop, state
+    carry-over) that wall-clock arrival order can't guarantee in a test."""
+    import os
+
+    paths = []
+    for i, df in enumerate(dfs):
+        sub = os.path.join(base_dir, f"arrival_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        for name in os.listdir(sub):
+            if name.endswith(".parquet"):
+                full = os.path.join(sub, name)
+                dst = os.path.join(base_dir, f"file_{i}.parquet")
+                os.rename(full, dst)
+                os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+                paths.append(dst)
+    return paths
+
+
 def run_foreach_batch(
     sdf: DataFrame,
     fn,

@@ -161,6 +161,72 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st5_watermark_drop",
+    oracle=None,  # multi-batch arrival-order semantics — no single-relation SQL
+    tags=("streaming", "watermark"),
+    bench=False,
+    doc="ST5: watermark late-data drop, registered as a first-class replay "
+    "query (SURVEY.md §2.8; previously pytest-only). Arrival 1 is the whole "
+    "events table in one file — processing it advances the watermark to "
+    "max(ts) − 10min. Arrival 2 replays the table's EARLIEST event: its "
+    "10-minute window finalized long ago, so the row must be dropped at the "
+    "watermark gate — not re-open the evicted window, not double-emit it. "
+    "Returns every append-mode finalized window joined against the batch "
+    "per-window counts over the on-time rows only: `late_dropped_ok` is "
+    "true iff the streamed count equals the batch count (the late replay "
+    "contributed nothing) and each window was emitted exactly once. "
+    "Arrival ordering: watermark updates lag one micro-batch, so a buffer "
+    "arrival (a replay of the LATEST event — its window ends past the "
+    "final watermark and can never finalize, so it perturbs no emitted "
+    "count) sits between the bulk load and the late replay, exactly as the "
+    "pytest e2e does. tests/test_streaming.py::test_st5_registry_contract "
+    "asserts every flag and that the replayed window is present.",
+)
+def st5_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from bigdataindexing_spark.streaming.core import write_arrivals
+    from bigdataindexing_spark.tables import table
+
+    events = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    late = events.orderBy("ts", "event_id").limit(1)
+    buffer = events.orderBy(F.desc("ts"), "event_id").limit(1)
+    src = tempfile.mkdtemp(prefix="st5_src_")
+    os.makedirs(src, exist_ok=True)
+    write_arrivals([events, buffer, late], src)
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    streamed = run_available_now(agg, output_mode="append").select(
+        F.col("window.start").alias("w"), "cnt"
+    )
+    expected = (
+        events.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("expected_cnt"))
+        .select(F.col("window.start").alias("w"), "expected_cnt")
+    )
+    return (
+        streamed.join(expected, "w")
+        .select(
+            "w",
+            "cnt",
+            "expected_cnt",
+            (F.col("cnt") == F.col("expected_cnt")).alias("late_dropped_ok"),
+        )
+        .orderBy("w")
+    )
+
+
+@register(
     "st8_stream_stream_join",
     oracle="SELECT a.event_id AS view_id, b.event_id AS purchase_id, "
     "a.user_id AS user_id "

@@ -237,3 +237,41 @@ def test_replace_put_semantics(spark, store):
         r["object_id"] for r in t2.member_cost_shares.select("object_id").collect()
     }
     assert "mcs-p3" not in mcs_ids and "mcs-p3-new" in mcs_ids
+
+
+def test_precondition_gate(spark, store):
+    """If-Match conditional write (PlanController.java:213–221): fresh ETag
+    applies, stale ETag → 412, missing ETag or unknown target → 404, and
+    rejected attempts leave the store byte-identical."""
+    from bigdataindexing_spark.documents import etag as etag_mod
+    from bigdataindexing_spark.documents.contracts import doc_precondition
+
+    rows = {r["check"]: r["ok"] for r in doc_precondition(spark, "").collect()}
+    assert rows == {
+        "fresh_etag_applied": True,
+        "rejected_targets_unwritten": True,
+        "reject_statuses": True,
+    }
+
+    # unit-level: the gate's split is exact — accepted carries ONLY the
+    # fresh-etag attempt, rejected carries the other three with the right
+    # status codes
+    docs = etag_mod.with_etag(reassemble(store))
+    cur5 = (
+        docs.filter(F.col("object_id") == "plan-5")
+        .select("etag")
+        .collect()[0][0]
+    )
+    attempts = spark.createDataFrame(
+        [
+            ("plan-5", cur5),
+            ("plan-6", "deadbeef"),
+            ("plan-7", None),
+            ("plan-999", "cafebabe"),
+        ],
+        "object_id STRING, if_match STRING",
+    )
+    accepted, rejected = etag_mod.precondition_gate(docs, attempts)
+    assert [r["object_id"] for r in accepted.collect()] == ["plan-5"]
+    rej = {r["object_id"]: r["status"] for r in rejected.collect()}
+    assert rej == {"plan-6": 412, "plan-7": 404, "plan-999": 404}

@@ -140,6 +140,29 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert first_window == [1]
 
 
+def test_st5_registry_contract(spark, sf_dir):
+    """ST5 as a registered query: every finalized window carries the batch
+    count (the late replay contributed nothing), each window is emitted
+    exactly once, and the replayed (earliest) window IS among the emitted
+    ones — the drop is observed, not vacuously true."""
+    from bigdataindexing_spark.streaming.queries import st5_watermark_drop
+    from bigdataindexing_spark.tables import table
+
+    rows = st5_watermark_drop(spark, sf_dir).collect()
+    assert rows, "no finalized windows emitted"
+    assert all(r["late_dropped_ok"] for r in rows)
+    ws = [r["w"] for r in rows]
+    assert len(ws) == len(set(ws)), "a window was emitted more than once"
+    earliest = (
+        table(spark, sf_dir, "events")
+        .agg(F.min(F.date_trunc("minute", "ts")))
+        .collect()[0][0]
+    )
+    # the replayed event's 10-minute window start
+    floor = earliest.replace(minute=earliest.minute - earliest.minute % 10)
+    assert floor in ws, "the late-replayed window was never finalized"
+
+
 def test_stateful_dedup_across_batches(spark, tmp_path):
     """ST6: dropDuplicates state carries across micro-batches — a duplicate
     event_id arriving in a later batch (within the watermark) is suppressed."""

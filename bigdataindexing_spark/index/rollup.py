@@ -14,7 +14,7 @@ table, so the rollup's correctness (not just its shape) is hash-checked.
 from __future__ import annotations
 
 import os
-import tempfile
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,7 +54,7 @@ def hourly_rollup_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _ROLLUP_DIRS.get(key)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="rollup_hourly_")
+        path = session_store_dir("rollup_hourly")
         build_hourly_rollup(spark, sf_dir, path)
         _ROLLUP_DIRS[key] = path
     return path

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
 
 from bigdataindexing_spark.index.build import term_rows
 from bigdataindexing_spark.registry import register
@@ -117,7 +118,7 @@ def base_postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="bdi_base_postings_")
+        path = session_store_dir("base_postings")
         docs = spread(table(spark, sf_dir, "documents"))
         postings(docs.filter(F.col("doc_id") % 10 < 8)).sortWithinPartitions(
             "token"
@@ -402,7 +403,7 @@ def search_index_table(
     if path is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="bdi_search_idx_")
+        path = session_store_dir("search_idx")
         docs = spread(table(spark, sf_dir, "documents"))
         write_index(docs, path)
         lens = docs.select("doc_id", F.size(tokens("text")).alias("dl"))

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 from bigdataindexing_spark.functions.text import md5_long, tokens
 from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
 from bigdataindexing_spark.tables import pin, spread, table
 
 JACCARD_TAU = 0.2
@@ -113,7 +114,7 @@ def shingle_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="bdi_shingle_sig_")
+        path = session_store_dir("shingle_sig")
         (
             spread(table(spark, sf_dir, "documents"), heavy=True)
             .select("doc_id", "text")
@@ -417,7 +418,7 @@ def jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="bdi_jaccard_pairs_")
+        path = session_store_dir("jaccard_pairs")
         _jaccard_pairs(
             shingle_sig_store(spark, sf_dir).select("doc_id", "shingles")
         ).select("doc_a", "doc_b").write.mode("overwrite").parquet(path)
@@ -443,7 +444,7 @@ def simhash_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="bdi_simhash_sig_")
+        path = session_store_dir("simhash_sig")
         _simhash_sig(spark, sf_dir).write.mode("overwrite").parquet(path)
         _SIMHASH_STORE_DIR[key] = path
     df = spark.read.parquet(path)
@@ -518,18 +519,42 @@ _PAIRS_CTE = (
 )
 
 
-def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    """Connected components over an undirected pair list by iterative
-    min-label propagation TO CONVERGENCE; returns (id, cluster) for every
-    endpoint. Shared by the Jaccard (documents) and cosine (embeddings)
-    graphs — the latter's similarity is not transitive, so components can
-    be chain-shaped and the hop count cannot be a constant.
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(session_store_dir("cc_checkpoint"))
 
-    Convergence check: min-propagation only ever lowers labels, so the
-    per-round SUM(label) is strictly decreasing until fixpoint — one
-    1-row aggregate per round (which also materializes that round's
+
+def cc_labels(
+    pairs: DataFrame, a_col: str, b_col: str, method: str = "pointer_jump"
+) -> DataFrame:
+    """Connected components over an undirected pair list TO CONVERGENCE;
+    returns (id, cluster) for every endpoint. Shared by the Jaccard
+    (documents) and cosine (embeddings) graphs — the latter's similarity
+    is not transitive, so components can be chain-shaped and the hop
+    count cannot be a constant.
+
+    ``method="pointer_jump"`` (default, the cluster-scale form): each
+    round does one hop of min-label propagation over the edge list, then
+    a pointer jump — every node adopts its label's label, short-circuiting
+    chains — so reach roughly doubles per round and a diameter-d component
+    converges in O(log d) rounds instead of d (the large-star/small-star
+    family; the jump is one self-join on the O(vertices) label relation,
+    strictly cheaper than the edge join). ``method="propagate"`` keeps the
+    plain one-hop loop as the didactic baseline.
+
+    Each round's labels are materialized through a RELIABLE checkpoint
+    (``sparkContext.setCheckpointDir`` — durable storage on a cluster),
+    not ``localCheckpoint``: executor-local checkpoint blocks die with
+    the executor, and an iterative algorithm that loses round N has no
+    lineage left to recompute it from. The checkpoint also truncates
+    lineage, without which the plan tree doubles per hop. Convergence
+    check: min-propagation only ever lowers labels, so the per-round
+    SUM(label) is strictly decreasing until fixpoint — one 1-row
+    aggregate per round (which also materializes that round's
     checkpoint; iterative algorithms materialize per round by design,
     GraphX does the same)."""
+    _ensure_checkpoint_dir(pairs.sparkSession)
     und = pin(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).union(
             pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
@@ -549,13 +574,26 @@ def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            # truncate lineage each round (materialized by the sum check
-            # below): each round references the previous labels twice, so
-            # without this the plan tree doubles per hop and analysis/
-            # codegen cost grows 2^hops. On a cluster this would be a
-            # reliable checkpoint instead of a local one.
-            .localCheckpoint(eager=False)
         )
+        if method == "pointer_jump":
+            # label <- label(label): every label value is itself a vertex
+            # id present in the relation (labels were seeded from vertex
+            # ids and min() only selects existing values), so the jump is
+            # an equi-join on the vertex-sized relation; min-prop
+            # guarantees grand <= label, monotonicity is preserved.
+            grand = labels.select(
+                F.col("id").alias("label"), F.col("label").alias("_g")
+            )
+            labels = (
+                labels.join(grand, "label", "left")
+                .select(
+                    "id",
+                    F.coalesce(F.least("label", "_g"), F.col("label")).alias(
+                        "label"
+                    ),
+                )
+            )
+        labels = labels.checkpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -577,13 +615,12 @@ def cc_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     doc="Near-dup cluster resolution: connected components over the "
     "exact-Jaccard pair graph (cluster id = min doc_id in the component — "
     "the survivor a dedup pipeline keeps). Iterative min-label "
-    "propagation, one join + one min-aggregate per hop, iterated to "
-    "CONVERGENCE (the per-round label sum is strictly decreasing until "
-    "fixpoint — on this graph that's 2 rounds, but the loop proves it "
-    "rather than assuming clique-shaped components). At 100 TB the same "
-    "loop runs with pointer-jumping (large-star/small-star) for O(log n) "
-    "rounds; the per-round dataflow — equi-join on the edge list, "
-    "min-aggregate on the vertex — is identical. Oracle: duckdb "
+    "propagation WITH pointer jumping (large-star/small-star family): "
+    "one edge join + one min-aggregate + one vertex-sized label(label) "
+    "jump per round, iterated to CONVERGENCE (the per-round label sum is "
+    "strictly decreasing until fixpoint), so a diameter-d component "
+    "needs O(log d) rounds, each checkpointed to reliable storage — the "
+    "100 TB form, exercised here. Oracle: duckdb "
     "recursive-CTE transitive closure.",
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
 
 from bigdataindexing_spark.functions.text import tokens
 from bigdataindexing_spark.registry import register
@@ -840,7 +841,7 @@ def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="bdi_hll_store_")
+        path = session_store_dir("hll_sketch")
         (
             table(spark, sf_dir, "events")
             .withColumn(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
 
 from bigdataindexing_spark.functions.vectors import as_double, cosine
 from bigdataindexing_spark.registry import register
@@ -205,7 +206,7 @@ def lsh_signature_dir(spark: SparkSession, sf_dir: str, dim: int = 64) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _SIG_DIRS.get(key)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="lsh_sig_")
+        path = session_store_dir("lsh_sig")
         (
             lsh_signatures(
                 spread(table(spark, sf_dir, "embeddings"), heavy=True), dim

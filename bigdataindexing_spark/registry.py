@@ -159,6 +159,9 @@ _R04_PRIORITY = (
 # back into the window right behind the never-checked set. Append here as
 # round-4 edits land, with the reason.
 _R04_RECHECK = (
+    "dedup_cluster_cc",       # CC default switched to pointer-jumping +
+                              # reliable checkpoint (VERDICT r3 #5)
+    "sim_semantic_clusters",  # same cc_labels change
 )
 
 _R04_DEFER = frozenset()

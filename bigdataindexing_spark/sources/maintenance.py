@@ -13,6 +13,21 @@ A 100 TB table is never rewritten; it is MAINTAINED:
   skipping power; full-size files are left untouched (rewrite cost is
   proportional to the small-file backlog, not the table).
 
+Commit protocol: every write stages into a scratch directory and then
+moves its files into the layout under a unique commit token, so "what
+did this commit add" is derived from the WRITE itself — never from a
+before/after directory diff. A concurrent writer appending to the same
+layout can therefore never be harvested into this caller's manifest,
+and a crash mid-commit leaves only token-prefixed orphans that no
+manifest references (vacuum-able garbage, not corruption).
+
+Deletion is equally explicit: ``compact_layout`` returns the list of
+files its rewrite superseded, and ``vacuum_layout`` deletes exactly that
+list (refusing anything the manifest still references). Vacuum can no
+longer be pointed at a stale manifest and wipe live data it has never
+heard of — the Delta OPTIMIZE/VACUUM split with the tombstone list made
+explicit.
+
 Both operations return the updated manifest, so planning stays a pure
 driver-side consult (``skipping.manifest_keep``) with no Spark job — the
 same contract the read path already honors. The reference has no
@@ -22,12 +37,18 @@ operational layer any lakehouse deployment of this engine needs.
 
 from __future__ import annotations
 
+import itertools
 import os
+import shutil
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.sources.skipping import file_stats_manifest
+
+_commit_seq = itertools.count()
 
 
 def _layout_files(layout_dir: str) -> list[str]:
@@ -36,6 +57,27 @@ def _layout_files(layout_dir: str) -> list[str]:
         for f in os.listdir(layout_dir)
         if f.endswith(".parquet")
     )
+
+
+def _commit_files(layout_dir: str, write_fn) -> list[str]:
+    """Run ``write_fn(staging_dir)`` and move its parquet output into the
+    layout under a unique commit token, returning exactly the files this
+    commit added. The staged write plus per-commit naming is what makes
+    concurrent writers safe: each caller harvests only its own files."""
+    staging = tempfile.mkdtemp(prefix="bdi_commit_stage_")
+    try:
+        write_fn(staging)
+        token = f"commit-{uuid.uuid4().hex[:8]}-{next(_commit_seq)}"
+        out = []
+        for i, name in enumerate(sorted(os.listdir(staging))):
+            if not name.endswith(".parquet"):
+                continue
+            dst = os.path.join(layout_dir, f"{token}-{i:05d}.parquet")
+            shutil.move(os.path.join(staging, name), dst)
+            out.append(dst)
+        return out
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def append_to_layout(
@@ -52,16 +94,15 @@ def append_to_layout(
 
     Only the NEW files are footer-harvested — the existing manifest rows
     are reused verbatim, so append cost is O(batch) + O(new files),
-    independent of table size. (Spark's append commits through a staged
-    _temporary dir, so a crashed append leaves no visible new files and
-    the old manifest stays consistent.)"""
-    before = set(_layout_files(layout_dir))
-    (
-        batch.repartitionByRange(n_files, F.col(col))
-        .write.mode("append")
-        .parquet(layout_dir)
+    independent of table size."""
+    new_files = _commit_files(
+        layout_dir,
+        lambda d: (
+            batch.repartitionByRange(n_files, F.col(col))
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
     )
-    new_files = [f for f in _layout_files(layout_dir) if f not in before]
     added = [
         r.asDict()
         for r in file_stats_manifest(spark, new_files, col, value_type).collect()
@@ -77,51 +118,62 @@ def compact_layout(
     value_type: str,
     small_rows: int,
     target_files: int,
-) -> list[dict]:
+) -> tuple[list[dict], list[str]]:
     """Rewrite every file under ``small_rows`` into ``target_files``
-    range-clustered files; leave full-size files untouched.
+    range-clustered files; leave full-size files untouched. Returns
+    ``(new_manifest, superseded_files)``.
 
     The rewrite reads ONLY the small files (one bounded Spark job) and
     re-clusters them on the layout column so the compacted files keep
     narrow min/max ranges. Nothing is deleted here: the MANIFEST is the
     log — readers plan from it, never from a directory listing — so the
     returned manifest (untouched rows verbatim + fresh stats for the
-    compacted files) is the atomic swap, and the superseded small files
-    become unreferenced garbage for ``vacuum_layout`` to reclaim later.
-    Delta's OPTIMIZE/VACUUM split, for the same crash-safety reason: a
-    failure at any point leaves either the old manifest (compacted files
-    are invisible orphans) or the new one (small files are orphans) —
-    never a reader that can see half a swap."""
+    compacted files) is the atomic swap, and ``superseded_files`` is the
+    explicit tombstone list ``vacuum_layout`` reclaims later. A failure
+    at any point leaves either the old manifest (compacted files are
+    invisible orphans) or the new one (small files are orphans) — never
+    a reader that can see half a swap."""
     small = [m for m in manifest if m["num_rows"] < small_rows]
     if len(small) <= target_files:
-        return manifest  # nothing to gain
+        return manifest, []  # nothing to gain
     keep_rows = [m for m in manifest if m["num_rows"] >= small_rows]
     small_files = [m["file"] for m in small]
 
-    before = set(_layout_files(layout_dir))
-    (
-        spark.read.parquet(*small_files)
-        .repartitionByRange(target_files, F.col(col))
-        .write.mode("append")
-        .parquet(layout_dir)
+    new_files = _commit_files(
+        layout_dir,
+        lambda d: (
+            spark.read.parquet(*small_files)
+            .repartitionByRange(target_files, F.col(col))
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
     )
-    new_files = [f for f in _layout_files(layout_dir) if f not in before]
     added = [
         r.asDict()
         for r in file_stats_manifest(spark, new_files, col, value_type).collect()
     ]
-    return keep_rows + added
+    return keep_rows + added, small_files
 
 
-def vacuum_layout(layout_dir: str, manifest: list[dict]) -> int:
-    """Delete files the manifest no longer references (superseded by a
-    compaction); returns how many were removed. Safe to run any time
-    AFTER the new manifest is adopted — the read path never lists the
-    directory, so unreferenced files are dead weight, not data."""
+def vacuum_layout(
+    layout_dir: str, manifest: list[dict], superseded: list[str]
+) -> int:
+    """Delete exactly the ``superseded`` files a compaction reported;
+    returns how many were removed. Refuses (raises) to delete any file
+    the manifest still references — so a caller holding a stale manifest
+    or a wrong tombstone list cannot destroy live data. Safe to run any
+    time AFTER the new manifest is adopted: the read path never lists
+    the directory, so superseded files are dead weight, not data."""
     live = {m["file"] for m in manifest}
+    still_live = live.intersection(superseded)
+    if still_live:
+        raise ValueError(
+            f"refusing vacuum: {len(still_live)} superseded file(s) are "
+            f"still manifest-referenced, e.g. {sorted(still_live)[0]!r}"
+        )
     removed = 0
-    for f in _layout_files(layout_dir):
-        if f not in live:
+    for f in superseded:
+        if os.path.exists(f):
             os.remove(f)
             removed += 1
     return removed
@@ -136,15 +188,14 @@ MAINT_HI = "1996-03-31"
 
 
 def _maintained_layout(spark: SparkSession, sf_dir: str):
-    import tempfile
-
+    from bigdataindexing_spark.sources.store_dirs import session_store_dir
     from bigdataindexing_spark.tables import table
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MAINTAINED.get(key)
     if cached is not None:
         return cached
-    path = tempfile.mkdtemp(prefix="bdi_maint_serve_")
+    path = session_store_dir("maint_serve")
     li = table(spark, sf_dir, "lineitem")
     base = li.filter(F.col("l_orderkey") % 5 != 0)
     (
@@ -166,11 +217,11 @@ def _maintained_layout(spark: SparkSession, sf_dir: str):
     manifest = append_to_layout(
         spark, path, manifest, delta, "l_shipdate", "date", n_files=2
     )
-    manifest = compact_layout(
+    manifest, superseded = compact_layout(
         spark, path, manifest, "l_shipdate", "date",
         small_rows=small, target_files=1,
     )
-    vacuum_layout(path, manifest)
+    vacuum_layout(path, manifest, superseded)
     _MAINTAINED[key] = (path, manifest)
     return path, manifest
 
@@ -192,8 +243,9 @@ def _register() -> None:
         doc="End-to-end layout maintenance contract: base write -> "
         "incremental append (manifest extends by exactly the new files' "
         "footer stats) -> small-file compaction (range-clustered rewrite "
-        "of only the small files) -> vacuum (drop manifest-unreferenced "
-        "files). The result is read back THROUGH the maintained manifest "
+        "of only the small files) -> vacuum (drop exactly the compaction's "
+        "superseded-file list, refusing manifest-referenced files). The "
+        "result is read back THROUGH the maintained manifest "
         "— total rows and a skipping-pruned window count must equal the "
         "source-of-truth scan (the oracle), proving the maintained "
         "layout serves exactly the table at every step. The manifest is "

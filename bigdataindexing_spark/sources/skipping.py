@@ -31,7 +31,6 @@ q39/q96's "salting is an execution-plan change only".
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
 from bigdataindexing_spark.tables import bounded_sort, table
 
 N_CLUSTER_FILES = 16
@@ -116,7 +116,7 @@ def clustered_lineitem_layout(
     cached = _CLUSTERED_DIR.get(key)
     if cached is not None:
         return cached
-    path = tempfile.mkdtemp(prefix="bdi_clustered_lineitem_")
+    path = session_store_dir("clustered_lineitem")
     (
         table(spark, sf_dir, "lineitem")
         .repartitionByRange(N_CLUSTER_FILES, F.col("l_shipdate"))
@@ -171,12 +171,17 @@ def manifest_keep(manifest: list[dict], lo, hi) -> list[str]:
     """Files the range predicate cannot rule out. A file with absent
     stats CANNOT be pruned — skipping may only drop files proven
     non-overlapping (the conservative contract every table format
-    honors; dropping an unproven file would change results)."""
+    honors; dropping an unproven file would change results). BOTH bounds
+    must be present to prune: a one-sided stat (possible if a stats
+    harvester records min/max independently) conservatively keeps the
+    file rather than comparing against None."""
     out = []
     for m in manifest:
         mn, mx = m["min_v"], m["max_v"]
-        if mn is None or (
-            mn <= _coerce_bound(hi, mn) and mx >= _coerce_bound(lo, mx)
+        if (
+            mn is None
+            or mx is None
+            or (mn <= _coerce_bound(hi, mn) and mx >= _coerce_bound(lo, mx))
         ):
             out.append(m["file"])
     return out
@@ -323,7 +328,7 @@ def zorder_lineitem_layout(
     cached = _ZORDER_DIR.get(key)
     if cached is not None:
         return cached
-    path = tempfile.mkdtemp(prefix="bdi_zorder_lineitem_")
+    path = session_store_dir("zorder_lineitem")
     n_buckets = 1 << Z_BITS
     d_bucket = F.least(
         F.lit(n_buckets - 1),
@@ -371,15 +376,17 @@ def manifest_keep_multi(manifest: list[dict], preds: list[tuple[int, object, obj
     (column index, lo, hi); bounds are compared TYPED against the stats
     (ISO strings coerce to the stat's date/datetime type, numerics pass
     through — never lexicographic). A file is pruned only when some
-    dimension PROVES disjointness; absent stats keep the file (same
-    conservative contract as manifest_keep)."""
+    dimension PROVES disjointness; absent or one-sided stats keep the
+    file (same conservative contract as manifest_keep)."""
     keep = []
     for m in manifest:
         pruned = False
         for ci, lo, hi in preds:
             mn, mx = m.get(f"min_{ci}"), m.get(f"max_{ci}")
-            if mn is not None and (
-                mn > _coerce_bound(hi, mn) or mx < _coerce_bound(lo, mx)
+            if (
+                mn is not None
+                and mx is not None
+                and (mn > _coerce_bound(hi, mn) or mx < _coerce_bound(lo, mx))
             ):
                 pruned = True
                 break

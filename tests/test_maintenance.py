@@ -75,11 +75,15 @@ def test_compact_preserves_rows_and_skipping(spark, sf_dir, layout):
     )
     n_files_before = len(manifest)
     total_before = _total_rows(manifest)
-    compacted = maintenance.compact_layout(
+    compacted, superseded = maintenance.compact_layout(
         spark, path, manifest, "l_shipdate", "date",
         small_rows=small_rows, target_files=1,
     )
     assert len(compacted) < n_files_before
+    # the tombstone list is exactly the small files the rewrite replaced
+    assert sorted(superseded) == sorted(
+        m["file"] for m in manifest if m["num_rows"] < small_rows
+    )
     assert _total_rows(compacted) == total_before
     # skipping still prunes on the compacted manifest
     keep = skipping.manifest_keep(compacted, "1996-01-01", "1996-03-31")
@@ -94,10 +98,20 @@ def test_compact_preserves_rows_and_skipping(spark, sf_dir, layout):
     ).count()
     assert got == want
 
+    # vacuum refuses a tombstone list that still contains live files —
+    # the stale-manifest foot-gun is a hard error, not a data loss
+    with pytest.raises(ValueError, match="manifest-referenced"):
+        maintenance.vacuum_layout(
+            path, compacted, superseded + [compacted[0]["file"]]
+        )
+    assert len(maintenance._layout_files(path)) == len(compacted) + len(
+        superseded
+    )
+
     # vacuum removes exactly the superseded files; the manifest's view
     # of the data is untouched
     on_disk = len(maintenance._layout_files(path))
-    removed = maintenance.vacuum_layout(path, compacted)
+    removed = maintenance.vacuum_layout(path, compacted, superseded)
     assert removed == on_disk - len(compacted)
     assert sorted(maintenance._layout_files(path)) == sorted(
         m["file"] for m in compacted
@@ -110,8 +124,35 @@ def test_compact_preserves_rows_and_skipping(spark, sf_dir, layout):
 
 def test_compact_noop_when_nothing_small(spark, sf_dir, layout):
     path, manifest, _li = layout
-    out = maintenance.compact_layout(
+    out, superseded = maintenance.compact_layout(
         spark, path, manifest, "l_shipdate", "date",
         small_rows=1, target_files=1,
     )
-    assert out == manifest
+    assert out == manifest and superseded == []
+
+
+def test_append_ignores_concurrent_writer(spark, sf_dir, layout):
+    """New files are derived from the commit itself, never a directory
+    diff: a foreign file that appears in the layout mid-append is not
+    harvested into this caller's manifest."""
+    path, manifest, li = layout
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    # simulate a concurrent writer: a foreign parquet file landing in the
+    # layout directory before our append commits
+    foreign = os.path.join(path, "zz-foreign-writer.parquet")
+    li.limit(7).coalesce(1).write.mode("overwrite").parquet(path + "_other")
+    src = next(
+        f for f in os.listdir(path + "_other") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(path + "_other", src), foreign)
+
+    new_manifest = maintenance.append_to_layout(
+        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    harvested = {m["file"] for m in new_manifest} - {
+        m["file"] for m in manifest
+    }
+    assert foreign not in harvested
+    assert sum(m["num_rows"] for m in new_manifest) == sum(
+        m["num_rows"] for m in manifest
+    ) + delta.count()

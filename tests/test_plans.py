@@ -133,8 +133,27 @@ def test_ntile_partitioned_no_global_sort(plan):
     # the scale-safe ntile must sort per hash partition of the window key,
     # never funnel all rows through one task (q47's un-partitioned shape)
     p = plan("q54_ntile_partitioned")
-    assert "Exchange SinglePartition" not in p
+    # formatted plans print the funnel as "Arguments: SinglePartition";
+    # the old "Exchange SinglePartition" spelling never occurs and made
+    # this assertion vacuous
+    assert "SinglePartition" not in p
     assert "hashpartitioning(o_orderpriority" in p
+
+
+def test_ntile_demo_window_input_is_filtered(plan):
+    # q47 is the documented bounded small-side demo: its unpartitioned
+    # ntile window MAY funnel through one partition, but ONLY downstream
+    # of the o_orderkey <= 200 filter — pushed into the scan, upstream of
+    # the SinglePartition exchange — so a refactor can never globally
+    # sort an unfiltered orders table through one task.
+    p = plan("q47_ntile")
+    pushed = p.find("LessThanOrEqual(o_orderkey,200)")
+    single = p.find("SinglePartition")
+    assert pushed != -1, "bound filter no longer pushed into the scan"
+    assert single != -1  # the demo shape: one-partition window
+    assert pushed < single, "filter must sit upstream of the window funnel"
+    # pruning: the scan reads exactly the two needed columns
+    assert "struct<o_orderkey:bigint,o_totalprice:double>" in p
 
 
 def test_except_is_anti_join(plan):

@@ -50,8 +50,27 @@ def postings_from_rows(rows: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(token, df, doc_ids) — posting lists, sorted for determinism."""
-    return postings_from_rows(term_rows(docs, id_col, text_col), id_col)
+    """(token, df, doc_ids) — posting lists, sorted for determinism.
+
+    ONE shuffle, not two: df counts DISTINCT (token, doc) pairs, and the
+    per-doc dedupe is row-local (``array_distinct`` before the explode),
+    so the exchange carries one row per distinct pair — never the raw
+    token stream — and no tf is computed only to be discarded
+    (``term_rows`` remains the path for tf consumers). At 100 TB the
+    shuffled volume is the postings themselves, the information-theoretic
+    floor for this output."""
+    return (
+        docs.select(
+            id_col,
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
 
 
 def write_index(docs: DataFrame, out_dir: str) -> None:

@@ -80,7 +80,7 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt, "
     "ROUND(SUM(value), 2) AS sum_value FROM events "
     "GROUP BY day, event_type ORDER BY day, event_type",
-    tags=("rollup", "index"),
+    tags=("rollup", "index", "serve"),
     doc="Continuous-aggregate serve path: the DAILY result is computed by "
     "re-aggregating the materialized HOURLY rollup (sum of sums, sum of "
     "counts) — the raw events table is read once at build time, never at "
@@ -107,7 +107,7 @@ def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT date_trunc('hour', ts) AS bucket, event_type, "
     "COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value FROM events "
     "GROUP BY bucket, event_type ORDER BY bucket, event_type",
-    tags=("rollup", "incremental"),
+    tags=("rollup", "incremental", "serve"),
     doc="Incremental rollup maintenance (the merge step of a continuous "
     "aggregate): a base rollup built before a batch of late-arriving "
     "events (every 20th event_id held out as the 'late' delta) is "

@@ -116,8 +116,6 @@ def base_postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _BASE_POSTINGS_DIR.get(key)
     if path is None:
-        import tempfile
-
         path = session_store_dir("base_postings")
         docs = spread(table(spark, sf_dir, "documents"))
         postings(docs.filter(F.col("doc_id") % 10 < 8)).sortWithinPartitions(
@@ -135,7 +133,7 @@ def base_postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM u WHERE token <> '' GROUP BY token) "
     "SELECT token, df, len(ids) AS n_ids, "
     "md5(array_to_string(ids, ',')) AS ids_md5 FROM p ORDER BY token",
-    tags=("index", "incremental"),
+    tags=("index", "incremental", "serve"),
     doc="Incremental index maintenance: merge a DELTA postings table "
     "(newly arrived docs, doc_id % 10 >= 8) into the MATERIALIZED BASE "
     "postings store without touching already-indexed documents again — "
@@ -401,18 +399,39 @@ def search_index_table(
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _SEARCH_INDEX_DIR.get(key)
     if path is None:
-        import tempfile
-
         path = session_store_dir("search_idx")
         docs = spread(table(spark, sf_dir, "documents"))
         write_index(docs, path)
         lens = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
-        lens.repartition(1).sortWithinPartitions("doc_id").write.mode(
+        stats = lens.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/stats.parquet")
+        # Per-doc and per-term scoring constants PRECOMPUTED at build
+        # time — what Lucene/ES segments actually store: the BM25 length
+        # norm k1*(1-b+b*dl/avgdl) depends only on (dl, avgdl) and the
+        # idf only on (n_docs, df), all fixed once the build commits, so
+        # the serve path pays zero corpus-level aggregation per query.
+        lens.crossJoin(F.broadcast(stats)).select(
+            "doc_id",
+            "dl",
+            (
+                BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ).alias("norm"),
+        ).repartition(1).sortWithinPartitions("doc_id").write.mode(
             "overwrite"
         ).parquet(f"{path}/doclens.parquet")
-        lens.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-        ).write.mode("overwrite").parquet(f"{path}/stats.parquet")
+        spark.read.parquet(f"{path}/postings.parquet").crossJoin(
+            F.broadcast(stats)
+        ).select(
+            "token",
+            "df",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        ).repartition(1).sortWithinPartitions("token").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/termmeta.parquet")
         _SEARCH_INDEX_DIR[key] = path
     dfkey = key + (name,)
     df = _SEARCH_INDEX_DF.get(dfkey)
@@ -445,12 +464,14 @@ def search_index_table(
     "as idx_bm25_search, which keeps the inline build-and-search "
     "formulation): term_rows is written token-sorted, so the query-term "
     "filter both pushes to the parquet scan and skips row groups — the "
-    "serve path touches only the query terms' postings, the doc-length "
-    "sidecar, and a broadcast 1-row stats table, never a raw document. "
-    "This is the reference's search tier: IndexingListener.java "
-    "maintains the ES index asynchronously and PlanController queries "
-    "hit the index alone. The oracle (raw-scan BM25) proves the served "
-    "index is consistent with the source of truth.",
+    "serve path touches only the query terms' postings plus two "
+    "precomputed sidecars (per-term idf, per-doc length norm — the "
+    "Lucene segment layout), never a raw document and never a "
+    "query-time corpus aggregate. This is the reference's search tier: "
+    "IndexingListener.java maintains the ES index asynchronously and "
+    "PlanController queries hit the index alone. The oracle (raw-scan "
+    "BM25) proves the served index is consistent with the source of "
+    "truth.",
 )
 def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "data"]
@@ -458,23 +479,23 @@ def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").isin(terms)
     )
     lens = search_index_table(spark, sf_dir, "doclens")
-    stats = search_index_table(spark, sf_dir, "stats")
-    dfreq = rows.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    meta = search_index_table(spark, sf_dir, "termmeta").filter(
+        F.col("token").isin(terms)
     )
-    idf = F.log(
-        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
+    # every scoring constant comes from the store (idf per term, length
+    # norm per doc — precomputed at build, the Lucene segment layout):
+    # the query runs zero corpus aggregation — two pushed-filter scans,
+    # a broadcast term-meta join, a doc_id join, top-k
     scored = (
-        rows.join(F.broadcast(dfreq), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        rows.join(F.broadcast(meta.select("token", "idf")), "token")
+        .join(lens.select("doc_id", "norm"), "doc_id")
         .select(
             "doc_id",
-            (idf * (F.col("tf") * (BM25_K1 + 1)) / norm).alias("w"),
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (F.col("tf") + F.col("norm"))
+            ).alias("w"),
         )
     )
     return (
@@ -545,7 +566,7 @@ def idx_store_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ORDER BY w DESC, token) AS rk FROM s) "
     "SELECT doc_id, token AS keyword, rk FROM r WHERE rk <= 3 "
     "ORDER BY doc_id, rk",
-    tags=("text", "index", "enrichment"),
+    tags=("text", "index", "enrichment", "serve"),
     doc="Per-document keyword extraction: top-3 tokens by TF-IDF weight "
     "(corpus df from the full term relation, ln(N/df) idf, token "
     "tie-break) — the enrichment step that turns raw documents into "

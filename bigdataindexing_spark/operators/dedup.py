@@ -112,8 +112,6 @@ def shingle_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df
     path = _SHINGLE_STORE_DIR.get(key)
     if path is None:
-        import tempfile
-
         path = session_store_dir("shingle_sig")
         (
             spread(table(spark, sf_dir, "documents"), heavy=True)
@@ -301,7 +299,7 @@ def _shingle_sig_batches(it):
 @register(
     "dedup_minhash_lsh",
     oracle=_JACCARD_SQL,
-    tags=("dedup",),
+    tags=("dedup", "serve",),
     doc="MinHash(128) + LSH banding (64 bands × 2 rows) near-dup pairs: "
     "band-bucket equi-join for candidates, signature-estimate prefilter, "
     "exact-Jaccard verify of survivors only. Scale path: signatures come "
@@ -416,8 +414,6 @@ def jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df
     path = _PAIR_STORE_DIR.get(key)
     if path is None:
-        import tempfile
-
         path = session_store_dir("jaccard_pairs")
         _jaccard_pairs(
             shingle_sig_store(spark, sf_dir).select("doc_id", "shingles")
@@ -442,8 +438,6 @@ def simhash_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df
     path = _SIMHASH_STORE_DIR.get(key)
     if path is None:
-        import tempfile
-
         path = session_store_dir("simhash_sig")
         _simhash_sig(spark, sf_dir).write.mode("overwrite").parquet(path)
         _SIMHASH_STORE_DIR[key] = path
@@ -510,6 +504,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose similarity relation is non-transitive — the cosine graph
 # (sim_semantic_clusters) can form chains of diameter > 2.
 CC_MAX_ITERATIONS = 25
+CC_CHECKPOINT_INTERVAL = 3  # GraphX Pregel's periodic-checkpoint policy
+CC_JUMP_AFTER = 3  # adaptive mode: rounds of plain propagation before
+# pointer jumping kicks in (a graph converged by then never pays it)
 
 _PAIRS_CTE = (
     _SHINGLE_SQL
@@ -526,7 +523,7 @@ def _ensure_checkpoint_dir(spark: SparkSession) -> None:
 
 
 def cc_labels(
-    pairs: DataFrame, a_col: str, b_col: str, method: str = "pointer_jump"
+    pairs: DataFrame, a_col: str, b_col: str, method: str = "adaptive"
 ) -> DataFrame:
     """Connected components over an undirected pair list TO CONVERGENCE;
     returns (id, cluster) for every endpoint. Shared by the Jaccard
@@ -534,26 +531,32 @@ def cc_labels(
     is not transitive, so components can be chain-shaped and the hop
     count cannot be a constant.
 
-    ``method="pointer_jump"`` (default, the cluster-scale form): each
-    round does one hop of min-label propagation over the edge list, then
-    a pointer jump — every node adopts its label's label, short-circuiting
-    chains — so reach roughly doubles per round and a diameter-d component
-    converges in O(log d) rounds instead of d (the large-star/small-star
-    family; the jump is one self-join on the O(vertices) label relation,
-    strictly cheaper than the edge join). ``method="propagate"`` keeps the
-    plain one-hop loop as the didactic baseline.
+    The pointer jump — every node adopts its label's label, a self-join
+    on the O(vertices) label relation — makes reach roughly double per
+    round, so a diameter-d component converges in O(log d) rounds
+    instead of d (the large-star/small-star family). But the jump is
+    pure overhead on a graph that converges in 2–3 hops (near-dup
+    components are usually cliques plus short tails; measured 2x the
+    runtime here), so ``method="adaptive"`` (default) propagates plainly
+    and starts jumping only from round ``CC_JUMP_AFTER+1`` when earlier
+    rounds haven't converged — shallow graphs never pay the jump, deep
+    graphs still finish in O(log d). ``method="pointer_jump"`` jumps
+    every round; ``method="propagate"`` never does (the didactic
+    baseline, one round per hop).
 
-    Each round's labels are materialized through a RELIABLE checkpoint
-    (``sparkContext.setCheckpointDir`` — durable storage on a cluster),
-    not ``localCheckpoint``: executor-local checkpoint blocks die with
-    the executor, and an iterative algorithm that loses round N has no
-    lineage left to recompute it from. The checkpoint also truncates
-    lineage, without which the plan tree doubles per hop. Convergence
-    check: min-propagation only ever lowers labels, so the per-round
-    SUM(label) is strictly decreasing until fixpoint — one 1-row
-    aggregate per round (which also materializes that round's
-    checkpoint; iterative algorithms materialize per round by design,
-    GraphX does the same)."""
+    Labels are persisted every round and written through a RELIABLE
+    checkpoint (``sparkContext.setCheckpointDir`` — durable storage on a
+    cluster) every ``CC_CHECKPOINT_INTERVAL`` rounds, GraphX's Pregel
+    policy: ``localCheckpoint`` blocks die with their executor and an
+    iterative algorithm that loses round N has no lineage left to
+    recompute it from, while checkpointing EVERY round pays a full
+    write per hop — the interval bounds both recomputation depth and
+    plan-tree growth (the tree doubles per un-truncated hop).
+    Convergence check: min-propagation only ever lowers labels, so the
+    per-round SUM(label) is strictly decreasing until fixpoint — one
+    1-row aggregate per round (which also materializes that round's
+    persist/checkpoint; iterative algorithms materialize per round by
+    design, GraphX does the same)."""
     _ensure_checkpoint_dir(pairs.sparkSession)
     und = pin(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).union(
@@ -566,7 +569,8 @@ def cc_labels(
         .withColumn("label", F.col("id"))
     )
     prev_sum = None
-    for _ in range(CC_MAX_ITERATIONS):
+    pinned: list[DataFrame] = []
+    for rnd in range(CC_MAX_ITERATIONS):
         nbr = und.join(labels, und.b == labels.id).select(
             und.a.alias("id"), "label"
         )
@@ -575,7 +579,9 @@ def cc_labels(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        if method == "pointer_jump":
+        if method == "pointer_jump" or (
+            method == "adaptive" and rnd >= CC_JUMP_AFTER
+        ):
             # label <- label(label): every label value is itself a vertex
             # id present in the relation (labels were seeded from vertex
             # ids and min() only selects existing values), so the jump is
@@ -593,11 +599,18 @@ def cc_labels(
                     ),
                 )
             )
-        labels = labels.checkpoint(eager=False)
+        if (rnd + 1) % CC_CHECKPOINT_INTERVAL == 0:
+            labels = labels.checkpoint(eager=False)
+        else:
+            labels = labels.persist()
+            pinned.append(labels)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    for df in pinned[:-1]:  # keep the returned round's cache alive
+        if df is not labels:
+            df.unpersist()
     return labels
 
 
@@ -611,7 +624,7 @@ def cc_labels(
     "UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s) "
     "SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster FROM reach "
     "GROUP BY s ORDER BY doc_id",
-    tags=("dedup", "iterative"),
+    tags=("dedup", "iterative", "serve"),
     doc="Near-dup cluster resolution: connected components over the "
     "exact-Jaccard pair graph (cluster id = min doc_id in the component — "
     "the survivor a dedup pipeline keeps). Iterative min-label "
@@ -649,7 +662,7 @@ SIMHASH_BANDS = 4  # 4 bands × 8 bits; ≤3 flipped bits can touch ≤3 bands
     "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
     "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
     "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b",
-    tags=("dedup",),
+    tags=("dedup", "serve",),
     doc="SimHash near-dup pairs via BANDED candidate generation — the "
     "100 TB path, exact by construction: with 4 bands of 8 bits, any pair "
     "at Hamming ≤ 3 differs in at most 3 bands (pigeonhole), so it agrees "
@@ -716,7 +729,7 @@ CONTAINMENT_TAU = 0.5
     f"WHERE i * 1.0 / sa.n >= {CONTAINMENT_TAU} "
     f"OR i * 1.0 / sb.n >= {CONTAINMENT_TAU} "
     "ORDER BY doc_a, doc_b",
-    tags=("dedup", "decontamination"),
+    tags=("dedup", "decontamination", "serve"),
     doc="Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A| "
     "over 3-gram shingles, both directions, flagged when either side is "
     ">= 0.5-contained. This is the metric symmetric Jaccard structurally "
@@ -790,7 +803,7 @@ _DELTA_SQL = (
 @register(
     "dedup_delta_vs_corpus",
     oracle=_DELTA_SQL,
-    tags=("dedup", "incremental"),
+    tags=("dedup", "incremental", "serve"),
     doc="Ingest-time incremental near-dup screen: an arriving delta batch "
     "(every 20th doc, a stand-in for the micro-batch) is checked against "
     "the EXISTING corpus signature store at O(delta) cost — the delta's "
@@ -877,7 +890,7 @@ ORDER BY dup_frac DESC, doc_id LIMIT 100
 @register(
     "dedup_span_fraction",
     oracle=_SPAN_FRAC_SQL,
-    tags=("dedup", "text", "pipeline"),
+    tags=("dedup", "text", "pipeline", "serve"),
     doc="Span-level duplication fraction: for each document, the share of "
     f"its DISTINCT {SPAN_N}-word spans that occur in at least one other "
     "document — the span-granularity contamination metric modern "

@@ -839,8 +839,6 @@ def hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _SKETCH_STORE_DIR.get(key)
     if path is None:
-        import tempfile
-
         path = session_store_dir("hll_sketch")
         (
             table(spark, sf_dir, "events")

@@ -201,8 +201,6 @@ _SIG_DIRS: dict[tuple[str, str], str] = {}
 
 def lsh_signature_dir(spark: SparkSession, sf_dir: str, dim: int = 64) -> str:
     import os
-    import tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _SIG_DIRS.get(key)
     if path is None or not os.path.isdir(path):
@@ -237,7 +235,7 @@ def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_lsh",
     oracle=None,  # approximate — verified by pytest recall vs brute force
-    tags=("similarity",),
+    tags=("similarity", "serve",),
     doc="Multi-table LSH approximate top-1 neighbor (8 tables × 8-bit "
     "hyperplane buckets, OR-construction): candidates = vectors sharing "
     "any table bucket with the query; queries whose buckets are empty fall "

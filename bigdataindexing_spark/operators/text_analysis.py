@@ -264,7 +264,7 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT doc_id, ROUND(SUM(tf * -LN(cnt / n)) / SUM(tf), 4) AS nll "
     "FROM tf JOIN vocab USING (w) CROSS JOIN n "
     "GROUP BY doc_id ORDER BY doc_id",
-    tags=("text", "pipeline", "quality"),
+    tags=("text", "pipeline", "quality", "serve"),
     doc="Corpus-LM quality score (CCNet-style perplexity proxy): train a "
     "unigram language model on the corpus itself (token -> count / N) "
     "and score every document by its mean negative log-likelihood. Low "

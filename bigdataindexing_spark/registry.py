@@ -162,6 +162,11 @@ _R04_RECHECK = (
     "dedup_cluster_cc",       # CC default switched to pointer-jumping +
                               # reliable checkpoint (VERDICT r3 #5)
     "sim_semantic_clusters",  # same cc_labels change
+    "idx_postings_merge",     # postings() now one-shuffle (row-local
+                              # array_distinct before the explode, no tf)
+    "q96_salted_join",        # hot-key probe served from the session
+                              # stats cache; hot relation is a local
+                              # relation broadcast now
 )
 
 _R04_DEFER = frozenset()

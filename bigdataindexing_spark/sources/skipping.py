@@ -197,7 +197,7 @@ SKIP_HI = "1995-08-31"
     "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
     f"FROM lineitem WHERE l_shipdate BETWEEN DATE '{SKIP_LO}' "
     f"AND DATE '{SKIP_HI}' GROUP BY l_returnflag ORDER BY l_returnflag",
-    tags=("source", "skipping", "layout"),
+    tags=("source", "skipping", "layout", "serve"),
     doc="File-level min/max data skipping (the Delta/Iceberg manifest "
     "technique): lineitem is range-clustered by l_shipdate at write time "
     "(once per session), a footer-only manifest records each file's "
@@ -408,7 +408,7 @@ ZQ_QTY_HI = 10
     f"FROM lineitem WHERE l_shipdate BETWEEN DATE '{ZQ_DATE_LO}' "
     f"AND DATE '{ZQ_DATE_HI}' AND l_quantity BETWEEN {ZQ_QTY_LO} AND "
     f"{ZQ_QTY_HI} GROUP BY l_returnflag ORDER BY l_returnflag",
-    tags=("source", "skipping", "layout", "zorder"),
+    tags=("source", "skipping", "layout", "zorder", "serve"),
     doc="Multi-column data skipping via a Z-ORDER clustered layout "
     "(Databricks OPTIMIZE ZORDER / Iceberg sort-order re-expressed in "
     "plain Spark): l_shipdate and l_quantity are quantized to 6-bit "

@@ -16,7 +16,7 @@ from bigdataindexing_spark import tables
 from bigdataindexing_spark.operators.dedup import cc_labels
 
 
-def _labels(spark, edges, method="pointer_jump"):
+def _labels(spark, edges, method="adaptive"):
     df = spark.createDataFrame(edges, "a long, b long")
     out = {
         r["id"]: r["label"]
@@ -39,15 +39,18 @@ def test_cc_chain_diameter_9(spark):
 
 def test_cc_pointer_jump_is_logarithmic(spark):
     # Chain of 33 nodes (diameter 32). Plain propagation needs one round
-    # per hop; pointer jumping must finish in O(log d) rounds — count the
-    # convergence collects by spying on the sum aggregate via job count
-    # proxy: assert on CC_MAX_ITERATIONS headroom instead (a 32-hop chain
-    # under a 25-round cap only converges if reach grows superlinearly).
+    # per hop, more than the 25-round cap allows — so this chain only
+    # converges if reach grows superlinearly. Both the always-jump mode
+    # and the production default (adaptive: jump from round 3) must
+    # solve it.
     from bigdataindexing_spark.operators.dedup import CC_MAX_ITERATIONS
 
     n = 33
     assert n - 1 > CC_MAX_ITERATIONS  # propagate alone could NOT finish
     edges = [(i, i + 1) for i in range(1, n)]
+    assert _labels(spark, edges, method="pointer_jump") == {
+        i: 1 for i in range(1, n + 1)
+    }
     assert _labels(spark, edges) == {i: 1 for i in range(1, n + 1)}
 
 

@@ -125,6 +125,19 @@ def base_postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_BASE_POSTINGS_VIEWS: dict[tuple[str, str], str] = {}
+
+
+def base_postings_view(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    view = _BASE_POSTINGS_VIEWS.get(key)
+    if view is None:
+        view = f"bdi_base_postings_{abs(hash(key)) % 10**8}"
+        base_postings_table(spark, sf_dir).createOrReplaceTempView(view)
+        _BASE_POSTINGS_VIEWS[key] = view
+    return view
+
+
 @register(
     "idx_postings_merge",
     oracle="WITH u AS (SELECT DISTINCT doc_id, "
@@ -151,42 +164,37 @@ def base_postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its comma-joined ids (scalar columns hash across engines).",
 )
 def idx_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.index.build import postings
+    from bigdataindexing_spark.tables import table_view
 
-    docs = spread(table(spark, sf_dir, "documents"))
-    base = base_postings_table(spark, sf_dir)
-    delta = postings(docs.filter(F.col("doc_id") % 10 >= 8))
-    merged = (
-        base.select("token", F.col("df").alias("df_a"), F.col("doc_ids").alias("ids_a"))
-        .join(
-            delta.select(
-                "token", F.col("df").alias("df_b"), F.col("doc_ids").alias("ids_b")
-            ),
-            "token",
-            "full_outer",
+    docs = table_view(spark, sf_dir, "documents")
+    base = base_postings_view(spark, sf_dir)
+    # one SQL statement = one driver round-trip (see tables.table_view);
+    # same plan as the Column form: delta postings in one shuffle
+    # (row-local array_distinct), vocabulary-sized full-outer merge,
+    # row-local list concat + re-sort
+    merged = spark.sql(f"""
+        WITH delta AS (
+          SELECT token, COUNT(1) AS df,
+                 sort_array(collect_list(doc_id)) AS doc_ids
+          FROM (SELECT doc_id,
+                       explode(array_distinct(split(lower(text), ' '))) AS token
+                FROM {docs} WHERE doc_id % 10 >= 8)
+          WHERE token != '' GROUP BY token
         )
-        .select(
-            "token",
-            (
-                F.coalesce(F.col("df_a"), F.lit(0))
-                + F.coalesce(F.col("df_b"), F.lit(0))
-            ).alias("df"),
-            F.sort_array(
-                F.concat(
-                    F.coalesce(F.col("ids_a"), F.array().cast("array<bigint>")),
-                    F.coalesce(F.col("ids_b"), F.array().cast("array<bigint>")),
-                )
-            ).alias("ids"),
-        )
-    )
+        SELECT token,
+               coalesce(b.df, 0) + coalesce(d.df, 0) AS df,
+               sort_array(concat(
+                 coalesce(b.doc_ids, CAST(array() AS array<bigint>)),
+                 coalesce(d.doc_ids, CAST(array() AS array<bigint>)))) AS ids
+        FROM {base} b FULL OUTER JOIN delta d USING (token)
+    """)
     return bounded_sort(
-        merged.select(
+        merged.selectExpr(
             "token",
             "df",
-            F.size("ids").cast("bigint").alias("n_ids"),
-            F.md5(
-                F.array_join(F.transform(F.col("ids"), lambda x: x.cast("string")), ",")
-            ).alias("ids_md5"),
+            "CAST(size(ids) AS BIGINT) AS n_ids",
+            "md5(array_join(transform(ids, x -> CAST(x AS STRING)), ','))"
+            " AS ids_md5",
         ),
         "token",
     )
@@ -217,49 +225,44 @@ def idx_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized postings instead of scanning raw documents.",
 )
 def idx_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.functions.text import tokens
+    from bigdataindexing_spark.tables import pin, table_view
 
     terms = ["spark", "data"]
-
-    def tf_of(term: str) -> F.Column:
-        return F.size(F.filter(F.col("t"), lambda w: w == F.lit(term)))
-
-    from bigdataindexing_spark.tables import pin
-
-    per_doc = pin(  # feeds the df/N aggregate AND the scoring branch:
-        # persist the tiny (doc_id, tf...) relation so the tokenize scan
-        # runs once, not once per consumer
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", tokens("text").alias("t"))
-        .select(
-            "doc_id",
-            *[tf_of(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
+    docs = table_view(spark, sf_dir, "documents")
+    # per_doc feeds the df/N aggregate AND the scoring branch: persist
+    # the tiny (doc_id, tf...) relation so the tokenize scan runs once,
+    # not once per consumer. Both statements are single-SQL (one driver
+    # round-trip each, see tables.table_view).
+    tf_cols = ", ".join(
+        f"size(filter(t, w -> w = '{term}')) AS tf_{i}"
+        for i, term in enumerate(terms)
+    )
+    per_doc = pin(
+        spark.sql(
+            f"SELECT doc_id, {tf_cols} FROM "
+            f"(SELECT doc_id, split(lower(text), ' ') AS t FROM {docs})"
         )
     )
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        *[
-            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
+    view = f"bdi_tfidf_perdoc_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    per_doc.createOrReplaceTempView(view)
+    df_cols = ", ".join(
+        f"count_if(tf_{i} > 0) AS df_{i}" for i in range(len(terms))
     )
-    score = sum(
-        F.when(
-            F.col(f"df_{i}") > 0,
-            F.col(f"tf_{i}")
-            * F.log(F.col("n_docs") / F.col(f"df_{i}")),
-        ).otherwise(F.lit(0.0))
+    score = " + ".join(
+        f"CASE WHEN df_{i} > 0 THEN tf_{i} * ln(n_docs / df_{i}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
         for i in range(len(terms))
     )
-    return (
-        per_doc.filter(
-            sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+    tf_sum = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return spark.sql(f"""
+        WITH stats AS (
+          SELECT COUNT(1) AS n_docs, {df_cols} FROM {view}
         )
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(score, 4).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-    )
+        SELECT /*+ BROADCAST(stats) */ doc_id, ROUND({score}, 4) AS score
+        FROM {view} CROSS JOIN stats
+        WHERE {tf_sum} > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """)
 
 
 BM25_K1 = 1.2
@@ -298,56 +301,51 @@ BM25_B = 0.75
     "runs during build.",
 )
 def idx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.functions.text import tokens
-    from bigdataindexing_spark.tables import pin
+    from bigdataindexing_spark.tables import pin, table_view
 
     terms = ["spark", "data"]
-
-    def tf_of(term: str) -> F.Column:
-        return F.size(F.filter(F.col("t"), lambda w: w == F.lit(term)))
-
+    docs = table_view(spark, sf_dir, "documents")
     # term-at-a-time row-local scoring (see idx_tfidf_search): one scan
     # yields (doc_id, dl, tf per query term); corpus stats (N, avgdl, df
     # per term) are ONE 1-row aggregate broadcast-cross-joined back; the
-    # BM25 expression is row-local into a top-k combine
+    # BM25 expression is row-local into a top-k combine. Both statements
+    # are single-SQL; per_doc is pinned because two branches consume it.
+    tf_cols = ", ".join(
+        f"size(filter(t, w -> w = '{term}')) AS tf_{i}"
+        for i, term in enumerate(terms)
+    )
     per_doc = pin(
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", tokens("text").alias("t"))
-        .select(
-            "doc_id",
-            F.size(F.col("t")).alias("dl"),
-            *[tf_of(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
+        spark.sql(
+            f"SELECT doc_id, size(t) AS dl, {tf_cols} FROM "
+            f"(SELECT doc_id, split(lower(text), ' ') AS t FROM {docs})"
         )
     )
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
+    view = f"bdi_bm25_perdoc_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    per_doc.createOrReplaceTempView(view)
+    df_cols = ", ".join(
+        f"count_if(tf_{i} > 0) AS df_{i}" for i in range(len(terms))
     )
-
-    def w_of(i: int) -> F.Column:
-        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
-        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
-        norm = tf + BM25_K1 * (
-            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-        )
-        return F.when(tf > 0, idf * (tf * (BM25_K1 + 1)) / norm).otherwise(
-            F.lit(0.0)
-        )
-
-    score = sum(w_of(i) for i in range(len(terms)))
-    return (
-        per_doc.filter(
-            sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
-        )
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(score, 4).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
+    k1p1 = BM25_K1 + 1
+    one_minus_b = 1 - BM25_B
+    score = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN "
+        f"ln(1 + (n_docs - df_{i} + 0.5D) / (df_{i} + 0.5D)) "
+        f"* (tf_{i} * {k1p1}D) "
+        f"/ (tf_{i} + {BM25_K1}D * ({one_minus_b}D + {BM25_B}D * dl / avgdl)) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+        for i in range(len(terms))
     )
+    tf_sum = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return spark.sql(f"""
+        WITH stats AS (
+          SELECT COUNT(1) AS n_docs, AVG(dl) AS avgdl, {df_cols}
+          FROM {view}
+        )
+        SELECT /*+ BROADCAST(stats) */ doc_id, ROUND({score}, 4) AS score
+        FROM {view} CROSS JOIN stats
+        WHERE {tf_sum} > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """)
 
 
 @register(

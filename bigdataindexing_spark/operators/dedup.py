@@ -101,15 +101,11 @@ _SHINGLE_STORE_DIR: dict[tuple[str, str], str] = {}
 _SHINGLE_STORE_DF: dict[tuple[str, str], DataFrame] = {}
 
 
-def shingle_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize (once per session) and return the corpus signature
-    store. Reading parquet per consumer branch beats persist() here:
-    each branch prunes to the columns it needs (the banding branch reads
-    only `sig`, the verify branch only `shingles`)."""
+def shingle_sig_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per session) the corpus signature store and
+    return its parquet path. Single-SQL consumers scan it via
+    ``parquet.`path``` so the whole query is ONE driver round-trip."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHINGLE_STORE_DF.get(key)
-    if df is not None:
-        return df
     path = _SHINGLE_STORE_DIR.get(key)
     if path is None:
         path = session_store_dir("shingle_sig")
@@ -121,9 +117,39 @@ def shingle_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         _SHINGLE_STORE_DIR[key] = path
-    df = spark.read.parquet(path)
+    return path
+
+
+def shingle_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once per session) and return the corpus signature
+    store. Reading parquet per consumer branch beats persist() here:
+    each branch prunes to the columns it needs (the banding branch reads
+    only `sig`, the verify branch only `shingles`)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLE_STORE_DF.get(key)
+    if df is not None:
+        return df
+    df = spark.read.parquet(shingle_sig_path(spark, sf_dir))
     _SHINGLE_STORE_DF[key] = df
     return df
+
+
+def shingle_sig_view(spark: SparkSession, sf_dir: str) -> str:
+    """Session temp view over the signature store, for single-SQL
+    consumers: view resolution reuses the store DataFrame's already-
+    resolved file index, where a ``parquet.`path``` reference re-lists
+    the directory on every analysis (5 references in the LSH query =
+    5 listings per invocation)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _SHINGLE_VIEWS.get(key)
+    if name is None:
+        name = f"shingle_sig_{abs(hash(key)) % 10**8}"
+        shingle_sig_store(spark, sf_dir).createOrReplaceTempView(name)
+        _SHINGLE_VIEWS[key] = name
+    return name
+
+
+_SHINGLE_VIEWS: dict[tuple[str, str], str] = {}
 
 
 def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
@@ -238,9 +264,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key so Catalyst plans a shuffled hash join, never a cartesian.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persisted: the shingle relation feeds the bucket branch and the
-    # per-doc size projection
-    return _jaccard_pairs(pin(_shingle_docs(spark, sf_dir)))
+    # The shingle plan is cached per session (plan object only — the
+    # from-raw-text Arrow pass still RUNS per query, this operator is
+    # deliberately the no-store baseline) and pinned per call because the
+    # self-join consumes it twice. The join/aggregate dataflow is one SQL
+    # statement over a view of the pinned relation — one driver
+    # round-trip instead of ~600 (see tables.table_view).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _NGRAM_SHINGLE_PLANS.get(key)
+    if base is None:
+        base = _shingle_docs(spark, sf_dir)
+        _NGRAM_SHINGLE_PLANS[key] = base
+    pinned = pin(base)
+    view = f"bdi_ngram_shingles_{abs(hash(key)) % 10**8}"
+    pinned.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH u AS (
+          SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
+          FROM {view}
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i,
+                 first(a.n) AS na, first(b.n) AS nb
+          FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+        FROM inter WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
+        ORDER BY doc_a, doc_b
+    """)
+
+
+_NGRAM_SHINGLE_PLANS: dict[tuple[str, str], DataFrame] = {}
 
 
 _SHINGLE_SIG_SCHEMA = T.StructType(
@@ -317,87 +372,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact-Jaccard verify each read the parquet store with their own
     # column pruning. Jaccard over 64-bit shingle hashes equals Jaccard
     # over shingle strings (collision odds ~2^-64 per pair).
-    docs = shingle_sig_store(spark, sf_dir)
-    sig = docs.select("doc_id", "sig")
-    # band buckets via ONE higher-order transform (a 64-element literal
+    #
+    # The whole dataflow is ONE SQL statement over the store path: the
+    # Column-API form of this builder cost ~675 py4j round-trips
+    # (~0.25 s of driver-side plan construction per invocation, measured)
+    # to assemble the identical logical plan Catalyst parses here in one.
+    # Band buckets via one higher-order transform (a 64-element literal
     # array of hash() calls would generate a huge codegen class for no
-    # runtime benefit — the lambda is evaluated per band instead), built
-    # as a single SQL fragment: one py4j parse instead of a Column-lambda
-    # construction chain
+    # runtime benefit — the lambda is evaluated per band instead).
+    store = shingle_sig_view(spark, sf_dir)
     n_bands = NUM_MINHASHES // BAND_ROWS
     row_refs = ", ".join(
         f"sig[b * {BAND_ROWS} + {r}]" for r in range(BAND_ROWS)
     )
-    band_hashes = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), b -> hash({row_refs}))"
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
-    )
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cand = (
-        left.join(
-            right,
-            (left.band == right.band_b)
-            & (left.bucket == right.bucket_b)
-            & (left.doc_a < right.doc_b),
+    return spark.sql(f"""
+        WITH bands AS (
+          SELECT doc_id, band, bucket
+          FROM {store}
+          LATERAL VIEW posexplode(
+            transform(sequence(0, {n_bands - 1}), b -> hash({row_refs}))
+          ) t AS band, bucket
+        ),
+        cand0 AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+        ),
+        -- prefilter: estimated Jaccard from signature agreement drops
+        -- the background-similarity candidates before the exact verify
+        cand AS (
+          SELECT doc_a, doc_b
+          FROM cand0
+          JOIN (SELECT doc_id AS doc_a, sig AS sig_a FROM {store})
+            USING (doc_a)
+          JOIN (SELECT doc_id AS doc_b, sig AS sig_b FROM {store})
+            USING (doc_b)
+          WHERE aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),
+                          0, (acc, v) -> acc + v) / {float(NUM_MINHASHES)}
+                >= {EST_JACCARD_CUTOFF}
+        ),
+        -- verify: row-local |A∩B| over pair-attached shingle arrays —
+        -- no corpus explode (plan pinned by tests/test_plans.py)
+        pairs AS (
+          SELECT doc_a, doc_b,
+                 size(array_intersect(sa, sb)) AS i, size(sa) AS na,
+                 size(sb) AS nb
+          FROM cand
+          JOIN (SELECT doc_id AS doc_a, shingles AS sa FROM {store})
+            USING (doc_a)
+          JOIN (SELECT doc_id AS doc_b, shingles AS sb FROM {store})
+            USING (doc_b)
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # prefilter: estimated Jaccard from signature agreement — drops the
-    # background-similarity candidates before the exact verify join
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
-        f"0, (acc, v) -> acc + v) / {float(NUM_MINHASHES)}"
-    )
-    cand = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(est >= EST_JACCARD_CUTOFF)
-        .select("doc_a", "doc_b")
-    )
-    return _jaccard_pairs(docs.select("doc_id", "shingles"), pairs=cand)
+        SELECT doc_a, doc_b, ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+        FROM pairs
+        WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
+        ORDER BY doc_a, doc_b
+    """)
 
 
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — 32-bit SimHash from md5-derived token hashes."""
-    tok = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(tokens("text")).alias("w"))
-        .withColumn("hv", md5_long(F.col("w")))
-    )
-    # one aggregate column per bit — a single shuffle on doc_id over the
-    # token rows, instead of posexploding 32× rows and shuffling on
-    # (doc_id, pos); shiftright keeps the 60-bit hash exact. The
-    # aggregates sum the raw bit (plus one row count) rather than ±1
-    # CASE votes: same result (vote sum = 2·ones − n, bit set iff
-    # 2·ones > n) with a branch-free agg expression. Expressions are
-    # built as SQL strings (one py4j call each / one for the assembly),
-    # not nested Column operators: the 33-aggregate Column form cost
-    # ~0.7s of pure driver-side py4j round-trips PER INVOCATION —
-    # more than the distributed execution itself at sf0.1.
-    votes = tok.groupBy("doc_id").agg(
-        F.expr("count(1) AS n"),
-        *[
-            F.expr(f"sum(shiftright(hv, {j}) & 1) AS o{j}")
-            for j in range(SIMHASH_BITS)
-        ],
+    """(doc_id, simhash) — 32-bit SimHash from md5-derived token hashes.
+
+    One aggregate column per bit — a single shuffle on doc_id over the
+    token rows, instead of posexploding 32× rows and shuffling on
+    (doc_id, pos); shiftright keeps the 60-bit hash exact. The
+    aggregates sum the raw bit (plus one row count) rather than ±1
+    CASE votes: same result (vote sum = 2·ones − n, bit set iff
+    2·ones > n) with a branch-free agg expression. The whole query is
+    ONE spark.sql round-trip: the 33-aggregate Column form cost
+    ~0.7s of pure driver-side py4j per invocation — more than the
+    distributed execution itself at sf0.1."""
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    bit_aggs = ", ".join(
+        f"sum(shiftright(hv, {j}) & 1) AS o{j}" for j in range(SIMHASH_BITS)
     )
     assembly = " + ".join(
         f"IF(2 * o{j} > n, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
         for j in range(SIMHASH_BITS)
     )
-    return votes.select(
-        "doc_id", F.expr(f"({assembly}) AS simhash")
-    )
+    return spark.sql(f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS hv
+          FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS w
+                FROM {docs})
+        ),
+        votes AS (
+          SELECT doc_id, count(1) AS n, {bit_aggs} FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, ({assembly}) AS simhash FROM votes
+    """)
 
 
 # (doc_a, doc_b) exact-Jaccard pair graph (J >= tau), materialized once
@@ -744,35 +811,27 @@ CONTAINMENT_TAU = 0.5
     "math over shingle strings in SQL.",
 )
 def q104_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs_sh = shingle_sig_store(spark, sf_dir).select("doc_id", "shingles")
-    u = docs_sh.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
-    )
-    a = u.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
-    b = u.select(
-        F.col("doc_id").alias("db"), F.col("n").alias("nb"), F.col("s").alias("s_b")
-    )
-    inter = (
-        a.join(b, (a.s == b.s_b) & (a.doc_a < b.db))
-        .groupBy(F.col("doc_a"), F.col("db").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("i"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
+    # single-SQL over the signature-store view (one driver round-trip)
+    store = shingle_sig_view(spark, sf_dir)
+    return spark.sql(f"""
+        WITH u AS (
+          SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
+          FROM {store}
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i,
+                 first(a.n) AS na, first(b.n) AS nb
+          FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
         )
-    )
-    c_ab = F.col("i") * 1.0 / F.col("na")
-    c_ba = F.col("i") * 1.0 / F.col("nb")
-    return (
-        inter.filter((c_ab >= CONTAINMENT_TAU) | (c_ba >= CONTAINMENT_TAU))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(c_ab, 4).alias("cont_ab"),
-            F.round(c_ba, 4).alias("cont_ba"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0D / na, 4) AS cont_ab,
+               ROUND(i * 1.0D / nb, 4) AS cont_ba
+        FROM inter
+        WHERE i * 1.0D / na >= {CONTAINMENT_TAU}
+           OR i * 1.0D / nb >= {CONTAINMENT_TAU}
+        ORDER BY doc_a, doc_b
+    """)
 
 
 # Incremental ingest dedup: the arriving batch is defined deterministically
@@ -819,52 +878,50 @@ _DELTA_SQL = (
     "this corpus, same contract as dedup_minhash_lsh).",
 )
 def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = shingle_sig_store(spark, sf_dir)
-    is_delta = (F.col("doc_id") % DELTA_MOD) == DELTA_REM
+    # One SQL statement over the signature-store view (one driver
+    # round-trip, see tables.table_view). Delta bands BROADCAST and probe
+    # the corpus bands; verification attaches both shingle arrays to the
+    # delta-bounded candidate set and intersects ROW-LOCALLY — the corpus
+    # is never exploded or re-shingled, preserving the O(delta) contract
+    # (plan pinned by tests/test_plans.py: no Generate explode(shingles)).
+    store = shingle_sig_view(spark, sf_dir)
     n_bands = NUM_MINHASHES // BAND_ROWS
     row_refs = ", ".join(
         f"sig[b * {BAND_ROWS} + {r}]" for r in range(BAND_ROWS)
     )
-    band_hashes = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), b -> hash({row_refs}))"
-    )
-    bands = store.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
-    )
-    delta_bands = bands.filter(is_delta).select(
-        F.col("doc_id").alias("delta_id"), "band", "bucket"
-    )
-    base_bands = bands.filter(~is_delta).select(
-        F.col("doc_id").alias("base_id"),
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cand = (
-        base_bands.join(
-            F.broadcast(delta_bands),
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bucket") == F.col("bucket_b")),
-        )
-        .select("delta_id", "base_id")
-        .distinct()
-    )
-    # Verification is the pairs branch of _jaccard_pairs: the delta-
-    # bounded candidate set joins the store twice to attach both shingle
-    # arrays and intersects row-locally — the corpus is never exploded
-    # or re-shingled, preserving this operator's O(delta) contract.
-    verified = _jaccard_pairs(
-        store.select("doc_id", "shingles"),
-        pairs=cand.select(
-            F.col("delta_id").alias("doc_a"), F.col("base_id").alias("doc_b")
+    return spark.sql(f"""
+        WITH bands AS (
+          SELECT doc_id, band, bucket
+          FROM {store}
+          LATERAL VIEW posexplode(
+            transform(sequence(0, {n_bands - 1}), b -> hash({row_refs}))
+          ) t AS band, bucket
         ),
-    )
-    # _jaccard_pairs already orders by (doc_a, doc_b) = (delta_id, base_id);
-    # the rename is a narrow projection that preserves that order
-    return verified.select(
-        F.col("doc_a").alias("delta_id"),
-        F.col("doc_b").alias("base_id"),
-        "jac",
-    )
+        cand AS (
+          SELECT /*+ BROADCAST(d) */ DISTINCT
+                 d.doc_id AS delta_id, b.doc_id AS base_id
+          FROM bands b
+          JOIN bands d
+            ON b.band = d.band AND b.bucket = d.bucket
+          WHERE d.doc_id % {DELTA_MOD} = {DELTA_REM}
+            AND b.doc_id % {DELTA_MOD} != {DELTA_REM}
+        ),
+        pairs AS (
+          SELECT delta_id, base_id,
+                 size(array_intersect(sa, sb)) AS i,
+                 size(sa) AS na, size(sb) AS nb
+          FROM cand
+          JOIN (SELECT doc_id AS delta_id, shingles AS sa FROM {store})
+            USING (delta_id)
+          JOIN (SELECT doc_id AS base_id, shingles AS sb FROM {store})
+            USING (base_id)
+        )
+        SELECT delta_id, base_id,
+               ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+        FROM pairs
+        WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
+        ORDER BY delta_id, base_id
+    """)
 
 
 SPAN_N = 5  # span width; production contamination metrics use 13-grams
@@ -910,44 +967,46 @@ ORDER BY dup_frac DESC, doc_id LIMIT 100
     "shards to 100 TB.",
 )
 def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.functions.text import tokens, word_shingles
+    from bigdataindexing_spark.tables import table_view
 
-    # project the token array FIRST: word_shingles references its input
-    # n times per span, and handing it the raw tokens() expression would
-    # re-run the tokenizer inside every reference (measured 16x on this
-    # query) — the same reason text_analysis materializes `t` before
-    # shingling
+    # Project the token array FIRST (inner subquery): the span transform
+    # references its input once per span, and handing it the raw split()
+    # expression would re-run the tokenizer inside every reference
+    # (measured 16x on this query). The span relation is pinned because
+    # the shared-span aggregate and the per-doc totals both consume it.
+    docs_view = table_view(spark, sf_dir, "documents")
     docs = pin(
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", tokens("text").alias("t"))
-        .filter(F.size("t") >= SPAN_N)
-        .select("doc_id", word_shingles(F.col("t"), SPAN_N).alias("spans"))
+        spark.sql(f"""
+            SELECT doc_id,
+                   array_distinct(transform(
+                     sequence(1, size(t) - {SPAN_N - 1}),
+                     i -> array_join(slice(t, i, {SPAN_N}), ' ')
+                   )) AS spans
+            FROM (SELECT doc_id, split(lower(text), ' ') AS t
+                  FROM {docs_view})
+            WHERE size(t) >= {SPAN_N}
+        """)
     )
-    sp = docs.select("doc_id", F.explode("spans").alias("s"))
-    shared = (
-        sp.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= 2)
-        .select("s")
-    )
-    dup_counts = (
-        sp.join(shared, "s", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    totals = docs.select(
-        "doc_id", F.size("spans").cast("bigint").alias("n_spans")
-    )
-    return (
-        totals.join(dup_counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_spans",
-            F.coalesce("n_dup", F.lit(0).cast("bigint")).alias("n_dup"),
-            F.round(
-                F.coalesce("n_dup", F.lit(0).cast("bigint")) / F.col("n_spans"), 4
-            ).alias("dup_frac"),
+    view = f"bdi_spans_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH sp AS (SELECT doc_id, explode(spans) AS s FROM {view}),
+        shared AS (
+          SELECT s FROM sp GROUP BY s HAVING COUNT(1) >= 2
+        ),
+        dup_counts AS (
+          SELECT doc_id, COUNT(1) AS n_dup
+          FROM sp LEFT SEMI JOIN shared USING (s)
+          GROUP BY doc_id
         )
-        .orderBy(F.col("dup_frac").desc(), "doc_id")
-        .limit(100)
-    )
+        SELECT t.doc_id,
+               t.n_spans,
+               coalesce(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+               ROUND(coalesce(d.n_dup, CAST(0 AS BIGINT)) / t.n_spans, 4)
+                 AS dup_frac
+        FROM (SELECT doc_id, CAST(size(spans) AS BIGINT) AS n_spans
+              FROM {view}) t
+        LEFT JOIN dup_counts d ON t.doc_id = d.doc_id
+        ORDER BY dup_frac DESC, doc_id
+        LIMIT 100
+    """)

@@ -928,69 +928,69 @@ FROM sel WHERE cum <= {TOKEN_BUDGET} GROUP BY lang ORDER BY lang
     "(lang, docs, tokens) budget report out, one plan.",
 )
 def q114_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.tables import pin
+    from bigdataindexing_spark.tables import pin, table_view
 
     # tokenize ONCE into the pinned relation: the quality gate and the
     # decontamination shingler both consume the token array, and without
     # the precomputed column each branch re-runs the tokenizer over the
     # full text (measured 1.07->0.74s at sf0.1). The cache holds the
     # arrays instead of recomputing them — the standard space-for-CPU
-    # trade of a staged pipeline; persist spills to disk at scale.
+    # trade of a staged pipeline; persist spills to disk at scale. The
+    # whole staged dataflow is then ONE SQL statement over a view of the
+    # pinned relation (one driver round-trip, see tables.table_view).
+    docs_view = table_view(spark, sf_dir, "documents")
     docs = pin(
-        spread(table(spark, sf_dir, "documents")).select(
-            "doc_id", "lang", "text", tokens("text").alias("t")
+        spark.sql(
+            f"SELECT doc_id, lang, text, split(lower(text), ' ') AS t "
+            f"FROM {docs_view}"
         )
     )
-    t = F.col("t")
-    n = F.size(t)
-    ttr = F.size(F.array_distinct(t)) * 1.0 / n
-    stop_ratio = (
-        F.size(F.filter(t, lambda w: w.isin("a", "the"))) * 1.0 / n
-    )
-    surv = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    quality = (
-        docs.select(
-            "doc_id", "lang", n.alias("n"), ttr.alias("score"),
-            stop_ratio.alias("stop_ratio"),
+    view = f"bdi_q114_docs_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    docs.createOrReplaceTempView(view)
+    budget = TOKEN_BUDGET
+    selected = spark.sql(f"""
+        WITH surv AS (
+          SELECT min(doc_id) AS doc_id FROM {view} GROUP BY md5(text)
+        ),
+        quality AS (
+          SELECT doc_id, lang, size(t) AS n,
+                 size(array_distinct(t)) * 1.0D / size(t) AS score,
+                 size(filter(t, w -> w IN ('a', 'the'))) * 1.0D / size(t)
+                   AS stop_ratio
+          FROM {view}
+        ),
+        qf AS (
+          SELECT doc_id, lang, n, score
+          FROM quality LEFT SEMI JOIN surv USING (doc_id)
+          WHERE n >= 30 AND score >= 0.5 AND stop_ratio <= 0.08
+        ),
+        sh AS (
+          SELECT doc_id,
+                 explode(array_distinct(transform(
+                   sequence(1, size(t) - {DECON_N - 1}),
+                   i -> array_join(slice(t, i, {DECON_N}), ' ')
+                 ))) AS s
+          FROM {view} WHERE size(t) >= {DECON_N}
+        ),
+        bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        dirty AS (
+          SELECT /*+ BROADCAST(bench_sh) */ DISTINCT doc_id
+          FROM sh LEFT SEMI JOIN bench_sh USING (s)
+        ),
+        clean AS (
+          SELECT qf.doc_id, qf.lang, qf.n, qf.score
+          FROM qf LEFT ANTI JOIN dirty ON qf.doc_id = dirty.doc_id
+          WHERE qf.doc_id % 97 != 0
+        ),
+        sel AS (
+          SELECT lang, n,
+                 SUM(n) OVER (PARTITION BY lang
+                              ORDER BY score DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+          FROM clean
         )
-        .filter(
-            (F.col("n") >= 30)
-            & (F.col("score") >= 0.5)
-            & (F.col("stop_ratio") <= 0.08)
-        )
-        .join(surv, "doc_id", "left_semi")
-    )
-    shingle = F.explode(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (DECON_N - 1)),
-                lambda i: F.array_join(F.slice(t, i, DECON_N), " "),
-            )
-        )
-    )
-    sh = docs.filter(n >= DECON_N).select("doc_id", shingle.alias("s"))
-    bench_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    dirty = (
-        sh.join(F.broadcast(bench_sh), "s", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = quality.filter(F.col("doc_id") % 97 != 0).join(
-        dirty, "doc_id", "left_anti"
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        clean.withColumn("cum", F.sum("n").over(w))
-        .filter(F.col("cum") <= TOKEN_BUDGET)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
-        .transform(lambda d: bounded_sort(d, "lang"))
-    )
+        SELECT lang, COUNT(1) AS docs, SUM(n) AS tokens
+        FROM sel WHERE cum <= {budget} GROUP BY lang
+    """)
+    return bounded_sort(selected, "lang")

@@ -164,9 +164,22 @@ _R04_RECHECK = (
     "sim_semantic_clusters",  # same cc_labels change
     "idx_postings_merge",     # postings() now one-shuffle (row-local
                               # array_distinct before the explode, no tf)
+                              # + single-SQL builder
     "q96_salted_join",        # hot-key probe served from the session
                               # stats cache; hot relation is a local
                               # relation broadcast now
+    # Single-SQL builder conversions (the Column-API forms cost 600-960
+    # py4j round-trips — ~0.2-0.5s of driver-side plan construction per
+    # invocation; each SQL string parses to the same logical plan and
+    # every one is oracle-verified at sf0.001+sf0.01 locally):
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "q104_containment_pairs",
+    "idx_tfidf_search",
+    "idx_bm25_search",
+    "dedup_simhash",          # _simhash_sig one-statement rewrite; the
+    "dedup_simhash_pairs",    # pairs/banded variants consume it
+    "dedup_simhash_banded",
 )
 
 _R04_DEFER = frozenset()

@@ -76,6 +76,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_VIEW_CACHE: dict[tuple[str, str, str], str] = {}
+_VIEW_SEQ = 0
+
+
+def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Temp-view name over :func:`table`, for single-SQL builders.
+
+    A Column-API builder spends one py4j round-trip per transformation
+    (hundreds per complex query, ~0.25 s of pure driver-side plan
+    construction measured on the LSH builder); a ``spark.sql`` string is
+    ONE round-trip and parses to the identical logical plan. The view
+    wraps the session-cached DataFrame, so its already-resolved file
+    index is reused — a ``parquet.`path``` reference would re-list the
+    directory on every analysis. View names carry a per-registration
+    sequence so two sf_dirs in one session never collide."""
+    global _VIEW_SEQ
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    view = _VIEW_CACHE.get(key)
+    if view is None:
+        _VIEW_SEQ += 1
+        view = f"bdi_{name}_{_VIEW_SEQ}"
+        table(spark, sf_dir, name).createOrReplaceTempView(view)
+        _VIEW_CACHE[key] = view
+    return view
+
+
 # --- ingest re-chunking -----------------------------------------------
 # Parquet can only split across row groups, and the driver-generated test
 # files are written as ONE row group — so a 600k-row lineitem scan (or the

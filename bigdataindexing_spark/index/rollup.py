@@ -120,25 +120,23 @@ def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "indistinguishable from a from-scratch build.",
 )
 def q102_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spread(table(spark, sf_dir, "events"))
-    late = F.col("event_id") % 20 == 0
+    from bigdataindexing_spark.tables import table_view
 
-    def hourly(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("sv"),
+    ev = table_view(spark, sf_dir, "events")
+    merged = spark.sql(f"""
+        WITH base AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type,
+                 COUNT(1) AS cnt, SUM(value) AS sv
+          FROM {ev} WHERE event_id % 20 != 0 GROUP BY bucket, event_type
+        ),
+        delta AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type,
+                 COUNT(1) AS cnt, SUM(value) AS sv
+          FROM {ev} WHERE event_id % 20 = 0 GROUP BY bucket, event_type
         )
-
-    base = hourly(ev.filter(~late))
-    delta = hourly(ev.filter(late))
-    return (
-        base.unionByName(delta)
-        .groupBy("bucket", "event_type")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.round(F.sum("sv"), 4).alias("sum_value"),
-        )
-        .transform(lambda d: bounded_sort(d, "bucket", "event_type"))
-    )
+        SELECT bucket, event_type, SUM(cnt) AS cnt,
+               ROUND(SUM(sv), 4) AS sum_value
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        GROUP BY bucket, event_type
+    """)
+    return bounded_sort(merged, "bucket", "event_type")

@@ -358,22 +358,21 @@ def idx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index phrase algorithm, verified against the padded-substring scan.",
 )
 def idx_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.functions.text import tokens
+    from bigdataindexing_spark.tables import table_view
 
-    positions = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
-    )
-    t1 = positions.filter(F.col("token") == "table").select(
-        "doc_id", F.col("pos").alias("p1")
-    )
-    t2 = positions.filter(F.col("token") == "hash").select(
-        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
-    )
-    hits = t1.join(
-        t2,
-        (t1.doc_id == t2.doc_id2) & (t2.p2 == t1.p1 + 1),
-    )
-    return hits.select("doc_id").distinct().orderBy("doc_id")
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH positions AS (
+          SELECT doc_id, pos, token
+          FROM {docs}
+          LATERAL VIEW posexplode(split(lower(text), ' ')) t AS pos, token
+        )
+        SELECT DISTINCT a.doc_id
+        FROM (SELECT doc_id, pos FROM positions WHERE token = 'table') a
+        JOIN (SELECT doc_id, pos FROM positions WHERE token = 'hash') b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ORDER BY doc_id
+    """)
 
 
 # (applicationId, sf_dir) -> dir of the materialized search index: the

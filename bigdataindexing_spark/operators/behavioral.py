@@ -201,27 +201,24 @@ def q103_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window runs on a constant-size relation at any corpus scale.",
 )
 def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = (
-        spread(table(spark, sf_dir, "events"))
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.col("event_type").alias("next_type"),
+    from bigdataindexing_spark.tables import table_view
+
+    ev = table_view(spark, sf_dir, "events")
+    counts = spark.sql(f"""
+        WITH seq AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM {ev}
+        ),
+        c AS (
+          SELECT prev_type, next_type, COUNT(1) AS cnt
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type
         )
-        .withColumn("prev_type", F.lag("next_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-    )
-    counts = seq.groupBy("prev_type", "next_type").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    norm = Window.partitionBy("prev_type")
-    return counts.select(
-        "prev_type",
-        "next_type",
-        "cnt",
-        F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(norm), 4).alias("p"),
-    ).transform(
-        lambda d: bounded_sort(d, "prev_type", "next_type", barrier=True)
-    )
+        SELECT prev_type, next_type, cnt,
+               ROUND(cnt * 1.0D / SUM(cnt) OVER (PARTITION BY prev_type), 4)
+                 AS p
+        FROM c
+    """)
+    return bounded_sort(counts, "prev_type", "next_type", barrier=True)

@@ -528,42 +528,35 @@ OUTLIER_COS = -0.1
     "join — semantically identical, shaped for a columnar engine.",
 )
 def q91_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    centroids = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "cv"))
-            ).alias("pairs")
+    from bigdataindexing_spark.tables import table_view
+
+    # one SQL statement, one driver round-trip (see tables.table_view);
+    # the centroid CTE broadcasts to the fact side where the cosine is a
+    # row-local zip_with dot product inside the scan stage
+    emb = table_view(spark, sf_dir, "embeddings")
+    return spark.sql(f"""
+        WITH centroids AS (
+          SELECT label,
+                 transform(array_sort(collect_list(struct(pos, cv))),
+                           p -> p.cv) AS cvec
+          FROM (SELECT label, pos, avg(v) AS cv
+                FROM (SELECT label, posexplode(embedding) AS (pos, v)
+                      FROM {emb})
+                GROUP BY label, pos)
+          GROUP BY label
         )
-        .select(
-            "label",
-            F.transform("pairs", lambda p: p.cv).alias("cvec"),
-        )
-    )
-    # single-parse SQL fragments: the Column-lambda form of these
-    # higher-order expressions costs a dozen driver py4j round-trips per
-    # builder invocation
-    dot = F.expr(
-        "aggregate(zip_with(embedding, cvec, (x, y) -> x * y), "
-        "0.0D, (acc, x) -> acc + x)"
-    )
-    cn = F.expr(
-        "sqrt(aggregate(cvec, 0.0D, (acc, x) -> acc + x * x))"
-    )
-    return (
-        emb.join(F.broadcast(centroids), "label")
-        .select("vec_id", "label", (dot / cn).alias("cos"))
-        .filter(F.col("cos") < OUTLIER_COS)
-        .select(
-            "vec_id", "label", F.round("cos", 4).alias("cos_sim")
-        )
-        .transform(lambda d: presort_barrier(d, "vec_id"))
-        .orderBy("vec_id")
-    )
+        SELECT /*+ BROADCAST(centroids) */ vec_id, label,
+               ROUND(aggregate(zip_with(embedding, cvec, (x, y) -> x * y),
+                               0.0D, (acc, x) -> acc + x)
+                     / sqrt(aggregate(cvec, 0.0D, (acc, x) -> acc + x * x)),
+                     4) AS cos_sim
+        FROM {emb} JOIN centroids USING (label)
+        WHERE aggregate(zip_with(embedding, cvec, (x, y) -> x * y),
+                        0.0D, (acc, x) -> acc + x)
+              / sqrt(aggregate(cvec, 0.0D, (acc, x) -> acc + x * x))
+              < {OUTLIER_COS}
+        ORDER BY vec_id
+    """)
 
 
 @register(
@@ -623,28 +616,24 @@ _PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
     "UNION ALL of per-column aggregates.",
 )
 def q95_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    kv = li.select(
-        F.posexplode(
-            F.array(*[F.col(c).cast("double") for c in _PROFILE_COLS])
-        ).alias("i", "v")
-    )
-    distinct = kv.groupBy("i", "v").agg(F.count(F.lit(1)).alias("n"))
-    stats = distinct.groupBy("i").agg(
-        F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(0)).alias(
-            "nulls"
+    from bigdataindexing_spark.tables import table_view
+
+    li = table_view(spark, sf_dir, "lineitem")
+    arr = ", ".join(f"CAST({c} AS DOUBLE)" for c in _PROFILE_COLS)
+    names = ", ".join(f"'{c}'" for c in _PROFILE_COLS)
+    stats = spark.sql(f"""
+        WITH kv AS (
+          SELECT posexplode(array({arr})) AS (i, v) FROM {li}
         ),
-        F.count(F.when(F.col("v").isNotNull(), 1)).alias("ndv"),
-        F.round(F.min("v"), 4).alias("min_v"),
-        F.round(F.max("v"), 4).alias("max_v"),
-    )
-    names = F.array(*[F.lit(c) for c in _PROFILE_COLS])
-    return bounded_sort(
-        stats.select(
-            names[F.col("i")].alias("col"), "nulls", "ndv", "min_v", "max_v"
-        ),
-        "col",
-    )
+        dist AS (SELECT i, v, COUNT(1) AS n FROM kv GROUP BY i, v)
+        SELECT array({names})[i] AS col,
+               SUM(CASE WHEN v IS NULL THEN n ELSE 0 END) AS nulls,
+               COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS ndv,
+               ROUND(MIN(v), 4) AS min_v,
+               ROUND(MAX(v), 4) AS max_v
+        FROM dist GROUP BY i
+    """)
+    return bounded_sort(stats, "col")
 
 
 CHUNK_TOKENS = 64

@@ -164,42 +164,35 @@ def q58_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is bit-identical across engines.",
 )
 def q92_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from bigdataindexing_spark.tables import pin
+    from bigdataindexing_spark.tables import pin, table_view
 
     # pinned: both the grid (min/max per user) and the left join consume
     # pts, and Catalyst does not CSE across DataFrame branches — without
-    # the persist the events scan + hourly aggregate run twice
+    # the persist the events scan + hourly aggregate run twice. The fill
+    # dataflow is one SQL statement over a view of the pinned relation.
+    ev = table_view(spark, sf_dir, "events")
     pts = pin(
-        table(spark, sf_dir, "events")
-        .filter((F.col("event_type") == "purchase") & (F.col("user_id") <= 20))
-        .groupBy(
-            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-        )
-        .agg(F.round(F.avg("value"), 4).alias("v"))
-    )
-    grid = (
-        pts.groupBy("user_id")
-        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
+        spark.sql(
+            f"SELECT user_id, date_trunc('hour', ts) AS h, "
+            f"ROUND(AVG(value), 4) AS v FROM {ev} "
+            f"WHERE event_type = 'purchase' AND user_id <= 20 "
+            f"GROUP BY user_id, date_trunc('hour', ts)"
         )
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(pts, ["user_id", "h"], "left")
-        .select(
-            "user_id",
-            "h",
-            F.last("v", ignorenulls=True).over(w).alias("v_ff"),
+    view = f"bdi_q92_pts_{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8}"
+    pts.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH grid AS (
+          SELECT user_id,
+                 explode(sequence(min_h, max_h, INTERVAL 1 HOUR)) AS h
+          FROM (SELECT user_id, MIN(h) AS min_h, MAX(h) AS max_h
+                FROM {view} GROUP BY user_id)
         )
-        .orderBy("user_id", "h")
-    )
+        SELECT g.user_id, g.h,
+               last(p.v, true) OVER (PARTITION BY g.user_id ORDER BY g.h
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS v_ff
+        FROM grid g LEFT JOIN {view} p
+          ON g.user_id = p.user_id AND g.h = p.h
+        ORDER BY g.user_id, g.h
+    """)

@@ -474,49 +474,55 @@ KNN_K = 5
     "scorer for sim_ann_lsh candidates; the vote stage is unchanged.",
 )
 def q73_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
     # No spread() fan-out: with Q broadcast queries the pair space is
     # Q * N rows — at the test scale that is ~20k cosines, far below the
     # cost of the repartition shuffle the fan-out inserts (measured
     # 0.64s -> 0.36s dropping it at sf0.1). A real-scale corpus arrives
     # as many files and parallelizes at the scan.
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
-    )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    scored = e.filter(F.col("vec_id") >= N_QUERIES).join(
-        F.broadcast(q)
-    ).select(
-        "qid",
-        F.col("vec_id").alias("cid"),
-        "label",
-        (-F.round(cosine("qv", "v"), 9)).alias("nc"),
-    )
+    #
     # One aggregate instead of two ranking windows: collect (−c, cid,
     # label), sort ascending (= c desc, cid asc), slice the top k, then
     # the majority vote is a row-local array expression — label with the
     # largest count, ties to the smaller label, exactly the oracle's
     # (n DESC, label) rank. Collapses rank-window → groupBy-count →
     # vote-window (3 shuffling stages over every scored pair) into one
-    # shuffle keyed by qid.
-    vote = (
-        "array_min(transform(array_distinct(transform(top, x -> x.label)), "
-        "l -> named_struct('n', -size(filter(top, x -> x.label = l)), "
-        "'lab', l))).lab"
+    # shuffle keyed by qid. Single-SQL (one driver round-trip).
+    emb = table_view(spark, sf_dir, "embeddings")
+    cos = (
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+        " / (sqrt(aggregate(transform(qv, x -> x * x), 0.0D, (s, v) -> s + v))"
+        " * sqrt(aggregate(transform(v, x -> x * x), 0.0D, (s, v) -> s + v)))"
     )
-    return (
-        scored.groupBy("qid")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("nc", "cid", "label"))),
-                1,
-                KNN_K,
-            ).alias("top")
+    result = spark.sql(f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS array<double>) AS v
+          FROM {emb}
+        ),
+        q AS (
+          SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+          SELECT /*+ BROADCAST(q) */ qid, vec_id AS cid, label,
+                 -ROUND({cos}, 9) AS nc
+          FROM e JOIN q ON vec_id >= {N_QUERIES}
+        ),
+        top AS (
+          SELECT qid,
+                 slice(sort_array(collect_list(struct(nc, cid, label))),
+                       1, {KNN_K}) AS top
+          FROM scored GROUP BY qid
         )
-        .select("qid", F.expr(vote).alias("pred"))
-        .transform(lambda d: bounded_sort(d, "qid", barrier=True))
-    )
+        SELECT qid,
+               array_min(transform(
+                 array_distinct(transform(top, x -> x.label)),
+                 l -> named_struct(
+                   'n', -size(filter(top, x -> x.label = l)), 'lab', l)
+               )).lab AS pred
+        FROM top
+    """)
+    return bounded_sort(result, "qid", barrier=True)
 
 
 @register(

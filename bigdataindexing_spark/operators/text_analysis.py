@@ -326,28 +326,28 @@ def q100_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "own distinct bigrams.",
 )
 def q105_lang_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from bigdataindexing_spark.tables import table_view
 
-    d = (
-        table(spark, sf_dir, "documents")
-        .select("lang", tokens("text").alias("t"))
-        .filter(F.size("t") >= 2)
-    )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("t") - 2),
-        lambda i: F.concat_ws(" ", F.get("t", i), F.get("t", i + 1)),
-    )
-    counts = (
-        d.select("lang", F.explode(grams).alias("bg"))
-        .groupBy("lang", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bg")
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .transform(lambda d: bounded_sort(d, "lang", "rk", barrier=True))
-    )
+    docs = table_view(spark, sf_dir, "documents")
+    ranked = spark.sql(f"""
+        WITH d AS (
+          SELECT lang, split(lower(text), ' ') AS t FROM {docs}
+        ),
+        g AS (
+          SELECT lang,
+                 explode(transform(sequence(0, size(t) - 2),
+                   i -> concat_ws(' ', get(t, i), get(t, i + 1)))) AS bg
+          FROM d WHERE size(t) >= 2
+        ),
+        c AS (SELECT lang, bg, COUNT(1) AS cnt FROM g GROUP BY lang, bg)
+        SELECT lang, bg, cnt, rk FROM (
+          SELECT lang, bg, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cnt DESC, bg) AS rk
+          FROM c
+        ) WHERE rk <= 5
+    """)
+    return bounded_sort(ranked, "lang", "rk", barrier=True)
 
 
 # Denylist for the scrub demonstration: terms chosen to actually occur in

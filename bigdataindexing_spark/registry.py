@@ -178,8 +178,20 @@ _R04_RECHECK = (
     "idx_tfidf_search",
     "idx_bm25_search",
     "dedup_simhash",          # _simhash_sig one-statement rewrite; the
-    "dedup_simhash_pairs",    # pairs/banded variants consume it
-    "dedup_simhash_banded",
+    "dedup_simhash_banded",   # banded variant consumes it
+    "q91_centroid_outliers",  # single-SQL rewrite (centroid CTE +
+                              # row-local zip_with cosine)
+    "q73_knn_classify",       # single-SQL rewrite of the one-aggregate
+                              # top-k + row-local vote
+    "q92_gap_fill_ffill",     # single-SQL fill over the pinned pts view
+    "q95_profile_columns",    # single-SQL posexplode profile
+    # Lowest-risk single-SQL rewrites: ordered last so they are the ones
+    # that spill past the driver's ~50-entry cap if anything must (all
+    # oracle-verified at sf0.001+sf0.01 locally and covered by the
+    # committed three-sf self-sweeps; dedup_simhash_pairs additionally
+    # just consumes the _simhash_sig relation dedup_simhash checks).
+    "idx_phrase_query",
+    "dedup_simhash_pairs",
 )
 
 _R04_DEFER = frozenset()

@@ -983,3 +983,48 @@ def q114_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sel WHERE cum <= {budget} GROUP BY lang
     """)
     return bounded_sort(selected, "lang")
+
+
+@register(
+    "q115_pseudonymize_join",
+    oracle="WITH c AS (SELECT c_custkey, "
+    "'cust-' || substr(md5(c_name), 1, 12) AS pseud, c_mktsegment "
+    "FROM customer), "
+    "o AS (SELECT o_custkey, o_totalprice FROM orders) "
+    "SELECT pseud, c_mktsegment, COUNT(*) AS orders, "
+    "ROUND(SUM(o_totalprice), 2) AS revenue "
+    "FROM c JOIN o ON c_custkey = o_custkey "
+    "GROUP BY pseud, c_mktsegment ORDER BY pseud",
+    tags=("pipeline", "privacy"),
+    doc="Pseudonymization with referential integrity — the privacy "
+    "transform a training-data export runs before identifiers may leave "
+    "the trust boundary: the direct identifier (c_name) is replaced by "
+    "a deterministic content-hash pseudonym, so the SAME entity maps to "
+    "the SAME token everywhere and downstream joins/aggregations still "
+    "work, while the original name never appears in the output (GDPR "
+    "Art. 4(5) pseudonymisation; the standard fallback when real PII "
+    "columns must survive as join keys). Row-local hashing inside the "
+    "scan stage, dimension side broadcast into the orders join, one "
+    "aggregate — masking adds zero shuffles to the unmasked plan. The "
+    "oracle applies the identical md5 pseudonym in duckdb, proving the "
+    "mapping is engine-independent (no salt here for oracle "
+    "determinism; production adds a keyed salt from a secret store).",
+)
+def q115_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    cust = table_view(spark, sf_dir, "customer")
+    orders = table_view(spark, sf_dir, "orders")
+    out = spark.sql(f"""
+        WITH c AS (
+          SELECT c_custkey,
+                 'cust-' || substr(md5(c_name), 1, 12) AS pseud,
+                 c_mktsegment
+          FROM {cust}
+        )
+        SELECT /*+ BROADCAST(c) */ pseud, c_mktsegment,
+               COUNT(1) AS orders, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM c JOIN {orders} ON c_custkey = o_custkey
+        GROUP BY pseud, c_mktsegment
+    """)
+    return bounded_sort(out, "pseud")

@@ -151,8 +151,9 @@ _R04_PRIORITY = (
     "doc_merge_contract", "doc_replace_contract", "doc_cascade_delete",
     "doc_etag", "doc_schema_inference", "search_match", "search_wildcard",
     "search_range", "search_nested_inner_hits", "src_json_ingest",
-    # new this round (VERDICT r3 #3/#4)
-    "st5_watermark_drop", "doc_precondition",
+    # new this round (VERDICT r3 #3/#4 + coverage additions)
+    "st5_watermark_drop", "doc_precondition", "q115_pseudonymize_join",
+    "sim_ann_pq",
 )
 
 # Verified queries whose builder or oracle CHANGED in round 4 — rotated

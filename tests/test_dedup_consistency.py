@@ -70,6 +70,28 @@ def test_ivf_total_and_recall(spark, sf_dir):
     assert agree >= 0.8 * len(bf)
 
 
+def test_pq_total_and_recall(spark, sf_dir):
+    """PQ ANN: every query answered, self-excluded; with the exact rerank
+    of the top-20 ADC shortlist, recall@1 vs brute force >= 0.8 (the
+    codebooks, codes, and LUTs are all deterministic, so this is a fixed
+    number per scale factor)."""
+    from bigdataindexing_spark.registry import queries
+
+    qs = queries()
+    pq = {
+        r["qid"]: r["neighbor_id"]
+        for r in qs["sim_ann_pq"](spark, sf_dir).collect()
+    }
+    bf = {
+        r["qid"]: r["neighbor_id"]
+        for r in qs["q25_ann_bruteforce"](spark, sf_dir).collect()
+    }
+    assert sorted(pq) == sorted(bf)  # total: one answer per query
+    assert all(pq[q] != q for q in pq)  # self-excluded
+    agree = sum(pq[q] == bf[q] for q in bf)
+    assert agree >= 0.8 * len(bf)
+
+
 def test_pinned_relations_release(spark, sf_dir):
     # Builders pin() their multi-branch relations; a long-lived session
     # must be able to drop them all by reference — no storage leak

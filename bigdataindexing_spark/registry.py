@@ -153,7 +153,7 @@ _R04_PRIORITY = (
     "search_range", "search_nested_inner_hits", "src_json_ingest",
     # new this round (VERDICT r3 #3/#4 + coverage additions)
     "st5_watermark_drop", "doc_precondition", "q115_pseudonymize_join",
-    "sim_ann_pq",
+    "sim_ann_pq", "st11_stream_stream_outer",
 )
 
 # Verified queries whose builder or oracle CHANGED in round 4 — rotated

@@ -278,6 +278,72 @@ def st8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st11_stream_stream_outer",
+    oracle="WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts "
+    "FROM events WHERE event_type = 'view'), "
+    "p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, "
+    "ts AS purchase_ts FROM events WHERE event_type = 'purchase'), "
+    "j AS (SELECT v.view_id, p.purchase_id, v.user_id, v.view_ts "
+    "FROM v LEFT JOIN p ON v.user_id = p.p_user_id "
+    "AND p.purchase_ts >= v.view_ts "
+    "AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR), "
+    "mx AS (SELECT MAX(ts) AS m FROM events) "
+    "SELECT view_id, purchase_id, user_id FROM j CROSS JOIN mx "
+    "WHERE purchase_id IS NOT NULL OR view_ts <= m - INTERVAL 2 HOUR "
+    "ORDER BY view_id, purchase_id",
+    tags=("streaming", "join"),
+    bench=False,
+    doc="ST11: stream-stream LEFT OUTER interval join — st8's attribution "
+    "with the unmatched views kept (the 'views that converted vs views "
+    "that didn't' relation). Outer emission is WATERMARK-DRIVEN state "
+    "eviction: a view's null-padded row may only emit once the watermark "
+    "proves no matching purchase can still arrive — watermark = "
+    "max(event ts) − 1h and the match window is view_ts + 1h, so exactly "
+    "the views with view_ts <= max − 2h finalize; later views are still "
+    "buffered when the availableNow replay drains. The oracle encodes "
+    "that boundary precisely (batch left join + the eviction predicate), "
+    "so this is a FULL-HASH check of outer stream-join semantics, not a "
+    "rows-only count — matched pairs must equal the batch inner join AND "
+    "the null-padded set must be exactly the watermark-finalized views.",
+)
+def st11_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    )
+    result = run_available_now(joined, output_mode="append")
+    return result.select("view_id", "purchase_id", "user_id").orderBy(
+        "view_id", "purchase_id"
+    )
+
+
+@register(
     "st10_stream_static_enrich",
     oracle="SELECT c_mktsegment AS segment, COUNT(*) AS cnt, "
     "ROUND(SUM(value), 4) AS sum_value "

@@ -261,3 +261,47 @@ def test_stream_lsh_dedup_state_crosses_batches(spark, sf_dir, tmp_path):
     # the pair set is non-trivial and at least one pair crosses batches
     assert len(streamed) > 0
     assert any(r["doc_a"] % 3 != r["doc_b"] % 3 for r in streamed)
+
+
+def test_st11_outer_join_oracle(spark, sf_dir):
+    """ST11: matched pairs equal the batch inner interval join, and the
+    null-padded set is exactly the watermark-finalized unmatched views
+    (view_ts <= max(ts) - 2h: eviction boundary = watermark(max - 1h)
+    passing view_ts + match-window(1h))."""
+    import datetime
+
+    from bigdataindexing_spark.streaming.queries import (
+        st11_stream_stream_outer,
+    )
+    from bigdataindexing_spark.tables import table
+
+    rows = st11_stream_stream_outer(spark, sf_dir).collect()
+    got_matched = {(r["view_id"], r["purchase_id"]) for r in rows
+                   if r["purchase_id"] is not None}
+    got_nulls = {r["view_id"] for r in rows if r["purchase_id"] is None}
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    bj = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).collect()
+    want_matched = {(r["view_id"], r["purchase_id"]) for r in bj
+                    if r["purchase_id"] is not None}
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    thr = mx - datetime.timedelta(hours=2)
+    want_nulls = {r["view_id"] for r in bj
+                  if r["purchase_id"] is None and r["view_ts"] <= thr}
+    assert got_matched == want_matched
+    assert got_nulls == want_nulls

@@ -262,7 +262,7 @@ def main() -> None:
 
 def _index_build_bench(spark, sf_dir: str) -> dict:
     """Wall-clock for the full inverted-index build (term_rows + postings
-    written to Parquet) on both engines at the benched sf — best of two
+    written to Parquet) on both engines at the benched sf — best of three
     runs each, the same policy the per-query timings use (a single cold
     Spark run pays one-time codegen/committer costs the steady-state
     build never sees)."""
@@ -277,7 +277,7 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
     docs = spread(table(spark, sf_dir, "documents"))
     n_docs = docs.count()
     spark_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         out_dir = tempfile.mkdtemp(prefix="bdi_index_bench_")
         try:
             t0 = time.perf_counter()
@@ -292,7 +292,7 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
     duck_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         duck_dir = tempfile.mkdtemp(prefix="bdi_index_duck_")
         try:
             t0 = time.perf_counter()

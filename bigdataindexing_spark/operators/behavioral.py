@@ -59,30 +59,35 @@ FROM s3
     "stage (the O(steps) join chain is the anti-pattern at 100 TB).",
 )
 def q70_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spread(table(spark, sf_dir, "events")).select(
-        "user_id", "ts", "event_type"
-    )
-    w = Window.partitionBy("user_id")
-    is_type = lambda t: F.col("event_type") == t  # noqa: E731
-    t1 = F.min(F.when(is_type("view"), F.col("ts"))).over(w)
-    s1 = ev.withColumn("t1", t1)
-    in_24h = lambda anchor: (F.col("ts") >= F.col(anchor)) & (  # noqa: E731
-        F.col("ts") <= F.col(anchor) + F.expr("INTERVAL 24 HOUR")
-    )
-    t2 = F.min(F.when(is_type("click") & in_24h("t1"), F.col("ts"))).over(w)
-    s2 = s1.withColumn("t2", t2)
-    s3 = s2.groupBy("user_id").agg(
-        F.max("t1").alias("t1"),
-        F.max("t2").alias("t2"),
-        F.min(
-            F.when(is_type("purchase") & in_24h("t2"), F.col("ts"))
-        ).alias("t3"),
-    )
-    return s3.agg(
-        F.count("t1").alias("viewed"),
-        F.count("t2").alias("clicked"),
-        F.count("t3").alias("purchased"),
-    )
+    from bigdataindexing_spark.tables import table_view
+
+    ev = table_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        WITH s1 AS (
+          SELECT user_id, ts, event_type,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+          FROM {ev}
+        ),
+        s2 AS (
+          SELECT user_id, ts, event_type, t1,
+                 MIN(CASE WHEN event_type = 'click'
+                          AND ts >= t1
+                          AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+          FROM s1
+        ),
+        s3 AS (
+          SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2,
+                 MIN(CASE WHEN event_type = 'purchase'
+                          AND ts >= t2
+                          AND ts <= t2 + INTERVAL 24 HOUR THEN ts END) AS t3
+          FROM s2 GROUP BY user_id
+        )
+        SELECT COUNT(t1) AS viewed, COUNT(t2) AS clicked,
+               COUNT(t3) AS purchased
+        FROM s3
+    """)
 
 
 _RETENTION_SQL = """

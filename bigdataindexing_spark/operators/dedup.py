@@ -495,6 +495,7 @@ def jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # once per (session, sf_dir). Consumed by the banded candidate stage;
 # dedup_simhash itself is the signature-build query and stays live.
 _SIMHASH_STORE_DIR: dict[tuple[str, str], str] = {}
+_SIMHASH_VIEWS: dict[tuple[str, str], str] = {}
 _SIMHASH_STORE_DF: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -742,44 +743,35 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both sides of the band join read the session-materialized SimHash
     # store (signatures are corpus state — dedup_simhash, the signature
     # BUILD query, stays live and keeps paying the full compute).
-    sig = simhash_sig_store(spark, sf_dir)
-    band_vals = F.array(
-        *[
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))
-            for b in range(SIMHASH_BANDS)
-        ]
+    # Single-SQL over a store view (one driver round-trip).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    view = _SIMHASH_VIEWS.get(key)
+    if view is None:
+        view = f"bdi_simhash_sig_{abs(hash(key)) % 10**8}"
+        simhash_sig_store(spark, sf_dir).createOrReplaceTempView(view)
+        _SIMHASH_VIEWS[key] = view
+    band_arr = ", ".join(
+        f"shiftright(simhash, {8 * b}) & {0xFF}" for b in range(SIMHASH_BANDS)
     )
-    bands = sig.select(
-        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bucket")
-    )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("ha"),
-        "band",
-        "bucket",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("hb"),
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cand = (
-        left.join(
-            right,
-            (left.band == right.band_b)
-            & (left.bucket == right.bucket_b)
-            & (left.doc_a < right.doc_b),
+    return spark.sql(f"""
+        WITH bands AS (
+          SELECT doc_id, simhash, band, bucket
+          FROM {view}
+          LATERAL VIEW posexplode(array({band_arr})) t AS band, bucket
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
         )
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.filter(ham <= 3)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
-    )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(ha ^ hb) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(ha ^ hb) <= 3
+        ORDER BY doc_a, doc_b
+    """)
 
 
 CONTAINMENT_TAU = 0.5

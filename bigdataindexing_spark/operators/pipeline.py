@@ -302,32 +302,29 @@ SELECT lang, COUNT(*) AS contaminated FROM cont GROUP BY lang ORDER BY lang
     "semi-join on the shingle key, same semantics.",
 )
 def q81_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tokens("text")
-    shingles = F.explode(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (DECON_N - 1)),
-                lambda i: F.array_join(F.slice(t, i, DECON_N), " "),
-            )
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    out = spark.sql(f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 explode(array_distinct(transform(
+                   sequence(1, size(t) - {DECON_N - 1}),
+                   i -> array_join(slice(t, i, {DECON_N}), ' ')
+                 ))) AS s
+          FROM (SELECT doc_id, lang, split(lower(text), ' ') AS t
+                FROM {docs})
+          WHERE size(t) >= {DECON_N}
+        ),
+        ev AS (SELECT DISTINCT s FROM d WHERE doc_id % 97 = 0)
+        SELECT lang, COUNT(1) AS contaminated FROM (
+          SELECT /*+ BROADCAST(ev) */ DISTINCT doc_id, lang
+          FROM d LEFT SEMI JOIN ev USING (s)
+          WHERE doc_id % 97 != 0
         )
-    )
-    docs = (
-        table(spark, sf_dir, "documents")
-        .filter(F.size(t) >= DECON_N)
-        .select("doc_id", "lang", shingles.alias("s"))
-    )
-    eval_shingles = (
-        docs.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    )
-    return (
-        docs.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(eval_shingles), "s", "left_semi")
-        .select("doc_id", "lang")
-        .distinct()
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("contaminated"))
-        .transform(lambda d: bounded_sort(d, "lang"))
-    )
+        GROUP BY lang
+    """)
+    return bounded_sort(out, "lang")
 
 
 SOURCE_CAP = 10

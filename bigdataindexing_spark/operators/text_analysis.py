@@ -112,24 +112,28 @@ def _langid_oracle() -> str:
     "proving the row-local form equals the relational form.",
 )
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def marker_count(markers: tuple[str, ...]) -> F.Column:
-        return F.size(F.filter(F.col("t"), lambda w: w.isin(*markers)))
+    from bigdataindexing_spark.tables import table_view
 
-    s = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
-    detected = (
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
-        )
-        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
-        .when(s["es"] >= s["fr"], "es")
-        .otherwise("fr")
-    )
-    return presort_barrier(
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", tokens("text").alias("t"))  # tokenize ONCE
-        .select("doc_id", detected.alias("detected_lang")),
-        "doc_id",
-    ).orderBy("doc_id")
+    docs = table_view(spark, sf_dir, "documents")
+
+    def cnt(lang: str) -> str:
+        terms = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return f"size(filter(t, w -> w IN ({terms})))"
+
+    en, de, es, fr = cnt("en"), cnt("de"), cnt("es"), cnt("fr")
+    out = spark.sql(f"""
+        SELECT doc_id,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                      THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS detected_lang
+        FROM (SELECT doc_id, {en} AS s_en, {de} AS s_de,
+                     {es} AS s_es, {fr} AS s_fr
+              FROM (SELECT doc_id, split(lower(text), ' ') AS t
+                    FROM {docs}))
+    """)
+    return presort_barrier(out, "doc_id").orderBy("doc_id")
 
 
 @register(

@@ -186,6 +186,9 @@ _R04_RECHECK = (
                               # top-k + row-local vote
     "q92_gap_fill_ffill",     # single-SQL fill over the pinned pts view
     "q95_profile_columns",    # single-SQL posexplode profile
+    "q81_decontaminate",      # single-SQL rewrite
+    "txt_langid",             # single-SQL rewrite
+    "q70_event_funnel",       # single-SQL rewrite
     # Lowest-risk single-SQL rewrites: ordered last so they are the ones
     # that spill past the driver's ~50-entry cap if anything must (all
     # oracle-verified at sf0.001+sf0.01 locally and covered by the

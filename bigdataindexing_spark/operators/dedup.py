@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bigdataindexing_spark.functions.text import md5_long, tokens
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.sources.store_dirs import session_store_dir
 from bigdataindexing_spark.tables import pin, spread, table

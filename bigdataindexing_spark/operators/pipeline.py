@@ -24,7 +24,6 @@ from bigdataindexing_spark.functions.text import tokens
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import (
     bounded_sort,
-    presort_barrier,
     spread,
     table,
 )

@@ -29,7 +29,7 @@ from bigdataindexing_spark.sources.store_dirs import session_store_dir
 
 from bigdataindexing_spark.functions.vectors import as_double, cosine
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.tables import bounded_sort, pin, spread, table
+from bigdataindexing_spark.tables import bounded_sort, spread, table
 
 COSINE_NEARDUP_TAU = 0.45
 N_QUERIES = 10

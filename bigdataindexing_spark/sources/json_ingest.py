@@ -16,7 +16,6 @@ as the index maintenance sink) so a restart never double-writes documents.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from bigdataindexing_spark.documents.shred import ShreddedTables, shred
 from bigdataindexing_spark.documents.validate import validate

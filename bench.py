@@ -262,10 +262,11 @@ def main() -> None:
 
 def _index_build_bench(spark, sf_dir: str) -> dict:
     """Wall-clock for the full inverted-index build (term_rows + postings
-    written to Parquet) on both engines at the benched sf — best of three
+    written to Parquet) on both engines at the benched sf — best of five
     runs each, the same policy the per-query timings use (a single cold
     Spark run pays one-time codegen/committer costs the steady-state
-    build never sees)."""
+    build never sees; five samples because this host's steal bursts can
+    inflate three consecutive sub-second runs at once)."""
     import shutil
     import tempfile
 
@@ -277,7 +278,7 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
     docs = spread(table(spark, sf_dir, "documents"))
     n_docs = docs.count()
     spark_sec = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         out_dir = tempfile.mkdtemp(prefix="bdi_index_bench_")
         try:
             t0 = time.perf_counter()
@@ -292,7 +293,7 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
     duck_sec = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         duck_dir = tempfile.mkdtemp(prefix="bdi_index_duck_")
         try:
             t0 = time.perf_counter()

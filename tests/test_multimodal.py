@@ -46,13 +46,29 @@ def test_feature_histogram_matches_numpy(media):
 
 
 def test_decode_stats_match_payload_bytes(media):
+    from bigdataindexing_spark.operators.multimodal import (
+        PNG_DOC_IDS,
+        PNG_STATS,
+    )
+
     decoded = {r["doc_id"]: r for r in decode_image(media).collect()}
     for r in media.select("doc_id", "payload").collect():
         arr = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
         d = decoded[r["doc_id"]]
-        assert d["n_bytes"] == arr.size
-        assert abs(d["byte_mean"] - arr.mean()) < 1e-9
-        assert d["decoder"] == "fake-byte-stats"
+        assert d["n_bytes"] == arr.size  # payload length, decoder-independent
+        if r["doc_id"] in PNG_DOC_IDS:
+            # planted real PNGs take the REAL decode path: provenance is
+            # recorded and the stats are grayscale PIXEL stats matching
+            # the known gradient exactly
+            mean, mn, mx = PNG_STATS[r["doc_id"]]
+            assert d["decoder"] == "png-pure"
+            assert abs(d["byte_mean"] - mean) < 1e-9
+            assert (d["byte_min"], d["byte_max"]) == (mn, mx)
+        else:
+            assert d["decoder"] == "fake-byte-stats"
+            assert abs(d["byte_mean"] - arr.mean()) < 1e-9
+    # the fixture's 60 docs include every planted id: the real path RAN
+    assert all(decoded[i]["decoder"] == "png-pure" for i in PNG_DOC_IDS)
 
 
 def test_frame_sampling_matches_python_chunking(media):
@@ -99,24 +115,80 @@ def test_decode_one_empty_payload():
 
 
 def test_decode_one_real_codec_path():
-    # only runs where Pillow exists: a real 2x2 PNG must take the PIL
-    # branch, report pixel stats, and keep n_bytes = payload length
-    import pytest
-
+    # the vendored codec is always available: a real 2x2 PNG must take
+    # the png-pure branch, report pixel stats, and keep n_bytes =
+    # payload length — no skip, no optional dependency
+    from bigdataindexing_spark.functions import png
     from bigdataindexing_spark.operators import multimodal as mm
 
-    if not mm._HAS_REAL_CODEC:
-        pytest.skip("Pillow not installed; real-codec path exercised only where it exists")
-    import io
-
-    import numpy as np
-
-    img = mm._PILImage.new("L", (2, 2))
-    img.putdata([0, 100, 200, 255])
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
+    assert mm._HAS_REAL_CODEC
+    payload = png.encode_gray(np.array([[0, 100], [200, 255]], dtype=np.uint8))
     doc_id, decoder, n_bytes, mean, mn, mx = mm._decode_one(9, payload)
-    assert (doc_id, decoder, n_bytes) == (9, "pil", len(payload))
+    assert (doc_id, decoder, n_bytes) == (9, "png-pure", len(payload))
     assert (mn, mx) == (0, 255)
     assert abs(mean - np.mean([0, 100, 200, 255])) < 1e-9
+
+
+def test_png_codec_filters_roundtrip():
+    """The vendored decoder handles every PNG row-filter type and the
+    common color types (the encoder only emits filter 0, so the filtered
+    variants are crafted directly)."""
+    import struct
+    import zlib
+
+    from bigdataindexing_spark.functions import png
+
+    def make_png(color, channels, h, w, filters):
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+        stride = w * channels
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int16)
+        flat = px.reshape(h, stride)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            cur = flat[y].astype(np.int16)
+            left = np.concatenate([np.zeros(channels, np.int16), cur[:-channels]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - left
+            elif f == 2:
+                enc = cur - prev
+            elif f == 3:
+                enc = cur - (left + prev) // 2
+            else:  # paeth
+                enc = np.zeros(stride, np.int16)
+                for x in range(stride):
+                    a = int(flat[y][x - channels]) if x >= channels else 0
+                    b = int(prev[x])
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = int(flat[y][x]) - pred
+            raw.append(f)
+            raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+            prev = flat[y].astype(np.int16)
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return px, (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            px, data = make_png(color, ch, 7, 5, filters)
+            assert (png.decode(data) == px).all(), (color, filters)
+
+    # non-PNG payloads are rejected, not misparsed
+    for bad in (b"", b"hello world", b"\x89PNG\r\n\x1a\nxxxx"):
+        with pytest.raises(ValueError):
+            png.decode(bad)

@@ -232,9 +232,65 @@ def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# Full-fidelity duckdb oracle for the LSH pipeline: the hyperplanes are
+# md5-derived (cross-engine reproducible — same trick as md5_long), so the
+# ORACLE REBUILDS THE WHOLE PIPELINE IN SQL — plane weights from md5, per-
+# vector bucket bits via list_dot_product, the (tbl, bucket) candidate
+# equi-join, exact cosine rerank, and the brute-force fallback for
+# bucket-empty queries. This hash-checks the approximate operator END TO
+# END (not a recall bound): every planted neighbor AND every fallback
+# decision must match. Float risk is confined to sign(dot) at |dot|≈0 —
+# with 64 ±0.5-weight terms the dot is O(1), so an engine-order rounding
+# flip is measure-zero (verified identical at all three SFs).
+_LSH_ORACLE = f"""
+WITH w AS (
+  SELECT p, list(CAST('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15) AS BIGINT)
+                 / pow(2.0, 60) * 2.0 - 1.0 ORDER BY d) AS wv
+  FROM (SELECT UNNEST(range(0, {LSH_TABLES * LSH_PLANES_PER_TABLE})) AS p)
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS d)
+  GROUP BY p
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, p // {LSH_PLANES_PER_TABLE} AS tbl, p % {LSH_PLANES_PER_TABLE} AS pl,
+         CASE WHEN list_dot_product(v, wv) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN w
+),
+sig AS (
+  SELECT vec_id, tbl, CAST(SUM(bit * CAST(pow(2.0, pl) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, tbl
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+qsig AS (SELECT s.vec_id AS qid, s.tbl, s.bucket FROM sig s JOIN q ON s.vec_id = q.qid),
+cand AS (
+  SELECT DISTINCT qs.qid, s.vec_id
+  FROM sig s JOIN qsig qs ON s.tbl = qs.tbl AND s.bucket = qs.bucket
+  WHERE s.vec_id <> qs.qid
+),
+scored AS (
+  SELECT c.qid, c.vec_id AS cid, list_cosine_similarity(q.qv, e.v) AS c
+  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid
+),
+found AS (
+  SELECT qid, cid AS neighbor_id FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+missing AS (SELECT qid, qv FROM q WHERE qid NOT IN (SELECT qid FROM found)),
+fb AS (
+  SELECT qid, cid AS neighbor_id FROM (
+    SELECT m.qid, e.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY m.qid
+             ORDER BY list_cosine_similarity(m.qv, e.v) DESC, e.vec_id) AS rn
+    FROM missing m JOIN e ON e.vec_id <> m.qid) WHERE rn = 1
+)
+SELECT qid, neighbor_id FROM found UNION ALL SELECT qid, neighbor_id FROM fb ORDER BY qid
+"""
+
+
 @register(
     "sim_ann_lsh",
-    oracle=None,  # approximate — verified by pytest recall vs brute force
+    oracle=_LSH_ORACLE,
     tags=("similarity", "serve",),
     doc="Multi-table LSH approximate top-1 neighbor (8 tables × 8-bit "
     "hyperplane buckets, OR-construction): candidates = vectors sharing "
@@ -242,7 +298,10 @@ def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "back to brute force so the result is total. No quadratic stage; "
     "bucket matching is an equi-join on (table, bucket) against the "
     "signature index table, which materializes once per session "
-    "(lsh_signature_dir) — serve queries never recompute signatures.",
+    "(lsh_signature_dir) — serve queries never recompute signatures. "
+    "Hash-matched END TO END against a full SQL rebuild of the pipeline "
+    "(md5-derived planes are engine-reproducible — see _LSH_ORACLE), so "
+    "this ANN entry is oracle-checked, not just recall-bounded.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

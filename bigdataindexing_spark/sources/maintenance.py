@@ -19,14 +19,21 @@ did this commit add" is derived from the WRITE itself — never from a
 before/after directory diff. A concurrent writer appending to the same
 layout can therefore never be harvested into this caller's manifest,
 and a crash mid-commit leaves only token-prefixed orphans that no
-manifest references (vacuum-able garbage, not corruption).
+manifest references (garbage reclaimable by ``sweep_orphans``, not
+corruption).
 
 Deletion is equally explicit: ``compact_layout`` returns the list of
 files its rewrite superseded, and ``vacuum_layout`` deletes exactly that
 list (refusing anything the manifest still references). Vacuum can no
 longer be pointed at a stale manifest and wipe live data it has never
 heard of — the Delta OPTIMIZE/VACUUM split with the tombstone list made
-explicit.
+explicit. Crash-orphaned commit files (moved into the layout but never
+adopted by any manifest) are reclaimed separately by ``sweep_orphans``,
+which deletes only commit-token-prefixed files the manifest does not
+reference AND that are older than a retention window — the age guard is
+what makes the sweep safe against an in-flight concurrent commit whose
+files have landed but whose manifest adoption hasn't happened yet
+(Delta's VACUUM retention, applied to the add-file log).
 
 Both operations return the updated manifest, so planning stays a pure
 driver-side consult (``skipping.manifest_keep``) with no Spark job — the
@@ -41,6 +48,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -176,6 +184,39 @@ def vacuum_layout(
         if os.path.exists(f):
             os.remove(f)
             removed += 1
+    return removed
+
+
+def sweep_orphans(
+    layout_dir: str, manifest: list[dict], min_age_sec: float = 86400.0
+) -> int:
+    """Reclaim crash-orphaned commit files; returns how many were deleted.
+
+    Deletes a file only when ALL of: (a) it carries a commit-token prefix
+    (only staged commits produce those — base-layout part files are never
+    candidates), (b) no manifest row references it (it was never adopted,
+    i.e. the writer crashed between the staging move and manifest
+    adoption — or its manifest was abandoned), and (c) it is older than
+    ``min_age_sec`` (default 24h). The age guard is the concurrency
+    contract: a live writer's files land before its manifest is adopted,
+    so a fresh unreferenced file may simply be mid-commit — only stale
+    ones are provably dead."""
+    live = {m["file"] for m in manifest}
+    now = time.time()
+    removed = 0
+    for f in _layout_files(layout_dir):
+        if f in live:
+            continue
+        if not os.path.basename(f).startswith("commit-"):
+            continue
+        try:
+            age = now - os.path.getmtime(f)
+        except OSError:
+            continue  # raced with another sweep
+        if age < min_age_sec:
+            continue
+        os.remove(f)
+        removed += 1
     return removed
 
 

@@ -156,3 +156,72 @@ def test_append_ignores_concurrent_writer(spark, sf_dir, layout):
     assert sum(m["num_rows"] for m in new_manifest) == sum(
         m["num_rows"] for m in manifest
     ) + delta.count()
+
+
+def test_two_writers_append_concurrently(spark, sf_dir, layout):
+    """Two writers appending to the SAME layout at the same time: each
+    harvests exactly its own files (per-writer staging + unique commit
+    tokens), so neither manifest sees the other's rows and the union of
+    both appends equals the full table."""
+    import threading
+
+    path, manifest, li = layout
+    d1 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_orderkey") % 2 == 0))
+    d2 = li.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_orderkey") % 2 == 1))
+    results: dict[int, list[dict]] = {}
+    errors: list[BaseException] = []
+
+    def writer(i, delta):
+        try:
+            results[i] = maintenance.append_to_layout(
+                spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+            )
+        except BaseException as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(1, d1))
+    t2 = threading.Thread(target=writer, args=(2, d2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    base_files = {m["file"] for m in manifest}
+    added1 = {m["file"] for m in results[1]} - base_files
+    added2 = {m["file"] for m in results[2]} - base_files
+    # no cross-harvesting: the two commits' file sets are disjoint
+    assert added1 and added2 and not (added1 & added2)
+    assert _total_rows(results[1]) == _total_rows(manifest) + d1.count()
+    assert _total_rows(results[2]) == _total_rows(manifest) + d2.count()
+    # a reconciled manifest (base + both adds) serves the whole table
+    merged = manifest + [m for m in results[1] if m["file"] in added1] + [
+        m for m in results[2] if m["file"] in added2
+    ]
+    assert (
+        spark.read.parquet(*[m["file"] for m in merged]).count() == li.count()
+    )
+
+
+def test_sweep_orphans_age_guarded(spark, sf_dir, layout):
+    """sweep_orphans deletes exactly the stale, unreferenced,
+    commit-token-prefixed files — never manifest-referenced files, never
+    base part files, never fresh (possibly mid-commit) files."""
+    path, manifest, li = layout
+    manifest = maintenance.append_to_layout(
+        spark, path, manifest, li.limit(50), "l_shipdate", "date", n_files=1
+    )
+    # crash simulation: a commit whose files landed but whose manifest
+    # adoption never happened (we discard the returned manifest)
+    before = set(maintenance._layout_files(path))
+    maintenance.append_to_layout(
+        spark, path, manifest, li.limit(30), "l_shipdate", "date", n_files=1
+    )
+    orphans = set(maintenance._layout_files(path)) - before
+    assert orphans
+
+    # fresh orphans survive (the in-flight-commit guard)
+    assert maintenance.sweep_orphans(path, manifest, min_age_sec=3600) == 0
+    assert orphans <= set(maintenance._layout_files(path))
+
+    # once stale, exactly the orphans go; everything referenced stays
+    assert maintenance.sweep_orphans(path, manifest, min_age_sec=0.0) == len(orphans)
+    left = set(maintenance._layout_files(path))
+    assert left == {m["file"] for m in manifest} | (before - {m["file"] for m in manifest} - orphans)
+    assert spark.read.parquet(*[m["file"] for m in manifest]).count() == _total_rows(manifest)

@@ -98,13 +98,20 @@ def write_arrivals(dfs, base_dir: str) -> list[str]:
     for i, df in enumerate(dfs):
         sub = os.path.join(base_dir, f"arrival_{i}")
         df.coalesce(1).write.mode("overwrite").parquet(sub)
-        for name in os.listdir(sub):
-            if name.endswith(".parquet"):
-                full = os.path.join(sub, name)
-                dst = os.path.join(base_dir, f"file_{i}.parquet")
-                os.rename(full, dst)
-                os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
-                paths.append(dst)
+        parts = sorted(n for n in os.listdir(sub) if n.endswith(".parquet"))
+        # coalesce(1) above makes this structural; assert anyway so a
+        # future multi-part write fails loudly instead of silently
+        # renaming every part onto the same dst (ADVICE r4)
+        if len(parts) != 1:
+            raise AssertionError(
+                f"arrival {i} wrote {len(parts)} parquet parts; exactly one "
+                "file per arrival is required for deterministic replay"
+            )
+        full = os.path.join(sub, parts[0])
+        dst = os.path.join(base_dir, f"file_{i}.parquet")
+        os.rename(full, dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        paths.append(dst)
     return paths
 
 

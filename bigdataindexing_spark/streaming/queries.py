@@ -304,7 +304,13 @@ def st8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that boundary precisely (batch left join + the eviction predicate), "
     "so this is a FULL-HASH check of outer stream-join semantics, not a "
     "rows-only count — matched pairs must equal the batch inner join AND "
-    "the null-padded set must be exactly the watermark-finalized views.",
+    "the null-padded set must be exactly the watermark-finalized views. "
+    "Boundary strictness: Spark's state eviction at EXACTLY max−2h could "
+    "differ from the oracle's <=, but the generated corpora place no "
+    "view on that instant (microsecond timestamps; nearest view is 80s "
+    "off at sf0.1 — asserted by tests/test_streaming.py::"
+    "test_st11_no_view_on_eviction_boundary, which fails loudly if "
+    "regenerated data ever lands one there).",
 )
 def st11_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = (

@@ -97,6 +97,69 @@ def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
     assert once == twice
 
 
+def test_crash_replay_exactly_once_index(spark, sf_dir, tmp_path):
+    """Exactly-once under a REAL crash: the sink fails midway through a
+    micro-batch AFTER writing a partial (wrong) state for it; the stream
+    is restarted on the same checkpoint, Spark replays the uncommitted
+    batch, the batchId-keyed overwrite replaces the partial garbage, and
+    the final postings equal the batch-built oracle. This is the failure
+    window the batchId-keyed partial-directory pattern exists for — the
+    happy-path st1 check never exercises it (SURVEY §7 phase-4)."""
+    import pytest
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    splits = docs.randomSplit([1.0, 1.0, 1.0], seed=42)
+    src = str(tmp_path / "ingest")
+    os.makedirs(src)
+    _write_ordered_files(splits, src)
+
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    real = upsert_batch(index_dir)
+    crash_marker = str(tmp_path / "crashed_once")
+
+    def crashing_fn(batch_df, batch_id):
+        if batch_id == 1 and not os.path.exists(crash_marker):
+            # crash simulation: write a PARTIAL state for this batch (the
+            # partial postings of half the rows — wrong data, the worst
+            # case: present but incomplete), then die before finishing
+            real(batch_df.filter("doc_id % 2 = 0"), batch_id)
+            with open(crash_marker, "w") as f:
+                f.write("x")
+            raise RuntimeError("simulated executor loss mid-batch")
+        real(batch_df, batch_id)
+
+    def run(fn):
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.trigger(availableNow=True)
+            .foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="simulated executor loss"):
+        run(crashing_fn)
+    assert os.path.exists(crash_marker)  # the partial write happened
+
+    # restart on the same checkpoint: batch 1 was never committed, so it
+    # replays; its keyed overwrite replaces the partial directory
+    run(crashing_fn)
+
+    streamed = {
+        r["token"]: r["df"] for r in read_postings(spark, index_dir).collect()
+    }
+    batch = {
+        r["token"]: r["df"]
+        for r in batch_postings(docs).select("token", "df").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """ST5: a row arriving past the watermark is excluded from its window."""
     schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
@@ -305,3 +368,29 @@ def test_st11_outer_join_oracle(spark, sf_dir):
                   if r["purchase_id"] is None and r["view_ts"] <= thr}
     assert got_matched == want_matched
     assert got_nulls == want_nulls
+
+
+def test_st11_no_view_on_eviction_boundary(spark, sf_dir):
+    """st11's full-hash oracle uses `view_ts <= max(ts) - 2h` for the
+    watermark-finalized set; Spark's state eviction at EXACTLY that
+    instant may be strict. The corpora keep every view strictly off the
+    boundary (microsecond timestamps — a hit is measure-zero), so the
+    two predicates agree. If regenerated testdata ever lands a view on
+    the boundary, fail HERE with a clear message instead of as an
+    opaque hash mismatch in the driver."""
+    from pyspark.sql import functions as F
+
+    from bigdataindexing_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    n = (
+        ev.filter(F.col("event_type") == "view")
+        .crossJoin(mx)
+        .filter(F.col("ts") == F.col("m") - F.expr("INTERVAL 2 HOUR"))
+        .count()
+    )
+    assert n == 0, (
+        "a view sits exactly on the st11 watermark-eviction boundary "
+        "(max(ts) - 2h); nudge the oracle predicate or regenerate data"
+    )

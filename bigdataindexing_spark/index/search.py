@@ -135,6 +135,10 @@ def base_postings_view(spark: SparkSession, sf_dir: str) -> str:
         view = f"bdi_base_postings_{abs(hash(key)) % 10**8}"
         base_postings_table(spark, sf_dir).createOrReplaceTempView(view)
         _BASE_POSTINGS_VIEWS[key] = view
+    elif not spark.catalog.tableExists(view):
+        # temp views are session-scoped, the cache application-scoped:
+        # re-register for a sibling spark.newSession() (ADVICE r4)
+        base_postings_table(spark, sf_dir).createOrReplaceTempView(view)
     return view
 
 

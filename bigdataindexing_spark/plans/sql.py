@@ -332,29 +332,6 @@ for _name, _sql, _doc in [
         "cross-engine deterministic).",
     ),
     (
-        "q80_sql_tpch_q21",
-        "SELECT s_name, COUNT(*) AS numwait "
-        "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
-        "JOIN orders ON o_orderkey = l1.l_orderkey "
-        "JOIN nation ON s_nationkey = n_nationkey "
-        "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
-        "AND n_name = 'NATION_5' "
-        "AND EXISTS (SELECT 1 FROM lineitem l2 "
-        "WHERE l2.l_orderkey = l1.l_orderkey "
-        "AND l2.l_suppkey <> l1.l_suppkey) "
-        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
-        "WHERE l3.l_orderkey = l1.l_orderkey "
-        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
-        "GROUP BY s_name ORDER BY numwait DESC, s_name",
-        "TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS + "
-        "NOT EXISTS both correlated on the same fact table with an "
-        "inequality on the correlated column — planned as left-semi and "
-        "left-anti hash joins on l_orderkey (the <> residual evaluates "
-        "inside the join), never per-row re-scans. Adapted: 'waiting' = "
-        "sole supplier with returned lines on a finished multi-supplier "
-        "order (no l_commitdate/l_receiptdate in this corpus).",
-    ),
-    (
         "q51_sql_correlated_scalar",
         _CORR_SCALAR,
         "Correlated scalar subquery (each customer's max-price order): "
@@ -511,6 +488,48 @@ for _name, _sql, _doc in [
     register(_name, oracle=_sql, tags=("sql",), doc=_doc)(
         _sql_builder(_sql, _name)
     )
+
+_Q21 = (
+    "SELECT s_name, COUNT(*) AS numwait "
+    "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+    "AND n_name = 'NATION_5' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+    "WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name"
+)
+
+# Q21 rewrites MEASURED AND REJECTED (interleaved best-of-6 at sf0.1,
+# local[32]/4 shuffle partitions): folding the EXISTS/NOT EXISTS pair
+# into one per-order aggregate — COUNT(DISTINCT l_suppkey) > 1 and
+# distinct-'R'-supplier count = 1, the classic warehouse rewrite — is
+# SLOWER on Spark than the canonical text (0.90s double-COUNT-DISTINCT
+# via Expand, 0.82s expand-free two-level groupBy, vs 0.74s canonical):
+# Catalyst's semi/anti hash probes over the pushed-down lineitem scans
+# cost less than one extra full-fact-table aggregation plus the
+# join-back. The canonical EXISTS text stays on both engines; the
+# residual ~5x-vs-duckdb ratio is the multi-stage scheduling floor on a
+# 4-way self-join at sf0.1 (7 stages x ~0.1s), not a plan defect.
+register(
+    "q80_sql_tpch_q21",
+    oracle=_Q21,
+    tags=("sql",),
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS + "
+    "NOT EXISTS both correlated on the same fact table with an "
+    "inequality on the correlated column — planned as left-semi and "
+    "left-anti hash joins on l_orderkey (the <> residual evaluates "
+    "inside the join), never per-row re-scans. Adapted: 'waiting' = "
+    "sole supplier with returned lines on a finished multi-supplier "
+    "order (no l_commitdate/l_receiptdate in this corpus). The "
+    "single-aggregate rewrite was measured slower here (see module "
+    "comment above).",
+)(_sql_builder(_Q21, "q80_sql_tpch_q21"))
 
 register(
     "q37_sql_having",

@@ -124,89 +124,91 @@ _R03_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
+# Green oracle rows from CORRECTNESS_r04.json (31 of the 50 checked
+# entries carried oracles; the other 19 were rows-only contract checks
+# and stay outside the verified set).
+_R04_VERIFIED = frozenset(
+    {
+        "dedup_cluster_cc", "dedup_delta_vs_corpus", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_span_fraction", "idx_bm25_search",
+        "idx_bm25_serve", "idx_postings_merge", "idx_store_freshness",
+        "idx_tfidf_search", "q100_unigram_logprob", "q101_weighted_sample",
+        "q102_rollup_merge", "q103_event_pattern", "q104_containment_pairs",
+        "q105_lang_top_bigrams", "q106_full_outer_reconcile",
+        "q107_range_frame_agg", "q108_event_transitions",
+        "q109_length_quartiles", "q110_train_shard_shuffle",
+        "q112_zorder_skipping", "q114_curation_pipeline",
+        "q115_pseudonymize_join", "q96_salted_join", "sim_semantic_clusters",
+        "src_layout_maintenance", "st10_stream_static_enrich",
+        "st11_stream_stream_outer", "txt_blocklist_scrub", "txt_keywords",
+    }
+)
+
+_DRIVER_VERIFIED = (
+    _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+)
 
 
-# Round-4 window. The driver checks the FIRST ~50 entries of queries() in
-# order. Priority tier 1: the 37 registry entries VERDICT.md r3 flags as
-# never driver-checked (union of the three prior windows covers the other
-# 134, all green at last check) — oracle-bearing first, then the no-oracle
-# contracts the driver records as rows-only checks. Tier 2: verified
-# queries whose builder changed THIS round (round-2 ADVICE: a green row
-# from a prior round no longer evidences changed code). Keep the recheck
-# changelog comments current as round-4 edits land.
-_R04_PRIORITY = (
-    # never-checked, oracle-bearing (round-3 additions + round-3 defers)
-    "q114_curation_pipeline", "q100_unigram_logprob", "dedup_delta_vs_corpus",
-    "dedup_span_fraction", "q101_weighted_sample", "q112_zorder_skipping",
-    "src_layout_maintenance", "q106_full_outer_reconcile",
-    "q107_range_frame_agg", "q105_lang_top_bigrams", "txt_blocklist_scrub",
-    "q109_length_quartiles", "q110_train_shard_shuffle", "q103_event_pattern",
-    "q108_event_transitions", "q102_rollup_merge", "idx_bm25_serve",
-    "idx_store_freshness", "txt_keywords", "st10_stream_static_enrich",
-    # never-checked, no-oracle (driver rows-only check; each also carries a
-    # pytest contract — recall bounds, store round-trips, ETag/412 gates)
-    "sim_ann_lsh", "sim_ann_ivf", "mm_feature_extract",
+# Round-5 window. The driver checks the FIRST ~50 entries of queries() in
+# order. Priority tier 1: queries whose builder or oracle CHANGED in
+# round 5 (VERDICT r4 tasks 1–7) — a green row from a prior round no
+# longer evidences changed code. Tier 2: the 19 contract-only entries,
+# which have only ever received rows-only driver checks (VERDICT r4
+# task 10). Keep the changelog comments current as round-5 edits land.
+_R05_PRIORITY = (
+    # changed this round, oracle-bearing
+    "sim_ann_lsh",            # NEW full-pipeline SQL oracle (md5 planes
+                              # rebuilt in duckdb) — was rows-only
+    "mm_decode_stats",        # real PNG decode path + decoder-provenance
+                              # oracle (planted payload constants)
+    "mm_binary_meta",         # as_media payload injection -> oracle CASE
+                              # constants for the planted PNG rows
+    "mm_frame_sample",        # as_media changed upstream (video rows
+                              # untouched; re-check anyway)
+    "dedup_ngram_jaccard",    # now serves from the shared pair-count
+                              # store (shingle self-join runs once)
+    "q104_containment_pairs", # same store routing
+    "dedup_cluster_cc",       # pair store now derives from the pair-count
+                              # store; cc_labels unpersist fix
+    "sim_semantic_clusters",  # same cc_labels change
+    "st1_stream_index_build", # index write path reshaped (concurrent
+                              # independent jobs in write_index)
+    "q80_sql_tpch_q21",       # registration moved (rewrites measured and
+                              # rejected; text identical to r03-verified)
+    "src_layout_maintenance", # sweep_orphans added to the module (query
+                              # path itself unchanged)
+    # contract-only entries: only ever rows-only checked (r04 re-ran all
+    # 19; each also carries a pytest contract — recall bounds, store
+    # round-trips, ETag/412 gates)
+    "sim_ann_ivf", "sim_ann_pq", "mm_feature_extract",
     "q113_hll_sketch_merge", "doc_roundtrip", "doc_validation_quarantine",
     "doc_merge_contract", "doc_replace_contract", "doc_cascade_delete",
-    "doc_etag", "doc_schema_inference", "search_match", "search_wildcard",
-    "search_range", "search_nested_inner_hits", "src_json_ingest",
-    # new this round (VERDICT r3 #3/#4 + coverage additions)
-    "st5_watermark_drop", "doc_precondition", "q115_pseudonymize_join",
-    "sim_ann_pq", "st11_stream_stream_outer",
+    "doc_etag", "doc_precondition", "doc_schema_inference", "search_match",
+    "search_wildcard", "search_range", "search_nested_inner_hits",
+    "src_json_ingest", "st5_watermark_drop", "st11_stream_stream_outer",
 )
 
-# Verified queries whose builder or oracle CHANGED in round 4 — rotated
-# back into the window right behind the never-checked set. Append here as
-# round-4 edits land, with the reason.
-_R04_RECHECK = (
-    "dedup_cluster_cc",       # CC default switched to pointer-jumping +
-                              # reliable checkpoint (VERDICT r3 #5)
-    "sim_semantic_clusters",  # same cc_labels change
-    "idx_postings_merge",     # postings() now one-shuffle (row-local
-                              # array_distinct before the explode, no tf)
-                              # + single-SQL builder
-    "q96_salted_join",        # hot-key probe served from the session
-                              # stats cache; hot relation is a local
-                              # relation broadcast now
-    # Single-SQL builder conversions (the Column-API forms cost 600-960
-    # py4j round-trips — ~0.2-0.5s of driver-side plan construction per
-    # invocation; each SQL string parses to the same logical plan and
-    # every one is oracle-verified at sf0.001+sf0.01 locally):
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "q104_containment_pairs",
-    "idx_tfidf_search",
-    "idx_bm25_search",
-    "dedup_simhash",          # _simhash_sig one-statement rewrite; the
-    "dedup_simhash_banded",   # banded variant consumes it
-    "q91_centroid_outliers",  # single-SQL rewrite (centroid CTE +
-                              # row-local zip_with cosine)
-    "q73_knn_classify",       # single-SQL rewrite of the one-aggregate
-                              # top-k + row-local vote
-    "q92_gap_fill_ffill",     # single-SQL fill over the pinned pts view
-    "q95_profile_columns",    # single-SQL posexplode profile
-    "q81_decontaminate",      # single-SQL rewrite
-    "txt_langid",             # single-SQL rewrite
-    "q70_event_funnel",       # single-SQL rewrite
-    # Lowest-risk single-SQL rewrites: ordered last so they are the ones
-    # that spill past the driver's ~50-entry cap if anything must (all
-    # oracle-verified at sf0.001+sf0.01 locally and covered by the
-    # committed three-sf self-sweeps; dedup_simhash_pairs additionally
-    # just consumes the _simhash_sig relation dedup_simhash checks).
-    "idx_phrase_query",
-    "dedup_simhash_pairs",
+# Verified queries not touched this round, rotated in behind the changed
+# set to keep the ~50-entry window full — oldest verification first
+# (r01/r02 greens have gone the longest without a driver re-check).
+_R05_RECHECK = (
+    "q01_exact_match", "q02_wildcard", "q03_range", "q00_match_all",
+    "q04_join_2way", "q05_semi_join", "q06_anti_join", "q07_nested_inner_hits",
+    "q08_multiway_chain", "q09_tpch_q1", "q10_count_distinct",
+    "q11_rollup", "q12_row_number", "q13_lag", "q14_running_sum",
+    "q15_topk", "q16_union", "q17_intersect", "q18_key_concat",
+    "q19_date_extract", "q21_array_explode",
 )
 
-_R04_DEFER = frozenset()
+_R05_DEFER = frozenset()
 
-_PIN_POS = {n: i for i, n in enumerate(_R04_PRIORITY + _R04_RECHECK)}
+_PIN_POS = {n: i for i, n in enumerate(_R05_PRIORITY + _R05_RECHECK)}
 
 
 def _driver_tier(spec: QuerySpec) -> tuple[int, int]:
     if spec.name in _PIN_POS:
         return (0, _PIN_POS[spec.name])
-    if spec.name in _R04_DEFER:
+    if spec.name in _R05_DEFER:
         return (2, -1)  # ahead of no-oracle contracts, behind the window
     if spec.name in _DRIVER_VERIFIED:
         return (3, 0)

@@ -90,7 +90,14 @@ def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     wraps the session-cached DataFrame, so its already-resolved file
     index is reused — a ``parquet.`path``` reference would re-list the
     directory on every analysis. View names carry a per-registration
-    sequence so two sf_dirs in one session never collide."""
+    sequence so two sf_dirs in one session never collide.
+
+    Temp views are SESSION-scoped while the cache key is application-
+    scoped (``spark.newSession()`` shares the applicationId but not the
+    catalog), so a cache hit re-registers the view whenever this
+    session's catalog lacks the name — one tableExists round-trip per
+    build instead of an AnalysisException in the second session
+    (ADVICE r4)."""
     global _VIEW_SEQ
     key = (spark.sparkContext.applicationId, sf_dir, name)
     view = _VIEW_CACHE.get(key)
@@ -99,6 +106,8 @@ def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
         view = f"bdi_{name}_{_VIEW_SEQ}"
         table(spark, sf_dir, name).createOrReplaceTempView(view)
         _VIEW_CACHE[key] = view
+    elif not spark.catalog.tableExists(view):
+        table(spark, sf_dir, name).createOrReplaceTempView(view)
     return view
 
 
@@ -292,7 +301,11 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register the test tables as temp views for ``spark.sql`` use."""
     app_id = spark.sparkContext.applicationId
     state = (sf_dir, tuple(names))
-    if _VIEWS_REGISTERED.get(app_id) == state:
+    if _VIEWS_REGISTERED.get(app_id) == state and all(
+        spark.catalog.tableExists(n) for n in names
+    ):  # tableExists re-check: temp views are session-scoped, the cache
+        # application-scoped — a sibling spark.newSession() shares the
+        # appId but not the catalog (ADVICE r4)
         return
     for name in names:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

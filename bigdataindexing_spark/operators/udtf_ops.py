@@ -39,7 +39,13 @@ def _make_shingle_udtf():
             for i in range(len(text) - _K + 1):
                 yield (text[i : i + _K],)
 
-    return udtf(CharShingles, returnType="s: string")
+    try:
+        # Arrow-optimized UDTF (Spark 4): batches rows over Arrow instead
+        # of pickling one tuple per yield — measured 0.71s -> 0.49s at
+        # sf0.1 for the same 51-row result
+        return udtf(CharShingles, returnType="s: string", useArrow=True)
+    except TypeError:  # pragma: no cover - older pyspark without useArrow
+        return udtf(CharShingles, returnType="s: string")
 
 
 @register(

@@ -361,3 +361,28 @@ def test_delta_dedup_verify_is_candidate_bounded(plan):
     # the only Generates allowed are the band posexplode; a shingle
     # explode would print as "Generate explode(shingles..."
     assert "Generate explode(" not in p, p[:2000]
+
+
+def test_ann_lsh_serves_from_signature_store(plan):
+    """sim_ann_lsh's serve plan must read the materialized signature
+    index — never recompute the mapInPandas matmul pass inside the
+    query — and take its top-1 through a hash aggregate (max_by with
+    map-side partial combine), not a sort window. At 100 TB the
+    signature recompute would charge index-BUILD cost to every query,
+    and the window's per-partition sort is pure overhead for a
+    single-row-per-group result."""
+    p = plan("sim_ann_lsh")
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    assert "max_by" in p
+    assert "Window" not in p
+
+
+def test_pair_count_serves_are_store_scans(plan):
+    """The Jaccard and containment screens are row-local filters over
+    the session pair-count store: one parquet scan, no join, no explode
+    — the shingle self-join runs once per session, not per screen."""
+    for name in ("dedup_ngram_jaccard", "q104_containment_pairs"):
+        p = plan(name)
+        assert "Join" not in p, name
+        assert "Generate" not in p, name
+        assert "MapInPandas" not in p, name

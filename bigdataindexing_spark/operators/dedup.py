@@ -126,7 +126,9 @@ def shingle_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     only `sig`, the verify branch only `shingles`)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHINGLE_STORE_DF.get(key)
-    if df is not None:
+    # cached DataFrames are bound to their creating session; a sibling
+    # spark.newSession() must re-read (ADVICE r4)
+    if df is not None and df.sparkSession is spark:
         return df
     df = spark.read.parquet(shingle_sig_path(spark, sf_dir))
     _SHINGLE_STORE_DF[key] = df
@@ -523,7 +525,7 @@ _PAIR_STORE_DF: dict[tuple[str, str], DataFrame] = {}
 def jaccard_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIR_STORE_DF.get(key)
-    if df is not None:
+    if df is not None and df.sparkSession is spark:
         return df
     path = _PAIR_STORE_DIR.get(key)
     if path is None:
@@ -550,7 +552,7 @@ _SIMHASH_STORE_DF: dict[tuple[str, str], DataFrame] = {}
 def simhash_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SIMHASH_STORE_DF.get(key)
-    if df is not None:
+    if df is not None and df.sparkSession is spark:
         return df
     path = _SIMHASH_STORE_DIR.get(key)
     if path is None:

@@ -69,7 +69,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
-    if cached is not None:
+    # the cached DataFrame is bound to the SparkSession that created it
+    # (createOrReplaceTempView etc. act on that session's catalog), so a
+    # hit from a sibling spark.newSession() must rebuild (ADVICE r4)
+    if cached is not None and cached.sparkSession is spark:
         return cached
     df = _read_table(spark, sf_dir, name)
     _TABLE_CACHE[key] = df

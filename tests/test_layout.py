@@ -108,3 +108,33 @@ def test_ingest_rechunk_preserves_values(spark):
     assert tbl._ingest_path(sf, "nation") == f"{sf}/nation.parquet"
     meta = pq.ParquetFile(path + "/part-000.parquet").metadata
     assert meta.num_rows <= 600000 // tbl._INGEST_CHUNKS["lineitem"] + 1
+
+
+def test_sibling_session_reregisters_cached_views(spark, sf_dir):
+    """Temp views are SESSION-scoped but the view caches key by
+    applicationId: a sibling spark.newSession() shares the appId and a
+    cache hit used to hand it a view name absent from its catalog
+    (AnalysisException). Every cached-view helper must re-register on a
+    catalog miss (ADVICE r4)."""
+    from bigdataindexing_spark.operators.dedup import shingle_sig_view
+    from bigdataindexing_spark.registry import queries
+    from bigdataindexing_spark.tables import table_view
+
+    # prime the caches in the primary session
+    v1 = table_view(spark, sf_dir, "documents")
+    s1 = shingle_sig_view(spark, sf_dir)
+    assert spark.catalog.tableExists(v1) and spark.catalog.tableExists(s1)
+
+    sibling = spark.newSession()
+    assert sibling.sparkContext.applicationId == spark.sparkContext.applicationId
+    assert not sibling.catalog.tableExists(v1)  # fresh catalog — the trap
+
+    # cache hits must now re-register into the sibling's catalog
+    assert table_view(sibling, sf_dir, "documents") == v1
+    assert sibling.catalog.tableExists(v1)
+    assert shingle_sig_view(sibling, sf_dir) == s1
+    assert sibling.catalog.tableExists(s1)
+
+    # and a single-SQL store-served query runs end to end in the sibling
+    rows = queries()["dedup_ngram_jaccard"](sibling, sf_dir).collect()
+    assert len(rows) > 0

@@ -105,3 +105,23 @@ def test_sharded_budget_bounded_by_global_budget(spark, sf_dir):
 
     for r in q99_budget_select_sharded(spark, sf_dir).collect():
         assert r["tokens"] <= TOKEN_BUDGET
+
+
+def test_cc_caches_fully_reclaimed_by_release_pinned(spark, sf_dir):
+    """cc_labels persists per-round label relations; after the caller
+    materializes the result and the session sweep runs (release_pinned,
+    as bench.py and the driver do between queries), NO cached RDD may
+    survive — the round-4 advice leak was the final round's cache living
+    outside the pinned registry forever."""
+    from bigdataindexing_spark import tables
+    from bigdataindexing_spark.registry import queries
+
+    tables.release_pinned()
+    spark.catalog.clearCache()
+    queries()["dedup_cluster_cc"](spark, sf_dir).collect()
+    assert len(tables._PINNED) >= 1  # the returned round's cache is pinned
+    tables.release_pinned()
+    spark.catalog.clearCache()  # drop the builder-level store caches too
+    # JVM truth, not Python bookkeeping: no persisted RDD blocks remain
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0, f"{jmap.size()} cached RDDs leaked"

@@ -360,28 +360,6 @@ for _name, _sql, _doc in [
 # half-of-total threshold) is preserved exactly.
 for _name, _sql, _doc in [
     (
-        "q84_sql_tpch_q2",
-        "SELECT p_partkey, p_name, s_name, n_name, l_extendedprice AS price "
-        "FROM part JOIN lineitem ON p_partkey = l_partkey "
-        "JOIN supplier ON s_suppkey = l_suppkey "
-        "JOIN nation ON s_nationkey = n_nationkey "
-        "JOIN region ON n_regionkey = r_regionkey "
-        "WHERE r_name = 'ASIA' AND p_size <= 5 "
-        "AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2 "
-        "JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey "
-        "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
-        "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
-        "WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA') "
-        "ORDER BY price, p_partkey, s_name LIMIT 20",
-        "TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN "
-        "subquery that itself contains a 4-way join, equality against "
-        "the outer fact row. Catalyst decorrelates into a grouped MIN "
-        "joined back on partkey — the inner join tree runs ONCE, not per "
-        "row. Adapted: min sale price over lineitem stands in for min "
-        "ps_supplycost (no partsupp table in this corpus); equality on a "
-        "MIN is exact because both engines compare the same stored value.",
-    ),
-    (
         "q85_sql_tpch_q8",
         "SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume "
         "ELSE 0 END) / SUM(volume), 4) AS mkt_share "
@@ -417,28 +395,6 @@ for _name, _sql, _doc in [
         "Adapted: cost = 0.8 x p_retailprice x quantity stands in for "
         "ps_supplycost (no partsupp); the %bolt% infix filter stays "
         "un-pushable by design (it exercises the post-scan filter path).",
-    ),
-    (
-        "q87_sql_tpch_q11",
-        "SELECT l_partkey, ROUND(SUM(l_extendedprice), 4) AS value "
-        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
-        "JOIN nation ON s_nationkey = n_nationkey "
-        "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
-        "GROUP BY l_partkey "
-        "HAVING SUM(l_extendedprice) > ("
-        "SELECT 2.0 * SUM(l_extendedprice) / COUNT(DISTINCT l_partkey) "
-        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
-        "JOIN nation ON s_nationkey = n_nationkey "
-        "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')) "
-        "ORDER BY value DESC, l_partkey",
-        "TPC-H Q11 shape (important stock): per-part value for a nation "
-        "group, kept only above a scalar-subquery threshold computed "
-        "over the SAME filtered fact — the subquery plans as a 1-row "
-        "broadcast, the fact scans twice (Spark does not CSE across the "
-        "HAVING boundary; at 100 TB you'd stage the filtered agg once). "
-        "Adapted: threshold = 2x the mean per-part value (scale-"
-        "invariant, unlike TPC-H's sf-dependent 0.0001 literal), value = "
-        "lineitem revenue (no partsupp).",
     ),
     (
         "q88_sql_tpch_q16",
@@ -516,6 +472,109 @@ _Q21 = (
 # join-back. The canonical EXISTS text stays on both engines; the
 # residual ~5x-vs-duckdb ratio is the multi-stage scheduling floor on a
 # 4-way self-join at sf0.1 (7 stages x ~0.1s), not a plan defect.
+_Q2 = (
+    "SELECT p_partkey, p_name, s_name, n_name, l_extendedprice AS price "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND p_size <= 5 "
+    "AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2 "
+    "JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey "
+    "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
+    "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+    "WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA') "
+    "ORDER BY price, p_partkey, s_name LIMIT 20"
+)
+
+# Spark-side staged form of _Q2: the region-filtered sales relation is a
+# CTE consumed by both the outer row set and the per-part MIN, so the
+# 4-way join tree runs once and its exchange is reused — Catalyst
+# decorrelates the MIN but still plans the inner join tree as a second,
+# separate copy of the same scans. Equality filter against the grouped
+# MIN is unchanged (ties keep every min-price supplier, as in the
+# canonical form). Measured 0.41 -> 0.34s at sf0.1; one pass over the
+# fact instead of two at scale. (The analogous staging of Q20 measured
+# SLOWER — its two aggregates group by different keys, so nothing
+# reuses — and was rejected; its canonical text stands.)
+_Q2_SPARK = (
+    "WITH asia AS ("
+    "SELECT l_partkey, l_extendedprice, s_name, n_name "
+    "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA'), "
+    "minp AS (SELECT l_partkey, MIN(l_extendedprice) AS mn "
+    "FROM asia GROUP BY l_partkey) "
+    "SELECT p_partkey, p_name, s_name, n_name, l_extendedprice AS price "
+    "FROM part JOIN asia ON p_partkey = asia.l_partkey "
+    "JOIN minp ON minp.l_partkey = asia.l_partkey "
+    "WHERE p_size <= 5 AND l_extendedprice = mn "
+    "ORDER BY price, p_partkey, s_name LIMIT 20"
+)
+
+register(
+    "q84_sql_tpch_q2",
+    oracle=_Q2,
+    tags=("sql",),
+    doc="TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN "
+    "subquery that itself contains a 4-way join, equality against the "
+    "outer fact row. Spark side runs the staged-CTE rewrite (see "
+    "_Q2_SPARK): the region-filtered join tree materializes once and "
+    "both consumers reuse its exchange. Adapted: min sale price over "
+    "lineitem stands in for min ps_supplycost (no partsupp table); "
+    "equality on a MIN is exact because both engines compare the same "
+    "stored value.",
+)(_sql_builder(_Q2_SPARK, "q84_sql_tpch_q2"))
+
+_Q11 = (
+    "SELECT l_partkey, ROUND(SUM(l_extendedprice), 4) AS value "
+    "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
+    "GROUP BY l_partkey "
+    "HAVING SUM(l_extendedprice) > ("
+    "SELECT 2.0 * SUM(l_extendedprice) / COUNT(DISTINCT l_partkey) "
+    "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')) "
+    "ORDER BY value DESC, l_partkey"
+)
+
+# Spark-side staged form of _Q11: the per-part aggregate is a CTE
+# referenced by both the projection and the scalar threshold, so the
+# physical plan REUSES the scan+join+agg exchange (ReusedExchange,
+# verified) instead of scanning the fact table twice — Spark does not
+# CSE across a HAVING boundary on its own. Threshold algebra is exact:
+# SUM over all rows in the group = SUM of per-part sums and
+# COUNT(DISTINCT l_partkey) = COUNT(*) of the per-part relation.
+# Measured 0.55 -> 0.45s at sf0.1; at 100 TB this is one fact pass
+# instead of two. Oracle stays the canonical two-scan text.
+_Q11_SPARK = (
+    "WITH per_part AS ("
+    "SELECT l_partkey, SUM(l_extendedprice) AS v "
+    "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
+    "GROUP BY l_partkey) "
+    "SELECT l_partkey, ROUND(v, 4) AS value FROM per_part "
+    "WHERE v > (SELECT 2.0 * SUM(v) / COUNT(*) FROM per_part) "
+    "ORDER BY value DESC, l_partkey"
+)
+
+register(
+    "q87_sql_tpch_q11",
+    oracle=_Q11,
+    tags=("sql",),
+    doc="TPC-H Q11 shape (important stock): per-part value for a nation "
+    "group, kept only above a scalar-subquery threshold computed over "
+    "the SAME filtered fact. Spark side runs the staged-CTE rewrite "
+    "(see _Q11_SPARK): one fact scan, exchange reused by the threshold "
+    "subquery. Adapted: threshold = 2x the mean per-part value (scale-"
+    "invariant, unlike TPC-H's sf-dependent 0.0001 literal), value = "
+    "lineitem revenue (no partsupp).",
+)(_sql_builder(_Q11_SPARK, "q87_sql_tpch_q11"))
+
 register(
     "q80_sql_tpch_q21",
     oracle=_Q21,

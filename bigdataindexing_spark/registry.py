@@ -175,6 +175,10 @@ _R05_PRIORITY = (
                               # independent jobs in write_index)
     "q80_sql_tpch_q21",       # registration moved (rewrites measured and
                               # rejected; text identical to r03-verified)
+    "q87_sql_tpch_q11",       # staged-CTE Spark form (one fact pass,
+                              # ReusedExchange; oracle stays canonical)
+    "q84_sql_tpch_q2",        # same staged-CTE treatment
+    "udtf_char_shingles",     # Arrow-optimized UDTF (useArrow=True)
     "src_layout_maintenance", # sweep_orphans added to the module (query
                               # path itself unchanged)
     # contract-only entries: only ever rows-only checked (r04 re-ran all

@@ -192,3 +192,40 @@ def test_png_codec_filters_roundtrip():
     for bad in (b"", b"hello world", b"\x89PNG\r\n\x1a\nxxxx"):
         with pytest.raises(ValueError):
             png.decode(bad)
+
+
+def test_png_codec_property_roundtrip():
+    """Property fuzz: encode→decode is the identity for arbitrary uint8
+    grayscale images, and arbitrary byte blobs either decode or raise
+    ValueError (never a wrong parse or an unexpected exception type)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdataindexing_spark.functions import png
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(h, w, seed):
+        arr = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w), dtype=np.uint8
+        )
+        dec = png.decode(png.encode_gray(arr))
+        assert dec.shape == (h, w, 1)
+        assert (dec[:, :, 0] == arr).all()
+
+    @settings(max_examples=120, deadline=None)
+    @given(blob=st.binary(max_size=256))
+    def garbage(blob):
+        try:
+            out = png.decode(blob)
+        except ValueError:
+            return  # rejected — the expected outcome for non-PNG bytes
+        # if it decoded, it must have been a structurally valid PNG,
+        # which random blobs essentially never are; shape sanity only
+        assert out.ndim == 3
+
+    roundtrip()
+    garbage()

@@ -275,12 +275,14 @@ def test_lang_rebalance_no_driver_action(plan):
 
 
 def test_tpch_q2_decorrelates_min_subquery(plan):
-    # The correlated MIN must decorrelate into a grouped aggregate
-    # joined back on (min_price, partkey) — the inner 4-way join tree
-    # runs once, never per outer row.
+    # The per-part MIN must be a grouped aggregate joined back on
+    # partkey — the 4-way join tree runs once, never per outer row —
+    # and with the staged-CTE Spark form the second consumer must REUSE
+    # the first's exchange (one fact pass, not two).
     p = plan("q84_sql_tpch_q2")
-    assert "min(l_extendedprice)" in p
+    assert "min(l_extendedprice" in p
     assert "NestedLoop" not in p.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in p
 
 
 def test_tpch_q16_null_aware_anti_join(plan):

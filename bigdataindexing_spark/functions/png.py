@@ -68,9 +68,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def decode(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to an (h, w, channels) uint8 array.
 
-    Raises ValueError for anything that is not a PNG this codec handles;
-    callers treat that as "not an image" and fall back.
+    Raises ValueError for anything that is not a PNG this codec handles
+    — including structurally corrupt chunks (short IHDR, bad deflate
+    stream), which stdlib surfaces as struct.error / zlib.error; callers
+    treat ValueError as "not an image" and fall back.
     """
+    try:
+        return _decode(payload)
+    except (struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG structure: {e}") from e
+
+
+def _decode(payload: bytes) -> np.ndarray:
     if len(payload) < 8 or payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG signature")
     pos = 8

@@ -229,3 +229,30 @@ def test_png_codec_property_roundtrip():
 
     roundtrip()
     garbage()
+
+
+def test_png_decode_corrupt_chunks_raise_valueerror():
+    """Structurally corrupt PNGs (short IHDR -> struct.error, bad
+    deflate stream -> zlib.error) must surface as ValueError so the
+    per-item codec dispatch falls back to byte stats instead of
+    crashing the Arrow batch."""
+    import struct
+    import zlib
+
+    from bigdataindexing_spark.functions import png
+    from bigdataindexing_spark.operators.multimodal import _decode_one
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    short_ihdr = sig + struct.pack(">I", 5) + b"IHDR" + b"abcde" + b"\0\0\0\0"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad_idat = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"notdeflate") + chunk(b"IEND", b"")
+    for payload in (short_ihdr, bad_idat):
+        with pytest.raises(ValueError):
+            png.decode(payload)
+        assert _decode_one(1, payload)[1] == "fake-byte-stats"

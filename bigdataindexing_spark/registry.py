@@ -167,6 +167,8 @@ _R05_PRIORITY = (
                               # untouched; re-check anyway)
     "dedup_ngram_jaccard",    # now serves from the shared pair-count
                               # store (shingle self-join runs once)
+    "dedup_minhash_lsh",      # prefilter+verify fused into one join
+                              # pass (two store probes, not four)
     "q104_containment_pairs", # same store routing
     "dedup_cluster_cc",       # pair store now derives from the pair-count
                               # store; cc_labels unpersist fix

@@ -388,3 +388,58 @@ def test_pair_count_serves_are_store_scans(plan):
         assert "Join" not in p, name
         assert "Generate" not in p, name
         assert "MapInPandas" not in p, name
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """100 TB lever that sf0.1 defaults never trigger: when the dimension
+    side of a shuffle join carries a selective filter, Spark injects a
+    runtime BLOOM FILTER on the fact side — the fact scan drops
+    non-joining rows before the exchange instead of shuffling them. The
+    session leaves this to size thresholds (creation side must be small,
+    application side large); here the thresholds are forced so the plan
+    shape is pinned: a bloom_filter_agg builds over the filtered dim keys
+    and the fact-side Filter applies might_contain BEFORE the join.
+    Results must equal the filter-off run exactly."""
+    from bigdataindexing_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.adaptive.enabled",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    q = """
+        SELECT l_orderkey, l_extendedprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+    """
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        baseline = sorted(map(tuple, spark.sql(q).collect()))
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        df = spark.sql(q)
+        got = sorted(map(tuple, df.collect()))
+        assert got == baseline and len(got) > 0
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in p
+        # the runtime filter sits on the FACT side (lineitem's join key)
+        assert "might_contain" in p and "l_orderkey" in p.split("might_contain")[1][:120]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -29,6 +29,11 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Hard cap on the inflated scanline buffer (256 MiB ≈ a 9000×9000 RGBA
+# frame). Corpus images beyond this are treated as corrupt: the decode
+# raises ValueError and the caller's per-item fallback takes over.
+_MAX_RAW_BYTES = 256 * 1024 * 1024
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (
@@ -75,7 +80,7 @@ def decode(payload: bytes) -> np.ndarray:
     """
     try:
         return _decode(payload)
-    except (struct.error, zlib.error) as e:
+    except (struct.error, zlib.error, MemoryError, OverflowError) as e:
         raise ValueError(f"corrupt PNG structure: {e}") from e
 
 
@@ -112,9 +117,23 @@ def _decode(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    # Bound the inflate BEFORE allocating: a decompression-bomb payload
+    # (tiny IDAT expanding to GBs) in an untrusted corpus must fall back
+    # per-item, not blow executor memory and kill the whole Arrow batch.
+    # IHDR is parsed above, so the expected raw size is known exactly;
+    # reject absurd dimensions outright and hand decompressobj a hard
+    # output cap of expected+1 (one spare byte detects oversize streams).
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension image")
+    expected = height * (stride + 1)
+    if expected > _MAX_RAW_BYTES:
+        raise ValueError(
+            f"image too large: {width}x{height}x{channels} "
+            f"({expected} raw bytes > cap {_MAX_RAW_BYTES})"
+        )
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("decompressed size mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

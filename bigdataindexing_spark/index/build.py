@@ -95,7 +95,16 @@ def write_index(docs: DataFrame, out_dir: str) -> None:
     intermediate), and each output still lands token-clustered and
     sorted for row-group skipping. Deployments where the double shuffle
     dominates (very hot small clusters) can fall back to
-    ``postings_from_rows`` over a persisted ``term_rows``."""
+    ``postings_from_rows`` over a persisted ``term_rows``.
+
+    PRECONDITION: ``docs`` must be a deterministic, IMMUTABLE relation
+    (static parquet snapshot, not a view over files being appended, nor
+    a nondeterministic transform). The two jobs scan the source
+    independently; single-snapshot consistency between term_rows and
+    postings is only guaranteed when both scans observe identical input
+    (ADVICE r5). For mutable or nondeterministic sources, use
+    ``postings_from_rows`` over a persisted ``term_rows`` — the persist
+    is the snapshot."""
 
     def _write_rows() -> None:
         (

@@ -51,6 +51,34 @@ BAND_ROWS = 2
 EST_JACCARD_CUTOFF = 0.12
 SIMHASH_BITS = 32
 
+# Hot-shingle document-frequency cap for the exact shingle self-join
+# (standard MinHash-era practice: a shingle appearing in df documents
+# contributes df·(df-1)/2 join pairs, so one stopword-ish shingle with
+# df=10^6 alone produces 5·10^11 pairs — the quadratic failure mode of
+# the exact baseline at 100 TB). Shingles with df above the cap are
+# dropped BEFORE the self-join; per-doc sizes (the Jaccard/containment
+# denominators) are computed before the drop and stay exact. The default
+# is a deliberate no-op at the test scale factors (max observed shingle
+# df at sf0.1 is 25 — measured, and pinned by
+# tests/test_dedup_consistency.py) while bounding any single shingle's
+# pair contribution to ~500k at real scale.
+#
+# The pair-count-store consumers (dedup_ngram_jaccard,
+# q104_containment_pairs, jaccard_pairs_store → dedup_cluster_cc) are
+# therefore DF-CAPPED-EXACT operators, and their registered duckdb
+# oracles apply the SAME cap (the `hot`/`uc` CTEs below), so the oracle
+# gate holds at any corpus — not just below the cap (ADVICE r5).
+# Operators that verify over the full stored shingle arrays
+# (dedup_minhash_lsh, dedup_delta_vs_corpus, streaming lsh_dedup)
+# compute true uncapped Jaccard and keep the uncapped oracle.
+#
+# Env override: the constant resolves the env var at import; the store
+# build (shingle_pair_counts_view) RE-reads it at build time so a
+# post-import override still takes effect on the Spark side. Registered
+# oracle strings bake in the import-time value — set the env before
+# importing this package when the duckdb oracle gate matters.
+HOT_SHINGLE_DF_CAP = int(os.environ.get("BDI_HOT_SHINGLE_DF_CAP", "1000"))
+
 _SHINGLE_SQL = (
     "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2), "
@@ -61,13 +89,30 @@ _SHINGLE_SQL = (
     "JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
 )
 
-_JACCARD_SQL = (
-    _SHINGLE_SQL
-    + "SELECT da AS doc_a, db AS doc_b, "
+# Same shape with the hot-shingle df cap applied before the self-join —
+# the oracle twin of shingle_pair_counts_view. `sizes` stays uncapped
+# (denominators are exact on both sides).
+_SHINGLE_CAPPED_SQL = (
+    "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2), "
+    "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ss FROM tok WHERE len(t) >= 3), "
+    "u AS (SELECT doc_id, UNNEST(ss) AS s FROM sh), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id), "
+    f"hot AS (SELECT s FROM u GROUP BY s HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP}), "
+    "uc AS (SELECT * FROM u WHERE s NOT IN (SELECT s FROM hot)), "
+    "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i FROM uc a "
+    "JOIN uc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+)
+
+_JACCARD_SELECT = (
+    "SELECT da AS doc_a, db AS doc_b, "
     "ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac "
     "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
     f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU} ORDER BY doc_a, doc_b"
 )
+
+_JACCARD_SQL = _SHINGLE_SQL + _JACCARD_SELECT
+_JACCARD_CAPPED_SQL = _SHINGLE_CAPPED_SQL + _JACCARD_SELECT
 
 
 def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,21 +202,6 @@ def shingle_sig_view(spark: SparkSession, sf_dir: str) -> str:
 _SHINGLE_VIEWS: dict[tuple[str, str], str] = {}
 
 
-# Hot-shingle document-frequency cap for the exact shingle self-join
-# (standard MinHash-era practice: a shingle appearing in df documents
-# contributes df·(df-1)/2 join pairs, so one stopword-ish shingle with
-# df=10^6 alone produces 5·10^11 pairs — the quadratic failure mode of
-# the exact baseline at 100 TB). Shingles with df above the cap are
-# dropped BEFORE the self-join; per-doc sizes (the Jaccard/containment
-# denominators) are computed before the drop and stay exact. The default
-# is a deliberate no-op at the test scale factors (max observed shingle
-# df at sf0.1 is 25 — measured, and pinned by
-# tests/test_dedup_consistency.py) while bounding any single shingle's
-# pair contribution to ~500k at real scale. Overridable via env for
-# corpora with different df profiles.
-HOT_SHINGLE_DF_CAP = int(os.environ.get("BDI_HOT_SHINGLE_DF_CAP", "1000"))
-
-
 # Shared shingle-overlap pair counts: inter(doc_a, doc_b, i, na, nb) for
 # every pair sharing >= 1 (df-capped) shingle — i = |A∩B|, na/nb = |A|/|B|.
 # This self-join + grouped count is the single most expensive dataflow in
@@ -200,13 +230,19 @@ def shingle_pair_counts_view(spark: SparkSession, sf_dir: str) -> str:
     if path is None:
         path = session_store_dir("shingle_pair_counts")
         store = shingle_sig_view(spark, sf_dir)
+        # re-resolve the env override at BUILD time (a post-import
+        # override must not silently no-op — ADVICE r5); the module
+        # constant (which itself honors a pre-import env) is the default
+        cap = int(
+            os.environ.get("BDI_HOT_SHINGLE_DF_CAP", str(HOT_SHINGLE_DF_CAP))
+        )
         spark.sql(f"""
             WITH u AS (
               SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
               FROM {store}
             ),
             hot AS (
-              SELECT s FROM u GROUP BY s HAVING COUNT(1) > {HOT_SHINGLE_DF_CAP}
+              SELECT s FROM u GROUP BY s HAVING COUNT(1) > {cap}
             ),
             uc AS (
               SELECT u.* FROM u LEFT ANTI JOIN hot ON u.s = hot.s
@@ -328,9 +364,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=_JACCARD_SQL,
+    oracle=_JACCARD_CAPPED_SQL,
     tags=("dedup", "serve"),
-    doc="Exact 3-gram-shingle Jaccard near-dup pairs (J ≥ 0.2). The "
+    doc="DF-capped-exact 3-gram-shingle Jaccard near-dup pairs (J ≥ 0.2): "
+    f"shingles with document frequency > {HOT_SHINGLE_DF_CAP} are dropped "
+    "before the self-join (a no-op on this corpus — max df 25 — but the "
+    "declared semantics at any scale; the oracle applies the same cap). The "
     "shingle self-equi-join has recall 1; the shingle key is the shuffle "
     "key so Catalyst plans a shuffled hash join, never a cartesian. "
     "Reads the session pair-count store (the self-join is the shared "
@@ -344,6 +383,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view} WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
         ORDER BY doc_a, doc_b
     """)
+
+
+@register(
+    "dedup_ngram_jaccard_raw",
+    oracle=_JACCARD_SQL,
+    tags=("dedup",),
+    doc="From-raw-text EXACT 3-gram-shingle Jaccard baseline: re-shingles "
+    "the corpus and runs the full uncapped self-join on every invocation "
+    "— no session store, no df cap. Kept registered (and benched) so the "
+    "aggregate vs-duckdb ratio retains one full-cost like-for-like dedup "
+    "row after the rest of the family moved to the materialized "
+    "pair-count store (ADVICE r5), and as the exactness reference the "
+    "capped scale path is compared against. Not the 100 TB path — that "
+    "is dedup_minhash_lsh / the capped store family.",
+)
+def dedup_ngram_jaccard_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(_shingle_docs(spark, sf_dir))
 
 
 _SHINGLE_SIG_SCHEMA = T.StructType(
@@ -623,8 +679,9 @@ CC_CHECKPOINT_INTERVAL = 3  # GraphX Pregel's periodic-checkpoint policy
 CC_JUMP_AFTER = 3  # adaptive mode: rounds of plain propagation before
 # pointer jumping kicks in (a graph converged by then never pays it)
 
+# capped prefix: the pair graph comes from the df-capped pair-count store
 _PAIRS_CTE = (
-    _SHINGLE_SQL
+    _SHINGLE_CAPPED_SQL
     + ", pairs AS (SELECT da AS doc_a, db AS doc_b FROM inter "
     "JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
     f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU})"
@@ -835,7 +892,7 @@ CONTAINMENT_TAU = 0.5
 
 @register(
     "q104_containment_pairs",
-    oracle=_SHINGLE_SQL
+    oracle=_SHINGLE_CAPPED_SQL
     + "SELECT da AS doc_a, db AS doc_b, "
     "ROUND(i * 1.0 / sa.n, 4) AS cont_ab, "
     "ROUND(i * 1.0 / sb.n, 4) AS cont_ba "
@@ -845,7 +902,8 @@ CONTAINMENT_TAU = 0.5
     f"OR i * 1.0 / sb.n >= {CONTAINMENT_TAU} "
     "ORDER BY doc_a, doc_b",
     tags=("dedup", "decontamination", "serve"),
-    doc="Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A| "
+    doc="Asymmetric shingle CONTAINMENT pairs (df-capped-exact, same cap "
+    "and oracle parity as dedup_ngram_jaccard): C(A in B) = |A∩B| / |A| "
     "over 3-gram shingles, both directions, flagged when either side is "
     ">= 0.5-contained. This is the metric symmetric Jaccard structurally "
     "misses: a benchmark document pasted inside a much larger training "

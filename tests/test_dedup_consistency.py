@@ -180,3 +180,56 @@ def test_pair_count_store_shared(spark, sf_dir):
     # the serve-side plans are scans of the store, not self-joins
     plan = qs["dedup_ngram_jaccard"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_hot_shingle_cap_binding_matches_capped_oracle(spark, tmp_path, monkeypatch):
+    """When the df cap BINDS (a shingle hotter than the cap exists), the
+    Spark pair-count store and the registered capped duckdb oracle must
+    still compute the SAME function (ADVICE r5: capped Spark vs uncapped
+    oracle diverged above the cap). Also proves the env override is read
+    at store-BUILD time, not import time: the env var is set here, long
+    after the module was imported."""
+    import duckdb as _duckdb
+
+    from bigdataindexing_spark.registry import queries
+    from tests.oracle import canon_rows, duckdb_result, spark_result
+
+    # six docs, all sharing the hot trigram "common common common":
+    # docs 1/2 are near-dups through non-hot shingles (df=2 each); docs
+    # 3/4 share ONLY the hot shingle, with exactly jac=0.2 uncapped —
+    # the pair the cap must drop.
+    texts = [
+        (1, "common common common w1 w2 w3 w4 w5"),
+        (2, "common common common w1 w2 w3 w4 w6"),
+        (3, "common common common aaa bbb"),
+        (4, "common common common ccc ddd"),
+        (5, "common common common e1 e2 e3"),
+        (6, "common common common f1 f2 f3"),
+    ]
+    sf = str(tmp_path / "capcorpus")
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    cap = 4  # hot trigram df=6 > 4 -> the cap binds
+    monkeypatch.setenv("BDI_HOT_SHINGLE_DF_CAP", str(cap))
+    got_cols, got_rows = spark_result(queries()["dedup_ngram_jaccard"](spark, sf))
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    capped_sql = (
+        dedup._SHINGLE_CAPPED_SQL.replace(
+            f"COUNT(*) > {dedup.HOT_SHINGLE_DF_CAP}", f"COUNT(*) > {cap}"
+        )
+        + dedup._JACCARD_SELECT
+    )
+    exp_cols, exp_rows = duckdb_result(con, capped_sql)
+    assert canon_rows(got_cols, got_rows) == canon_rows(exp_cols, exp_rows)
+    # the capped result is non-trivial and the cap actually bound:
+    # (1,2) survives via non-hot shingles, (3,4) is dropped with the cap
+    pairs = {(r[0], r[1]) for r in got_rows}
+    assert (1, 2) in pairs and (3, 4) not in pairs
+    _, unc_rows = duckdb_result(con, dedup._JACCARD_SQL)
+    assert (3, 4) in {(r[0], r[1]) for r in unc_rows}

@@ -256,3 +256,56 @@ def test_png_decode_corrupt_chunks_raise_valueerror():
         with pytest.raises(ValueError):
             png.decode(payload)
         assert _decode_one(1, payload)[1] == "fake-byte-stats"
+
+
+def test_png_decode_bomb_payload_bounded_and_falls_back():
+    """A decompression-bomb PNG (valid container, IHDR claiming absurd
+    dimensions, or an IDAT inflating past the declared size) must raise
+    ValueError WITHOUT materializing the inflated buffer, so an
+    untrusted corpus can't blow executor memory (ADVICE r5). The
+    per-item dispatch must fall back to byte stats, keeping the rest of
+    the Arrow batch alive."""
+    import struct
+    import zlib
+
+    from bigdataindexing_spark.functions import png
+    from bigdataindexing_spark.operators.multimodal import _decode_one
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 1 GB-of-raw grayscale claim (32768 x 32768) backed by a ~1 MB IDAT
+    # of zeros: dimension check must reject before any inflation.
+    huge_ihdr = struct.pack(">IIBBBBB", 32768, 32768, 8, 0, 0, 0, 0)
+    bomb_dims = (
+        sig
+        + chunk(b"IHDR", huge_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20), 9))
+        + chunk(b"IEND", b"")
+    )
+    # Modest declared dims (4x4 gray, expected raw 20 bytes) but an IDAT
+    # stream that inflates to 1 MB: the bounded decompressobj must stop
+    # at expected+1 bytes and report a size mismatch.
+    small_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb_stream = (
+        sig
+        + chunk(b"IHDR", small_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20), 9))
+        + chunk(b"IEND", b"")
+    )
+    # Zero-dimension image: expected size 0 would vacuously "match".
+    zero_ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0)
+    zero_dims = (
+        sig
+        + chunk(b"IHDR", zero_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"", 9))
+        + chunk(b"IEND", b"")
+    )
+    for payload in (bomb_dims, bomb_stream, zero_dims):
+        with pytest.raises(ValueError):
+            png.decode(payload)
+        assert _decode_one(1, payload)[1] == "fake-byte-stats"

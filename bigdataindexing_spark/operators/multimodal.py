@@ -364,7 +364,12 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT doc_id, {_DECODER_SQL} AS decoder, "
     f"{_NBYTES_SQL} AS n_bytes FROM documents "
     "WHERE doc_id <= 100 ORDER BY doc_id",
-    tags=("multimodal", "pandas-udf"),
+    # "py": the Spark side decodes real PNGs in Python while the oracle
+    # verifies against import-time CONSTANTS — correct as a correctness
+    # gate, meaningless as a timing comparison (the duckdb side does no
+    # decode work). bench.py excludes py-tagged rows from the headline
+    # vs-duckdb ratio and reports both aggregates (VERDICT r5 #4).
+    tags=("multimodal", "pandas-udf", "py"),
     doc="Decode step over mapInPandas: REAL PNG decode (vendored "
     "pure-Python codec) for the planted image payloads, per-item "
     "byte-stats fallback for non-image payloads. The oracle pins "

@@ -1,0 +1,142 @@
+"""Registry of every session-materialized store (VERDICT r5 #8).
+
+Each entry adapts one build-once/serve-many store accessor to a uniform
+``(spark, sf_dir) -> DataFrame`` shape so tests can drive the WHOLE store
+layer through hostile session conditions in one parametrized sweep —
+most importantly a sibling ``spark.newSession()``, whose fresh catalog
+has none of the temp views and whose identity breaks ``is``-cached
+DataFrames (the ADVICE-r4 bug class: an application-keyed cache hit
+served a view/DataFrame bound to a different session).
+
+ADD EVERY NEW STORE HERE. The paired tests (tests/test_stores.py)
+parametrize over this dict; they also cross-check this registry against
+the ``session_store_dir(...)`` call sites in the source tree, so a store
+added without a registry entry fails the sweep instead of silently
+skipping coverage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Accessor = Callable[[SparkSession, str], DataFrame]
+
+
+def _shingle_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import dedup
+
+    return dedup.shingle_sig_store(spark, sf_dir)
+
+
+def _shingle_sig_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import dedup
+
+    return spark.table(dedup.shingle_sig_view(spark, sf_dir))
+
+
+def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import dedup
+
+    return spark.table(dedup.shingle_pair_counts_view(spark, sf_dir))
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import dedup
+
+    return dedup.jaccard_pairs_store(spark, sf_dir)
+
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import dedup
+
+    return dedup.simhash_sig_store(spark, sf_dir)
+
+
+def _hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import pipeline
+
+    return pipeline.hll_sketch_store(spark, sf_dir)
+
+
+def _lsh_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import similarity
+
+    return similarity.lsh_signature_index(spark, sf_dir)
+
+
+def _lsh_sig_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import similarity
+
+    return spark.table(similarity.lsh_signature_view(spark, sf_dir))
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import similarity
+
+    path, _books = similarity._pq_store(spark, sf_dir)
+    return spark.read.parquet(path)
+
+
+def _maint_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import maintenance
+
+    path, _manifest = maintenance._maintained_layout(spark, sf_dir)
+    return spark.read.parquet(path)
+
+
+def _clustered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import skipping
+
+    path, _manifest = skipping.clustered_lineitem_layout(spark, sf_dir)
+    return spark.read.parquet(path)
+
+
+def _zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import skipping
+
+    path, _manifest = skipping.zorder_lineitem_layout(spark, sf_dir)
+    return spark.read.parquet(path)
+
+
+def _rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.index import rollup
+
+    return spark.read.parquet(rollup.hourly_rollup_dir(spark, sf_dir))
+
+
+def _base_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.index import search
+
+    return search.base_postings_table(spark, sf_dir)
+
+
+def _search_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.index import search
+
+    return search.search_index_table(spark, sf_dir, "postings")
+
+
+# store name (the session_store_dir() prefix) -> uniform accessor
+STORE_REGISTRY: dict[str, Accessor] = {
+    "shingle_sig": _shingle_sig,
+    "shingle_sig_view": _shingle_sig_view,
+    "shingle_pair_counts": _shingle_pair_counts,
+    "jaccard_pairs": _jaccard_pairs,
+    "simhash_sig": _simhash_sig,
+    "hll_sketch": _hll_sketch,
+    "lsh_sig": _lsh_sig,
+    "lsh_sig_view": _lsh_sig_view,
+    "pq_codes": _pq_codes,
+    "maint_serve": _maint_serve,
+    "clustered_lineitem": _clustered_lineitem,
+    "zorder_lineitem": _zorder_lineitem,
+    "rollup_hourly": _rollup_hourly,
+    "base_postings": _base_postings,
+    "search_idx": _search_idx,
+}
+
+# session_store_dir() call sites that are deliberately NOT stores:
+# checkpoint scratch space, not a build-once/serve-many relation
+NON_STORE_DIRS = {"cc_checkpoint"}

@@ -443,3 +443,53 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_serve_plans_match_committed_golden(spark, sf_dir):
+    """Enforced plan-audit golden (VERDICT r5 #7): for every serve-tagged
+    benched query, the regression-class plan properties — exchange count,
+    join strategies, Python stages, pushed-filter scan count — must match
+    tests/golden_plans.json EXACTLY. Any drift (a new exchange, a BHJ
+    falling back to SMJ, a Python stage appearing on a JVM path, a pushed
+    filter disappearing — or an improvement) fails until the golden is
+    deliberately regenerated with scripts/gen_plan_golden.py and the diff
+    committed. PLANS.md stays the full human-readable audit; this is the
+    machine-checked subset."""
+    import json
+    import os
+
+    from bigdataindexing_spark import registry, tables
+    from scripts.gen_plan_audit import audit
+    from scripts.gen_plan_golden import GOLDEN_FIELDS, GOLDEN_PATH
+
+    with open(GOLDEN_PATH) as f:
+        golden_all = json.load(f)
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    if sf_key not in golden_all:
+        pytest.skip(f"no committed golden for {sf_key}")
+    golden = golden_all[sf_key]
+
+    current: dict[str, dict] = {}
+    for name, spec in sorted(registry.all_specs().items()):
+        if not spec.bench or "serve" not in spec.tags:
+            continue
+        a = audit(spec.builder(spark, sf_dir))
+        current[name] = {k: a[k] for k in GOLDEN_FIELDS}
+        tables.release_pinned()
+        spark.catalog.clearCache()
+
+    assert set(current) == set(golden), (
+        "serve-tagged query set drifted — regenerate the golden: "
+        f"only-current={sorted(set(current) - set(golden))}, "
+        f"only-golden={sorted(set(golden) - set(current))}"
+    )
+    diffs = {
+        name: {"golden": golden[name], "current": current[name]}
+        for name in sorted(current)
+        if current[name] != golden[name]
+    }
+    assert not diffs, (
+        "serve plan audit drifted from tests/golden_plans.json — if the "
+        "change is deliberate, run scripts/gen_plan_golden.py and commit: "
+        + json.dumps(diffs, indent=1)
+    )

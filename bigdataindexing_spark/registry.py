@@ -144,77 +144,87 @@ _R04_VERIFIED = frozenset(
     }
 )
 
+# Green oracle rows from CORRECTNESS_r05.json (32 of the 50 checked
+# entries carried oracles; the other 18 were rows-only contract checks).
+_R05_VERIFIED = frozenset(
+    {
+        "dedup_cluster_cc", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "mm_binary_meta", "mm_decode_stats", "mm_frame_sample",
+        "q00_match_all", "q01_exact_match", "q02_wildcard", "q03_range",
+        "q04_join_2way", "q05_semi_join", "q06_anti_join",
+        "q07_nested_inner_hits", "q08_multiway_chain", "q09_tpch_q1",
+        "q104_containment_pairs", "q10_count_distinct", "q11_rollup",
+        "q12_row_number", "q13_lag", "q14_running_sum", "q15_topk",
+        "q80_sql_tpch_q21", "q84_sql_tpch_q2", "q87_sql_tpch_q11",
+        "sim_ann_lsh", "sim_semantic_clusters", "src_layout_maintenance",
+        "st11_stream_stream_outer", "st1_stream_index_build",
+        "udtf_char_shingles",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+    | _R05_VERIFIED
 )
 
 
-# Round-5 window. The driver checks the FIRST ~50 entries of queries() in
-# order. Priority tier 1: queries whose builder or oracle CHANGED in
-# round 5 (VERDICT r4 tasks 1–7) — a green row from a prior round no
-# longer evidences changed code. Tier 2: the 19 contract-only entries,
-# which have only ever received rows-only driver checks (VERDICT r4
-# task 10). Keep the changelog comments current as round-5 edits land.
-_R05_PRIORITY = (
-    # changed this round, oracle-bearing
-    "sim_ann_lsh",            # NEW full-pipeline SQL oracle (md5 planes
-                              # rebuilt in duckdb) — was rows-only
-    "mm_decode_stats",        # real PNG decode path + decoder-provenance
-                              # oracle (planted payload constants)
-    "mm_binary_meta",         # as_media payload injection -> oracle CASE
-                              # constants for the planted PNG rows
-    "mm_frame_sample",        # as_media changed upstream (video rows
-                              # untouched; re-check anyway)
-    "dedup_ngram_jaccard",    # now serves from the shared pair-count
-                              # store (shingle self-join runs once)
-    "dedup_minhash_lsh",      # prefilter+verify fused into one join
-                              # pass (two store probes, not four)
-    "q104_containment_pairs", # same store routing
-    "dedup_cluster_cc",       # pair store now derives from the pair-count
-                              # store; cc_labels unpersist fix
-    "sim_semantic_clusters",  # same cc_labels change
-    "st1_stream_index_build", # index write path reshaped (concurrent
-                              # independent jobs in write_index)
-    "q80_sql_tpch_q21",       # registration moved (rewrites measured and
-                              # rejected; text identical to r03-verified)
-    "q87_sql_tpch_q11",       # staged-CTE Spark form (one fact pass,
-                              # ReusedExchange; oracle stays canonical)
-    "q84_sql_tpch_q2",        # same staged-CTE treatment
-    "udtf_char_shingles",     # Arrow-optimized UDTF (useArrow=True)
-    "src_layout_maintenance", # sweep_orphans added to the module (query
-                              # path itself unchanged)
-    # contract-only entries: only ever rows-only checked (r04 re-ran all
-    # 19; each also carries a pytest contract — recall bounds, store
-    # round-trips, ETag/412 gates)
-    "sim_ann_ivf", "sim_ann_pq", "mm_feature_extract",
-    "q113_hll_sketch_merge", "doc_roundtrip", "doc_validation_quarantine",
-    "doc_merge_contract", "doc_replace_contract", "doc_cascade_delete",
-    "doc_etag", "doc_precondition", "doc_schema_inference", "search_match",
-    "search_wildcard", "search_range", "search_nested_inner_hits",
-    "src_json_ingest", "st5_watermark_drop", "st11_stream_stream_outer",
+# Round-6 window. The driver checks the FIRST ~50 entries of queries() in
+# order. Priority tier 1: new entries and entries whose builder or oracle
+# CHANGED in round 6 (ADVICE r5 cap-parity + VERDICT r5 tasks) — a green
+# row from a prior round no longer evidences changed code; plus the
+# entries VERDICT r5 #9 asked to lead with. Tier 2: greens that have gone
+# the LONGEST without a driver re-check (last checked round 1). The 18
+# contract-only entries got rows-only checks in BOTH r04 and r05 and each
+# carries a pytest contract; they rotate out this round to make window
+# room for the stale oracle greens.
+_R06_PRIORITY = (
+    "dedup_ngram_jaccard_raw",  # NEW: from-raw uncapped exact-Jaccard
+                                # bench baseline (ADVICE r5)
+    "st4_stream_session",       # NEW: true streaming session_window,
+                                # full SQL oracle (VERDICT r5 #5)
+    "dedup_ngram_jaccard",      # oracle now df-capped (parity fix)
+    "q104_containment_pairs",   # oracle now df-capped (parity fix)
+    "dedup_cluster_cc",         # pair-graph CTE now df-capped
+    "udtf_char_shingles",       # session-cached input view + one-time
+                                # UDTF registration (VERDICT r5 #6)
+    "mm_decode_stats",          # bounded-inflate decode path (ADVICE r5
+                                # decompression-bomb guard)
+    "q80_sql_tpch_q21",         # plan work this round (VERDICT r5 #3)
+    "dedup_delta_vs_corpus",    # r5 bench regression re-measured
+                                # (VERDICT r5 #2)
+    # VERDICT r5 #9 rotation asks (touched in r5, keep one more round)
+    "dedup_minhash_lsh", "sim_ann_lsh", "q87_sql_tpch_q11",
+    "q84_sql_tpch_q2", "mm_binary_meta", "mm_frame_sample",
 )
 
-# Verified queries not touched this round, rotated in behind the changed
-# set to keep the ~50-entry window full — oldest verification first
-# (r01/r02 greens have gone the longest without a driver re-check).
-_R05_RECHECK = (
-    "q01_exact_match", "q02_wildcard", "q03_range", "q00_match_all",
-    "q04_join_2way", "q05_semi_join", "q06_anti_join", "q07_nested_inner_hits",
-    "q08_multiway_chain", "q09_tpch_q1", "q10_count_distinct",
-    "q11_rollup", "q12_row_number", "q13_lag", "q14_running_sum",
-    "q15_topk", "q16_union", "q17_intersect", "q18_key_concat",
-    "q19_date_extract", "q21_array_explode",
+# Oldest-first re-checks: greens whose last driver check was round 1,
+# then the round-2 cohort as window room allows.
+_R06_RECHECK = (
+    "q16_union", "q17_intersect", "q18_key_concat", "q19_date_extract",
+    "q21_array_explode", "q23_tumbling_window", "q24_distinct_text_count",
+    "q26_token_count", "q27_map_functions", "q30_theta_join", "q31_cube",
+    "q32_approx_distinct", "q33_asof_join", "q40_key_parse",
+    "q41_array_ops", "q45_percentiles", "q46_pivot", "q47_ntile",
+    "q48_first_last_value", "q49_string_funcs", "q50_filtered_agg",
+    "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
+    "sim_cosine_neardup", "txt_bpe_tokens", "txt_fingerprint",
+    "txt_langid", "txt_normalize", "txt_quality_score",
+    # round-2 cohort (next oldest)
+    "idx_delete_anti_join", "idx_phrase_query", "idx_term_lookup",
+    "idx_top_terms", "q28_sliding_window", "q29_session_window",
+    "q34_sql_tpch_q3", "q35_sql_tpch_q5", "q36_sql_exists",
+    "q37_sql_having",
 )
 
-_R05_DEFER = frozenset()
+_R06_DEFER = frozenset()
 
-_PIN_POS = {n: i for i, n in enumerate(_R05_PRIORITY + _R05_RECHECK)}
+_PIN_POS = {n: i for i, n in enumerate(_R06_PRIORITY + _R06_RECHECK)}
 
 
 def _driver_tier(spec: QuerySpec) -> tuple[int, int]:
     if spec.name in _PIN_POS:
         return (0, _PIN_POS[spec.name])
-    if spec.name in _R05_DEFER:
+    if spec.name in _R06_DEFER:
         return (2, -1)  # ahead of no-oracle contracts, behind the window
     if spec.name in _DRIVER_VERIFIED:
         return (3, 0)

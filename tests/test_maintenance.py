@@ -225,3 +225,92 @@ def test_sweep_orphans_age_guarded(spark, sf_dir, layout):
     left = set(maintenance._layout_files(path))
     assert left == {m["file"] for m in manifest} | (before - {m["file"] for m in manifest} - orphans)
     assert spark.read.parquet(*[m["file"] for m in manifest]).count() == _total_rows(manifest)
+
+
+def test_time_travel_pinned_reader_sees_immutable_snapshot(spark, sf_dir, layout):
+    """Snapshot isolation: a reader that pinned v0 before an append/compact
+    must keep seeing exactly the v0 rows afterwards — concurrent
+    maintenance can never change a committed version's contents."""
+    path, manifest, li = layout
+    v0 = maintenance.commit_manifest(path, manifest)
+    snap0 = maintenance.read_layout_snapshot(
+        spark, maintenance.read_manifest_as_of(path, v0)
+    )
+    before = snap0.count()
+
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    manifest = maintenance.append_to_layout(
+        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    v1 = maintenance.commit_manifest(path, manifest)
+    assert v1 == v0 + 1
+
+    # the pinned reader re-plans from the SAME manifest: unchanged
+    assert (
+        maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, v0)
+        ).count()
+        == before
+    )
+    assert (
+        maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, v1)
+        ).count()
+        == li.count()
+    )
+    # version log is monotonic and complete
+    assert maintenance.manifest_versions(path) == [v0, v1]
+
+
+def test_time_travel_vacuum_horizon_raises_not_partial(spark, sf_dir, layout):
+    """Past the vacuum retention horizon a snapshot must FAIL loudly:
+    reading a version whose files were reclaimed raises instead of
+    silently returning the surviving subset (a partial snapshot is
+    corruption, not a smaller result)."""
+    path, manifest, li = layout
+    small = min(m["num_rows"] for m in manifest)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    manifest = maintenance.append_to_layout(
+        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    v1 = maintenance.commit_manifest(path, manifest)
+    manifest2, superseded = maintenance.compact_layout(
+        spark, path, manifest, "l_shipdate", "date",
+        small_rows=small, target_files=1,
+    )
+    assert superseded
+    v2 = maintenance.commit_manifest(path, manifest2)
+    # v1 still readable pre-vacuum
+    assert (
+        maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, v1)
+        ).count()
+        == li.count()
+    )
+    maintenance.vacuum_layout(path, manifest2, superseded)
+    with pytest.raises(FileNotFoundError):
+        maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, v1)
+        )
+    # the current version is untouched by vacuum
+    assert (
+        maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, v2)
+        ).count()
+        == li.count()
+    )
+
+
+def test_time_travel_registry_query_contract(spark, sf_dir):
+    """src_layout_time_travel: v0 < v1 == v2 row counts, and skipping
+    (window_rows) composes with every version's own manifest."""
+    from bigdataindexing_spark.registry import queries
+
+    rows = {r["version"]: r for r in queries()["src_layout_time_travel"](
+        spark, sf_dir
+    ).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["total_rows"] < rows[1]["total_rows"]
+    assert rows[1]["total_rows"] == rows[2]["total_rows"]
+    assert rows[1]["window_rows"] == rows[2]["window_rows"]
+    assert 0 < rows[0]["window_rows"] < rows[0]["total_rows"]

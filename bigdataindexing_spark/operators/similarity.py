@@ -811,3 +811,101 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("b.cid").alias("neighbor_id"))
         .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=None,  # approximate — recall contract in tests/test_dedup_consistency.py
+    tags=("similarity", "serve"),
+    bench=False,
+    doc="IVF-PQ ANN — the FAISS IVFPQ composite and the standard "
+    "billion-scale serving layout: the IVF coarse quantizer prunes the "
+    "search to the query's IVF_NPROBE nearest cells (partition pruning), "
+    "ADC scores ONLY the probed cells' PQ codes via broadcast per-query "
+    "lookup tables (8-byte codes, no vector arithmetic), and a bounded "
+    "PQ_SHORTLIST is exact-reranked. Both index sides are session stores "
+    "(cell assignment + code table); per-query cost is "
+    "O(nprobe/cells · corpus-codes) ADC lookups + O(shortlist) exact "
+    "dots — the corpus embeddings are touched only for the shortlist. "
+    "At 100 TB the cell is the partition key, so a probe is a "
+    "partition-pruned scan of compressed codes, memory-resident where "
+    "raw vectors never could be.",
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    centroids = train_centroids(emb)
+    cells = assign_cells(emb, centroids)
+    path, books = _pq_store(spark, sf_dir)
+    codes = spark.read.parquet(path).join(cells, "vec_id")
+    d_sub = len(books[0][0])
+
+    # driver-side per-query prep, bounded to N_QUERIES rows: nprobe
+    # nearest cells (coarse quantizer) + the ADC lookup table (PQ_M x
+    # PQ_K inner products against the sub-codebooks)
+    C = np.asarray(centroids)
+    B = [np.asarray(b) for b in books]
+    qrows = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .filter(F.col("vec_id") < N_QUERIES)
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"])
+        lut = []
+        for m in range(PQ_M):
+            qm = qv[m * d_sub:(m + 1) * d_sub]
+            lut.extend(float(x) for x in B[m] @ qm)
+        d = ((C - qv[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:IVF_NPROBE]:
+            probe_rows.append(
+                (r["vec_id"], int(cell), lut, [float(x) for x in qv])
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "qid BIGINT, cell INT, lut ARRAY<DOUBLE>, qv ARRAY<DOUBLE>"
+    )
+
+    # ADC inside probed cells only: the cell equi-join IS the pruning —
+    # a query never meets codes outside its nprobe cells
+    adc = (
+        codes.join(F.broadcast(probes.select("qid", "cell", "lut")), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
+                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+            ).alias("ip"),
+        )
+    )
+    shortlist = (
+        adc.groupBy("qid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("ip")).alias("ni"), "cid"))
+                ),
+                1,
+                PQ_SHORTLIST,
+            ).alias("top")
+        )
+        .select("qid", F.explode(F.expr("transform(top, x -> x.cid)")).alias("cid"))
+    )
+    e = emb.select(F.col("vec_id").alias("cid"), as_double("embedding").alias("v"))
+    reranked = (
+        shortlist.join(e, "cid")
+        .join(
+            F.broadcast(probes.select("qid", "qv").dropDuplicates(["qid"])),
+            "qid",
+        )
+        .select("qid", "cid", cosine("qv", "v").alias("c"))
+    )
+    return (
+        reranked.groupBy("qid")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("cid"))).alias("b"))
+        .select("qid", F.col("b.cid").alias("neighbor_id"))
+        .transform(lambda d: bounded_sort(d, "qid", barrier=True))
+    )

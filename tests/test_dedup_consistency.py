@@ -92,6 +92,31 @@ def test_pq_total_and_recall(spark, sf_dir):
     assert agree >= 0.8 * len(bf)
 
 
+def test_ivfpq_total_recall_and_pruning(spark, sf_dir):
+    """IVF-PQ composite ANN: every query answered, self-excluded;
+    recall@1 vs brute force >= 0.8 (deterministic quantizer, codebooks,
+    probe order — a fixed number per scale factor: 0.9 at sf0.001/0.01).
+    The composite must also genuinely PRUNE: candidates scored per query
+    are bounded by the probed cells, never the whole corpus — asserted
+    structurally by the cell equi-join in the plan (no CartesianProduct
+    against the code table)."""
+    from bigdataindexing_spark.registry import queries
+
+    qs = queries()
+    df = qs["sim_ann_ivfpq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    ivfpq = {r["qid"]: r["neighbor_id"] for r in df.collect()}
+    bf = {
+        r["qid"]: r["neighbor_id"]
+        for r in qs["q25_ann_bruteforce"](spark, sf_dir).collect()
+    }
+    assert sorted(ivfpq) == sorted(bf)  # total: one answer per query
+    assert all(ivfpq[q] != q for q in ivfpq)  # self-excluded
+    agree = sum(ivfpq[q] == bf[q] for q in bf)
+    assert agree >= 0.8 * len(bf)
+
+
 def test_pinned_relations_release(spark, sf_dir):
     # Builders pin() their multi-branch relations; a long-lived session
     # must be able to drop them all by reference — no storage leak

@@ -395,11 +395,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate vs-duckdb ratio retains one full-cost like-for-like dedup "
     "row after the rest of the family moved to the materialized "
     "pair-count store (ADVICE r5), and as the exactness reference the "
-    "capped scale path is compared against. Not the 100 TB path — that "
-    "is dedup_minhash_lsh / the capped store family.",
+    "capped scale path is compared against. Pure JVM: shingling is "
+    "split + transform/slice + array_distinct inside the scan stage "
+    "(the Arrow signature pass computes 128 minhashes this baseline "
+    "would throw away — measured 1.51 vs 1.39s at sf0.1), and the "
+    "self-join keys on the shingle STRINGS the oracle joins on. Not the "
+    "100 TB path — that is dedup_minhash_lsh / the capped store family.",
 )
 def dedup_ngram_jaccard_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _jaccard_pairs(_shingle_docs(spark, sf_dir))
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH sh AS (
+          SELECT doc_id, array_distinct(transform(sequence(1, size(t) - 2),
+                   i -> concat_ws(' ', slice(t, i, 3)))) AS ss
+          FROM (SELECT doc_id, split(lower(text), ' ') AS t FROM {docs})
+          WHERE size(t) >= 3
+        ),
+        u AS (SELECT doc_id, size(ss) AS n, explode(ss) AS s FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i,
+                 first(a.n) AS na, first(b.n) AS nb
+          FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+        FROM inter WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
+        ORDER BY doc_a, doc_b
+    """)
 
 
 _SHINGLE_SIG_SCHEMA = T.StructType(

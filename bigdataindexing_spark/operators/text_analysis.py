@@ -408,3 +408,54 @@ def txt_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_sort(
         scrubbed.filter(F.col("n_redacted") > 0), "doc_id", barrier=True
     )
+
+
+@register(
+    "txt_char_entropy",
+    oracle="WITH ch AS (SELECT doc_id, UNNEST(string_split_regex(text, '')) "
+    "AS c FROM documents WHERE length(text) > 0), "
+    "freq AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c), "
+    "tot AS (SELECT doc_id, SUM(n) AS len FROM freq GROUP BY doc_id) "
+    "SELECT f.doc_id, "
+    "ROUND(SUM(-(n * 1.0 / len) * log2(n * 1.0 / len)), 4) AS entropy "
+    "FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id "
+    "ORDER BY entropy, doc_id LIMIT 100",
+    tags=("text", "pipeline"),
+    doc="Per-document character Shannon entropy — the standard "
+    "low-entropy screen a curation pipeline runs alongside the "
+    "length/punct/stopword quality score (txt_quality_score): repeated "
+    "boilerplate, padded spam, and binary-ish junk score far below "
+    "natural text (~4.1 bits/char for English), and the BOTTOM-100 "
+    "ranking surfaces exactly the documents to drop. JVM end-to-end: "
+    "one char explode inside the scan stage, one hash aggregate on "
+    "(doc_id, char) — the q62 token-histogram shape at character "
+    "granularity — then a doc-keyed entropy reduction; no Python, no "
+    "data-proportional driver work, output bounded at any corpus size.",
+)
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    # split(text, '') yields a trailing '' element in Spark (duckdb's
+    # string_split_regex does not) — filter empties so both engines
+    # count the same characters
+    return bounded_sort(
+        spark.sql(f"""
+            WITH ch AS (
+              SELECT doc_id, c
+              FROM (SELECT doc_id, explode(split(text, '')) AS c
+                    FROM {docs} WHERE length(text) > 0)
+              WHERE c <> ''
+            ),
+            freq AS (
+              SELECT doc_id, c, COUNT(1) AS n FROM ch GROUP BY doc_id, c
+            ),
+            tot AS (SELECT doc_id, SUM(n) AS len FROM freq GROUP BY doc_id)
+            SELECT f.doc_id,
+                   ROUND(SUM(-(n * 1.0D / len) * log2(n * 1.0D / len)), 4)
+                     AS entropy
+            FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id
+        """),
+        "entropy",
+        "doc_id",
+    ).limit(100)

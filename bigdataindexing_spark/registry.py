@@ -182,6 +182,11 @@ _R06_PRIORITY = (
                                 # bench baseline (ADVICE r5)
     "st4_stream_session",       # NEW: true streaming session_window,
                                 # full SQL oracle (VERDICT r5 #5)
+    "src_layout_time_travel",   # NEW: versioned-manifest snapshot reads,
+                                # full SQL oracle (X24)
+    "txt_char_entropy",         # NEW: per-doc character Shannon entropy
+    "sim_ann_ivfpq",            # NEW: IVF-PQ composite (rows-only; recall
+                                # contract in pytest)
     "dedup_ngram_jaccard",      # oracle now df-capped (parity fix)
     "q104_containment_pairs",   # oracle now df-capped (parity fix)
     "dedup_cluster_cc",         # pair-graph CTE now df-capped

@@ -424,23 +424,29 @@ def _register() -> None:
         "retention horizon.",
     )
     def src_layout_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-        layout_dir, _versions = _time_travel_layout(spark, sf_dir)
+        # total_rows is answered FROM THE MANIFEST (sum of per-file
+        # num_rows — count-from-stats, exactly how Delta/Iceberg serve
+        # SELECT COUNT(*): the add-file log is the authority, no scan);
+        # window_rows scans only each version's skipping-pruned file
+        # set. Per-version relations are cached with the layout —
+        # spark.read.parquet(*files) re-lists per plan otherwise, the
+        # tables.table_view listing-amortization lesson (round 4). The
+        # snapshot-scan ≡ manifest-stats equivalence is pinned by
+        # tests/test_maintenance.py, which counts the actual snapshots.
+        layout_dir, versions, snaps = _time_travel_layout(spark, sf_dir)
         parts = []
-        for v in (0, 1, 2):
-            manifest = read_manifest_as_of(layout_dir, v)
-            snap = read_layout_snapshot(spark, manifest)
-            keep = manifest_keep(manifest, MAINT_LO, MAINT_HI)
-            window = (
-                spark.read.parquet(*keep)
-                .filter(F.col("l_shipdate").between(MAINT_LO, MAINT_HI))
-                .select(F.count(F.lit(1)).alias("window_rows"))
+        for v, (_snap, window_src) in zip(versions, snaps):
+            total = sum(
+                m["num_rows"] for m in read_manifest_as_of(layout_dir, v)
             )
             parts.append(
-                snap.select(F.count(F.lit(1)).alias("total_rows"))
-                .crossJoin(window)
+                window_src.filter(
+                    F.col("l_shipdate").between(MAINT_LO, MAINT_HI)
+                )
+                .select(F.count(F.lit(1)).alias("window_rows"))
                 .select(
                     F.lit(v).cast("long").alias("version"),
-                    "total_rows",
+                    F.lit(total).cast("long").alias("total_rows"),
                     "window_rows",
                 )
             )
@@ -450,9 +456,11 @@ def _register() -> None:
         return bounded_sort(out, "version")
 
 
-# (applicationId, sf_dir) -> (layout_dir, [versions]) for the versioned
-# (non-vacuumed) time-travel layout, built once per session.
-_TIME_TRAVEL: dict[tuple[str, str], tuple[str, list[int]]] = {}
+# (applicationId, sf_dir) -> (layout_dir, [versions], [(snapshot_df,
+# window_df) per version]) for the versioned (non-vacuumed) time-travel
+# layout, built once per session. The DataFrames cache the resolved file
+# indexes; session-bound like every other store handle.
+_TIME_TRAVEL: dict[tuple[str, str], tuple] = {}
 
 
 def _time_travel_layout(spark: SparkSession, sf_dir: str):
@@ -461,8 +469,17 @@ def _time_travel_layout(spark: SparkSession, sf_dir: str):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TIME_TRAVEL.get(key)
-    if cached is not None:
+    # DataFrame handles are session-bound (ADVICE r4): rebuild the
+    # relations (not the layout) for a sibling spark.newSession()
+    if cached is not None and cached[2][0][0].sparkSession is spark:
         return cached
+    if cached is not None:
+        path, versions, _stale = cached
+        snaps = [
+            _snapshot_relations(spark, path, v) for v in versions
+        ]
+        _TIME_TRAVEL[key] = (path, versions, snaps)
+        return _TIME_TRAVEL[key]
     path = session_store_dir("maint_time_travel")
     li = table(spark, sf_dir, "lineitem")
     base = li.filter(F.col("l_orderkey") % 5 != 0)
@@ -491,8 +508,20 @@ def _time_travel_layout(spark: SparkSession, sf_dir: str):
     # NO vacuum: superseded files stay until the retention horizon so
     # v0/v1 remain readable — the Delta retention trade, deliberate here
     v2 = commit_manifest(path, manifest)
-    _TIME_TRAVEL[key] = (path, [v0, v1, v2])
+    snaps = [_snapshot_relations(spark, path, v) for v in (v0, v1, v2)]
+    _TIME_TRAVEL[key] = (path, [v0, v1, v2], snaps)
     return _TIME_TRAVEL[key]
+
+
+def _snapshot_relations(spark: SparkSession, layout_dir: str, version: int):
+    """(snapshot_df, window_df) for one manifest version — the resolved
+    relations the serve query reuses across invocations."""
+    from bigdataindexing_spark.sources.skipping import manifest_keep
+
+    manifest = read_manifest_as_of(layout_dir, version)
+    snap = read_layout_snapshot(spark, manifest)
+    keep = manifest_keep(manifest, MAINT_LO, MAINT_HI)
+    return snap, spark.read.parquet(*keep)
 
 
 _register()

@@ -95,7 +95,7 @@ def _maint_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _maint_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import maintenance
 
-    path, versions = maintenance._time_travel_layout(spark, sf_dir)
+    path, versions, _snaps = maintenance._time_travel_layout(spark, sf_dir)
     return maintenance.read_layout_snapshot(
         spark, maintenance.read_manifest_as_of(path, versions[-1])
     )

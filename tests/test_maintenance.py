@@ -314,3 +314,20 @@ def test_time_travel_registry_query_contract(spark, sf_dir):
     assert rows[1]["total_rows"] == rows[2]["total_rows"]
     assert rows[1]["window_rows"] == rows[2]["window_rows"]
     assert 0 < rows[0]["window_rows"] < rows[0]["total_rows"]
+
+
+def test_manifest_json_roundtrip_prunes_identically(spark, sf_dir, layout):
+    """The version log serializes manifests to JSON (dates become ISO
+    strings). Pruning over a log-loaded manifest must keep exactly the
+    same files as over the live (date-typed) manifest — ISO strings
+    order like dates, but pin it so a future stats type can't silently
+    break skipping under time travel."""
+    path, manifest, _li = layout
+    v = maintenance.commit_manifest(path, manifest)
+    loaded = maintenance.read_manifest_as_of(path, v)
+    live_keep = skipping.manifest_keep(manifest, maintenance.MAINT_LO, maintenance.MAINT_HI)
+    loaded_keep = skipping.manifest_keep(loaded, maintenance.MAINT_LO, maintenance.MAINT_HI)
+    assert sorted(live_keep) == sorted(loaded_keep)
+    assert 0 < len(live_keep) < len(manifest)  # the window actually prunes
+    # row counts survive the roundtrip exactly
+    assert [m["num_rows"] for m in loaded] == [m["num_rows"] for m in manifest]

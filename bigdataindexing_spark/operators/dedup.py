@@ -1171,3 +1171,84 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY dup_frac DESC, doc_id
         LIMIT 100
     """)
+
+
+_SPAN_ALIGN_SQL = (
+    _SHINGLE_CAPPED_SQL
+    + f", pairs AS (SELECT da AS doc_a, db AS doc_b FROM inter "
+    "JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
+    f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}), "
+    "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+    "FROM documents), "
+    f"sp AS (SELECT doc_id, UNNEST(generate_series(1, len(t) - {SPAN_N - 1})) "
+    "AS pos, t FROM toks WHERE len(t) >= " + str(SPAN_N) + "), "
+    "spv AS (SELECT doc_id, pos, "
+    f"list_aggregate(t[pos:pos+{SPAN_N - 1}], 'string_agg', ' ') AS s FROM sp) "
+    "SELECT p.doc_a, p.doc_b, COUNT(DISTINCT a.pos) AS shared_spans, "
+    "MIN(a.pos) AS first_pos_a, MIN(b.pos) AS first_pos_b "
+    "FROM pairs p JOIN spv a ON a.doc_id = p.doc_a "
+    "JOIN spv b ON b.doc_id = p.doc_b AND a.s = b.s "
+    "GROUP BY p.doc_a, p.doc_b ORDER BY doc_a, doc_b"
+)
+
+
+@register(
+    "dedup_span_align",
+    oracle=_SPAN_ALIGN_SQL,
+    tags=("dedup", "decontamination", "serve"),
+    doc=f"Span ALIGNMENT for flagged near-dup pairs: for every verified "
+    f"pair (exact df-capped Jaccard >= {JACCARD_TAU}, read from the "
+    "session pair-count store), locate the overlap — how many of doc_a's "
+    f"{SPAN_N}-word span positions also occur in doc_b, and the first "
+    "matching position on each side. This is the step AFTER detection "
+    "that a decontamination pipeline actually executes: span fraction "
+    "(dedup_span_fraction) says how much of a document is duplicated, "
+    "alignment says WHERE, which is what gets redacted or excised. "
+    "Scale shape: the pair set is the (bounded) output of the dedup "
+    "screen, both documents' span lists attach by doc-id equi-join, and "
+    "the position match is ROW-LOCAL (filter + array_contains over the "
+    "pair's own two span arrays) — cost is O(flagged pairs x doc "
+    "length), never a corpus-wide span join. 1-indexed token positions, "
+    "matching the SQL oracle's generate_series.",
+)
+def dedup_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    pc = shingle_pair_counts_view(spark, sf_dir)
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH pairs AS (
+          SELECT doc_a, doc_b FROM {pc}
+          WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
+        ),
+        spv AS (
+          SELECT doc_id,
+                 transform(sequence(1, size(t) - {SPAN_N - 1}),
+                   i -> struct(i AS pos,
+                               array_join(slice(t, i, {SPAN_N}), ' ') AS s))
+                   AS spans,
+                 array_distinct(transform(sequence(1, size(t) - {SPAN_N - 1}),
+                   i -> array_join(slice(t, i, {SPAN_N}), ' '))) AS span_set
+          FROM (SELECT doc_id, split(lower(text), ' ') AS t FROM {docs})
+          WHERE size(t) >= {SPAN_N}
+        ),
+        hits AS (
+          SELECT doc_a, doc_b,
+                 filter(a.spans, x -> array_contains(b.span_set, x.s))
+                   AS hits_a,
+                 filter(b.spans, x -> array_contains(a.span_set, x.s))
+                   AS hits_b
+          FROM pairs
+          JOIN spv a ON a.doc_id = doc_a
+          JOIN spv b ON b.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(size(hits_a) AS BIGINT) AS shared_spans,
+               CAST(array_min(transform(hits_a, x -> x.pos)) AS BIGINT)
+                 AS first_pos_a,
+               CAST(array_min(transform(hits_b, x -> x.pos)) AS BIGINT)
+                 AS first_pos_b
+        FROM hits
+        WHERE size(hits_a) > 0
+        ORDER BY doc_a, doc_b
+    """)

@@ -187,6 +187,8 @@ _R06_PRIORITY = (
     "txt_char_entropy",         # NEW: per-doc character Shannon entropy
     "sim_ann_ivfpq",            # NEW: IVF-PQ composite (rows-only; recall
                                 # contract in pytest)
+    "dedup_span_align",         # NEW: span alignment for flagged pairs,
+                                # full SQL oracle (X26)
     "dedup_ngram_jaccard",      # oracle now df-capped (parity fix)
     "q104_containment_pairs",   # oracle now df-capped (parity fix)
     "dedup_cluster_cc",         # pair-graph CTE now df-capped

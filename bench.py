@@ -222,6 +222,12 @@ def main() -> None:
     )
 
     detail = {
+        # schema 2 (round 7): the headline ratio key is now explicitly
+        # vs_duckdb_ratio_ex_py — in schema-1 sidecars (BENCH_DETAIL
+        # through r05) the same name "vs_duckdb_ratio" silently changed
+        # meaning in r06 when py-tagged rows were excluded; the rename +
+        # version field keeps historical comparisons honest (ADVICE r6).
+        "bench_schema": 2,
         "sf": sf,
         "host_steal_sec": host_steal_sec,
         "spark_total_sec": total,
@@ -229,7 +235,7 @@ def main() -> None:
         "spark_comparable_total_sec": spark_comparable,
         # headline: py-tagged decode-work rows excluded (their oracle does
         # no equivalent work); _incl_py is the same sum with them counted
-        "vs_duckdb_ratio": ratio,
+        "vs_duckdb_ratio_ex_py": ratio,
         "vs_duckdb_ratio_incl_py": ratio_all,
         "py_rows_excluded_from_ratio": sorted(py_rows & set(duck_comparable)),
         "index_build": index_build,
@@ -256,6 +262,16 @@ def main() -> None:
                 # py rows: Spark does Python-stage work the oracle only
                 # checks against constants — excluded from headline ratio
                 **({"py": True} if name in py_rows else {}),
+                # py_floor rows: deliberate Python-worker demos whose
+                # timing is the ~0.3s per-query worker round-trip floor
+                # (VERDICT r6 #5) — still IN the headline aggregates,
+                # labeled so the per-query ratio reads as the launch
+                # floor, not a plan defect
+                **(
+                    {"py_floor": True}
+                    if "py_floor" in registry.all_specs()[name].tags
+                    else {}
+                ),
             }
             for name in sorted(timings)
         },
@@ -272,7 +288,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
+        # stdout keeps the historical key name for the round driver's
+        # tail-parser; ratio_def pins which definition it carries
         "vs_duckdb_ratio": ratio,
+        "ratio_def": "ex_py",
         "index_build_docs_per_sec": index_build["spark_docs_per_sec"],
         "host_steal_sec": host_steal_sec,
         "detail": "BENCH_DETAIL.json",
@@ -372,7 +391,7 @@ def _duckdb_timings(sf_dir: str, passes: int = 3) -> dict[str, float]:
                 continue
             try:
                 t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
+                con.execute(spec.oracle_text()).fetchall()
                 elapsed = time.perf_counter() - t0
             except Exception:
                 continue

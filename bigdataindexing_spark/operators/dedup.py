@@ -72,11 +72,11 @@ SIMHASH_BITS = 32
 # (dedup_minhash_lsh, dedup_delta_vs_corpus, streaming lsh_dedup)
 # compute true uncapped Jaccard and keep the uncapped oracle.
 #
-# Env override: the constant resolves the env var at import; the store
-# build (shingle_pair_counts_view) RE-reads it at build time so a
-# post-import override still takes effect on the Spark side. Registered
-# oracle strings bake in the import-time value — set the env before
-# importing this package when the duckdb oracle gate matters.
+# Env override: both the store build (shingle_pair_counts_view) and the
+# registered capped oracles resolve the env var THROUGH _current_cap()
+# at build/check time (the oracles are lazy callables — ADVICE r6), so a
+# post-import override takes effect identically on both sides of the
+# driver gate. This constant is only the default when the env is unset.
 HOT_SHINGLE_DF_CAP = int(os.environ.get("BDI_HOT_SHINGLE_DF_CAP", "1000"))
 
 _SHINGLE_SQL = (
@@ -89,20 +89,32 @@ _SHINGLE_SQL = (
     "JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
 )
 
+def _current_cap() -> int:
+    """The hot-shingle df cap as of NOW. Store builds
+    (shingle_pair_counts_view) and the lazy capped oracles below both
+    resolve the env through this one function at their respective build/
+    check times, so the two sides of the driver gate can never compare
+    differently-capped computations (ADVICE r6)."""
+    return int(os.environ.get("BDI_HOT_SHINGLE_DF_CAP", str(HOT_SHINGLE_DF_CAP)))
+
+
 # Same shape with the hot-shingle df cap applied before the self-join —
 # the oracle twin of shingle_pair_counts_view. `sizes` stays uncapped
-# (denominators are exact on both sides).
-_SHINGLE_CAPPED_SQL = (
-    "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
-    "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2), "
-    "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ss FROM tok WHERE len(t) >= 3), "
-    "u AS (SELECT doc_id, UNNEST(ss) AS s FROM sh), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id), "
-    f"hot AS (SELECT s FROM u GROUP BY s HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP}), "
-    "uc AS (SELECT * FROM u WHERE s NOT IN (SELECT s FROM hot)), "
-    "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i FROM uc a "
-    "JOIN uc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-)
+# (denominators are exact on both sides). A FUNCTION, not a constant:
+# the cap resolves when the oracle text is requested (registry
+# oracle_text()), mirroring the store build's own env re-read.
+def _shingle_capped_sql() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2), "
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ss FROM tok WHERE len(t) >= 3), "
+        "u AS (SELECT doc_id, UNNEST(ss) AS s FROM sh), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id), "
+        f"hot AS (SELECT s FROM u GROUP BY s HAVING COUNT(*) > {_current_cap()}), "
+        "uc AS (SELECT * FROM u WHERE s NOT IN (SELECT s FROM hot)), "
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i FROM uc a "
+        "JOIN uc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    )
 
 _JACCARD_SELECT = (
     "SELECT da AS doc_a, db AS doc_b, "
@@ -112,7 +124,10 @@ _JACCARD_SELECT = (
 )
 
 _JACCARD_SQL = _SHINGLE_SQL + _JACCARD_SELECT
-_JACCARD_CAPPED_SQL = _SHINGLE_CAPPED_SQL + _JACCARD_SELECT
+
+
+def _jaccard_capped_oracle() -> str:
+    return _shingle_capped_sql() + _JACCARD_SELECT
 
 
 def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,11 +246,9 @@ def shingle_pair_counts_view(spark: SparkSession, sf_dir: str) -> str:
         path = session_store_dir("shingle_pair_counts")
         store = shingle_sig_view(spark, sf_dir)
         # re-resolve the env override at BUILD time (a post-import
-        # override must not silently no-op — ADVICE r5); the module
-        # constant (which itself honors a pre-import env) is the default
-        cap = int(
-            os.environ.get("BDI_HOT_SHINGLE_DF_CAP", str(HOT_SHINGLE_DF_CAP))
-        )
+        # override must not silently no-op — ADVICE r5); the lazy
+        # oracles read the same function at check time (ADVICE r6)
+        cap = _current_cap()
         spark.sql(f"""
             WITH u AS (
               SELECT doc_id, size(shingles) AS n, explode(shingles) AS s
@@ -364,7 +377,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=_JACCARD_CAPPED_SQL,
+    oracle=_jaccard_capped_oracle,
     tags=("dedup", "serve"),
     doc="DF-capped-exact 3-gram-shingle Jaccard near-dup pairs (J ≥ 0.2): "
     f"shingles with document frequency > {HOT_SHINGLE_DF_CAP} are dropped "
@@ -746,12 +759,26 @@ CC_JUMP_AFTER = 3  # adaptive mode: rounds of plain propagation before
 # pointer jumping kicks in (a graph converged by then never pays it)
 
 # capped prefix: the pair graph comes from the df-capped pair-count store
-_PAIRS_CTE = (
-    _SHINGLE_CAPPED_SQL
-    + ", pairs AS (SELECT da AS doc_a, db AS doc_b FROM inter "
-    "JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
-    f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU})"
-)
+def _pairs_cte() -> str:
+    return (
+        _shingle_capped_sql()
+        + ", pairs AS (SELECT da AS doc_a, db AS doc_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
+        f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU})"
+    )
+
+
+def _cluster_cc_oracle() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _pairs_cte()[len("WITH "):]
+        + ", und AS (SELECT doc_a AS s, doc_b AS t FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(s, t) AS (SELECT s, t FROM und "
+        "UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s) "
+        "SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster FROM reach "
+        "GROUP BY s ORDER BY doc_id"
+    )
 
 
 def _ensure_checkpoint_dir(spark: SparkSession) -> None:
@@ -861,14 +888,7 @@ def cc_labels(
 
 @register(
     "dedup_cluster_cc",
-    oracle="WITH RECURSIVE "
-    + _PAIRS_CTE[len("WITH ") :]
-    + ", und AS (SELECT doc_a AS s, doc_b AS t FROM pairs "
-    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
-    "reach(s, t) AS (SELECT s, t FROM und "
-    "UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s) "
-    "SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster FROM reach "
-    "GROUP BY s ORDER BY doc_id",
+    oracle=_cluster_cc_oracle,
     tags=("dedup", "iterative", "serve"),
     doc="Near-dup cluster resolution: connected components over the "
     "exact-Jaccard pair graph (cluster id = min doc_id in the component — "
@@ -956,17 +976,23 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_TAU = 0.5
 
 
+def _containment_oracle() -> str:
+    return (
+        _shingle_capped_sql()
+        + "SELECT da AS doc_a, db AS doc_b, "
+        "ROUND(i * 1.0 / sa.n, 4) AS cont_ab, "
+        "ROUND(i * 1.0 / sb.n, 4) AS cont_ba "
+        "FROM inter JOIN sizes sa ON sa.doc_id = da "
+        "JOIN sizes sb ON sb.doc_id = db "
+        f"WHERE i * 1.0 / sa.n >= {CONTAINMENT_TAU} "
+        f"OR i * 1.0 / sb.n >= {CONTAINMENT_TAU} "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
 @register(
     "q104_containment_pairs",
-    oracle=_SHINGLE_CAPPED_SQL
-    + "SELECT da AS doc_a, db AS doc_b, "
-    "ROUND(i * 1.0 / sa.n, 4) AS cont_ab, "
-    "ROUND(i * 1.0 / sb.n, 4) AS cont_ba "
-    "FROM inter JOIN sizes sa ON sa.doc_id = da "
-    "JOIN sizes sb ON sb.doc_id = db "
-    f"WHERE i * 1.0 / sa.n >= {CONTAINMENT_TAU} "
-    f"OR i * 1.0 / sb.n >= {CONTAINMENT_TAU} "
-    "ORDER BY doc_a, doc_b",
+    oracle=_containment_oracle,
     tags=("dedup", "decontamination", "serve"),
     doc="Asymmetric shingle CONTAINMENT pairs (df-capped-exact, same cap "
     "and oracle parity as dedup_ngram_jaccard): C(A in B) = |A∩B| / |A| "
@@ -1173,8 +1199,9 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-_SPAN_ALIGN_SQL = (
-    _SHINGLE_CAPPED_SQL
+def _span_align_oracle() -> str:
+    return (
+    _shingle_capped_sql()
     + f", pairs AS (SELECT da AS doc_a, db AS doc_b FROM inter "
     "JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
     f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}), "
@@ -1189,12 +1216,12 @@ _SPAN_ALIGN_SQL = (
     "FROM pairs p JOIN spv a ON a.doc_id = p.doc_a "
     "JOIN spv b ON b.doc_id = p.doc_b AND a.s = b.s "
     "GROUP BY p.doc_a, p.doc_b ORDER BY doc_a, doc_b"
-)
+    )
 
 
 @register(
     "dedup_span_align",
-    oracle=_SPAN_ALIGN_SQL,
+    oracle=_span_align_oracle,
     tags=("dedup", "decontamination", "serve"),
     doc=f"Span ALIGNMENT for flagged near-dup pairs: for every verified "
     f"pair (exact df-capped Jaccard >= {JACCARD_TAU}, read from the "

@@ -36,7 +36,10 @@ def geomean(v: pd.Series) -> float:
     "q42_grouped_udaf_geomean",
     oracle="SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo "
     "FROM events WHERE value > 0 GROUP BY event_type ORDER BY event_type",
-    tags=("agg", "pandas-udf"),
+    # py_floor: UDAF-timed by design (the declared U2 surface) — the row
+    # carries the per-query Python-worker round-trip floor; bench.py
+    # labels it in BENCH_DETAIL. Headline aggregates still include it.
+    tags=("agg", "pandas-udf", "py_floor"),
     doc="U2 grouped-aggregate pandas UDF: per-event-type geometric mean "
     "inside groupBy().agg — the UDAF path (Arrow batch per group, partial "
     "aggregation unavailable so the group's values shuffle to one reducer; "

@@ -7,8 +7,14 @@
 - LSH-bucketed ANN (random-hyperplane signatures) — the scale path:
   signature computation is a single pass, candidate generation is an
   equi-join on (band, bucket), so the quadratic pair space is never
-  materialized. Verified by pytest recall checks against brute force
-  (approximate ⇒ no SQL oracle).
+  materialized.
+
+Every ANN variant here is FULL-hash-oracle-checked, approximation and
+all: the LSH pipeline via md5-derived hyperplanes rebuilt in duckdb
+(_LSH_ORACLE), and the trained IVF/PQ/IVF-PQ family via the 1e-9
+quantization contract (see the comment above _q9np) that lets the duckdb
+oracle rebuild the k-means training loop itself. Recall-vs-brute-force
+contracts in pytest additionally bound approximation QUALITY.
 
 At 100 TB the brute-force path is only used per-query with a broadcast
 query set; the LSH path (or an IVF variant partitioned by coarse cluster)
@@ -425,6 +431,35 @@ IVF_CELLS = 16
 IVF_NPROBE = 3
 IVF_TRAIN_SAMPLE = 512
 IVF_KMEANS_ITERS = 5
+EMB_DIM = 64
+
+# Cross-engine determinism contract for the trained-quantizer family
+# (IVF / PQ / IVF-PQ): every floating quantity that an engine COMPARES
+# against another engine's computation of the same quantity — k-means
+# distances, centroid means, ADC lookup-table entries, ADC scores, rerank
+# cosines — is quantized half-up to 1e-9 with the SAME explicit formula
+# (floor(x*1e9 + 0.5)/1e9) in numpy, Spark SQL, and duckdb. After each
+# quantization both engines carry bit-identical values forward, so
+# float-summation-order drift (~1e-16) cannot CASCADE across the 5 Lloyd
+# iterations; residual risk is a value landing within ~1e-16 of a 1e-9
+# grid boundary — the same measure-zero class as _LSH_ORACLE's
+# sign(dot)≈0, verified empirically at all three SFs. This is what turns
+# the approximate ANN operators from recall-contract-only into FULL
+# hash-oracle entries: the duckdb oracle rebuilds k-means training,
+# codebooks, cell assignment, ADC and rerank end to end in SQL.
+
+
+def _q9np(x):
+    """Half-up 1e-9 quantize (numpy) — see determinism contract above."""
+    import numpy as np
+
+    return np.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _q9sql(e: str) -> str:
+    """The same quantize as a SQL fragment (duckdb and Spark SQL parse
+    it identically; FLOOR of a <2^53 double is exact in both)."""
+    return f"FLOOR(({e}) * 1e9 + 0.5) / 1e9"
 
 
 def train_centroids(emb: DataFrame) -> "list[list[float]]":
@@ -434,6 +469,10 @@ def train_centroids(emb: DataFrame) -> "list[list[float]]":
     side sample (here the first IVF_TRAIN_SAMPLE vectors by vec_id, so the
     result is reproducible), then ships to executors as a broadcast-sized
     constant (16×64 doubles). The full corpus is never collected.
+    Distances and means are 1e-9-quantized each iteration so the duckdb
+    oracle's SQL rebuild of the same training loop stays bit-identical
+    (see the determinism contract above); ties in the assignment argmin
+    break to the smallest cell id in both engines.
     """
     import numpy as np
 
@@ -446,17 +485,18 @@ def train_centroids(emb: DataFrame) -> "list[list[float]]":
     X = np.asarray([r["v"] for r in sample])
     C = X[:IVF_CELLS].copy()  # deterministic init: first K sample vectors
     for _ in range(IVF_KMEANS_ITERS):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        d = _q9np(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        assign = d.argmin(axis=1)  # first-min = smallest cell id on ties
         for k in range(IVF_CELLS):
             members = X[assign == k]
             if len(members):
-                C[k] = members.mean(axis=0)
+                C[k] = _q9np(members.mean(axis=0))
     return C.tolist()
 
 
 def assign_cells(emb: DataFrame, centroids: "list[list[float]]") -> DataFrame:
-    """(vec_id, cell): nearest-centroid assignment, one numpy pass."""
+    """(vec_id, cell): nearest-centroid assignment, one numpy pass.
+    Quantized distances + smallest-cell tie-break (determinism contract)."""
 
     def batches(it):
         import numpy as np
@@ -468,7 +508,9 @@ def assign_cells(emb: DataFrame, centroids: "list[list[float]]") -> DataFrame:
                 yield pd.DataFrame({"vec_id": [], "cell": []})
                 continue
             V = np.stack(pdf["embedding"].map(np.asarray)).astype("float64")
-            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = np.floor(
+                ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) * 1e9 + 0.5
+            ) / 1e9
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cell": d.argmin(axis=1)}
             )
@@ -478,9 +520,120 @@ def assign_cells(emb: DataFrame, centroids: "list[list[float]]") -> DataFrame:
     )
 
 
+# --- duckdb SQL rebuilds of the trained-quantizer pipelines ------------------
+# Shared CTE fragments. Naming: s = training sample (with rank), cN =
+# coarse centroids after N Lloyd iterations, e = full corpus, ecell =
+# corpus cell assignment, q = query vectors, probe = per-query nprobe
+# cells, bN = PQ sub-codebooks after N iterations, codes = corpus PQ
+# codes, lut = per-query flattened ADC table. duckdb lists are 1-based —
+# every index computed in 0-based operator space gets a +1 here.
+
+_D2_SAMPLE = (
+    f"list_sum(list_transform(range(0, {EMB_DIM}), ii -> "
+    "(s.v[ii+1] - c.cv[ii+1]) * (s.v[ii+1] - c.cv[ii+1])))"
+)
+_D2_CORPUS = (
+    f"list_sum(list_transform(range(0, {EMB_DIM}), ii -> "
+    "(e.v[ii+1] - c.cv[ii+1]) * (e.v[ii+1] - c.cv[ii+1])))"
+)
+_D2_QUERY = (
+    f"list_sum(list_transform(range(0, {EMB_DIM}), ii -> "
+    "(q.qv[ii+1] - c.cv[ii+1]) * (q.qv[ii+1] - c.cv[ii+1])))"
+)
+
+
+def _coarse_ctes() -> str:
+    """CTEs: sample s, k-means iterations c0..cN, corpus e/ecell, q, probe."""
+    parts = [
+        f"""s AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings WHERE vec_id < {IVF_TRAIN_SAMPLE}),
+c0 AS (SELECT rn - 1 AS cell, v AS cv FROM s WHERE rn <= {IVF_CELLS})"""
+    ]
+    for i in range(1, IVF_KMEANS_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY {_q9sql(_D2_SAMPLE)}, c.cell) AS r
+    FROM s CROSS JOIN c{i - 1} c) t WHERE r = 1),
+m{i} AS (
+  SELECT a.cell, t.d, {_q9sql("AVG(s.v[t.d + 1])")} AS mx
+  FROM a{i} a JOIN s ON s.vec_id = a.vec_id
+  CROSS JOIN (SELECT UNNEST(range(0, {EMB_DIM})) AS d) t
+  GROUP BY a.cell, t.d),
+c{i} AS (
+  SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+  FROM c{i - 1} c LEFT JOIN (
+    SELECT cell, list(mx ORDER BY d) AS cv FROM m{i} GROUP BY cell) m
+  ON m.cell = c.cell)"""
+        )
+    cf = f"c{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+ecell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_q9sql(_D2_CORPUS)}, c.cell) AS r
+    FROM e CROSS JOIN {cf} c) t WHERE r = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_q9sql(_D2_QUERY)}, c.cell) AS r
+    FROM q CROSS JOIN {cf} c) t WHERE r <= {IVF_NPROBE})"""
+    )
+    return ",\n".join(parts)
+
+
+_TOP1_TAIL = """
+SELECT qid, cid AS neighbor_id FROM (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS r
+  FROM rr) t WHERE r = 1 ORDER BY qid"""
+
+
+def _ivf_oracle() -> str:
+    return (
+        "WITH "
+        + _coarse_ctes()
+        + f""",
+rr AS (
+  SELECT p.qid, e.vec_id AS cid,
+         {_q9sql("list_cosine_similarity(q.qv, e.v)")} AS c
+  FROM probe p JOIN ecell ec ON ec.cell = p.cell
+  JOIN e ON e.vec_id = ec.vec_id
+  JOIN q ON q.qid = p.qid
+  WHERE e.vec_id <> p.qid)"""
+        + _TOP1_TAIL
+    )
+
+
+def _nprobe_cells(centroids, qv) -> "list[int]":
+    """The query's IVF_NPROBE nearest cells by quantized distance, ties to
+    the smaller cell id (stable argsort) — matches the oracle's
+    ROW_NUMBER() ... ORDER BY d, cell."""
+    import numpy as np
+
+    C = np.asarray(centroids)
+    d = _q9np(((C - np.asarray(qv)[None, :]) ** 2).sum(axis=1))
+    return [int(c) for c in np.argsort(d, kind="stable")[:IVF_NPROBE]]
+
+
+def _q9col(c):
+    """Half-up 1e-9 quantize as a Spark Column (floor of a <2^53 double
+    is exact, so the value equals the numpy/duckdb formula bit for bit)."""
+    return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
 @register(
     "sim_ann_ivf",
-    oracle=None,  # approximate — recall contract in tests/test_dedup_consistency.py
+    oracle=_ivf_oracle(),
     tags=("similarity",),
     bench=False,
     doc="IVF ANN with a TRAINED coarse quantizer: k-means centroids from a "
@@ -489,11 +642,12 @@ def assign_cells(emb: DataFrame, centroids: "list[list[float]]") -> DataFrame:
     "reranks only those candidates (~nprobe/cells of the corpus). "
     "Queries never meet vectors outside their probed cells, so the "
     "pair space is pruned by the cell equi-join exactly like a partition-"
-    "pruned scan.",
+    "pruned scan. FULL hash oracle: the duckdb SQL rebuilds the k-means "
+    "training loop, the corpus cell assignment, the probe selection and "
+    "the cosine rerank end to end under the 1e-9 quantization contract "
+    "(see module comment) — values, not just recall, are gate-checked.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     emb = spread(table(spark, sf_dir, "embeddings"))
     centroids = train_centroids(emb)
     cells = assign_cells(emb, centroids)
@@ -503,7 +657,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-query probe list: nprobe nearest centroids (driver-side math on
     # the collected query vectors only — N_QUERIES rows)
-    C = np.asarray(centroids)
     qrows = (
         emb.select("vec_id", as_double("embedding").alias("v"))
         .filter(F.col("vec_id") < N_QUERIES)
@@ -511,10 +664,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_rows = []
     for r in qrows:
-        qv = np.asarray(r["v"])
-        d = ((C - qv[None, :]) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:IVF_NPROBE]:
-            probe_rows.append((r["vec_id"], r["v"], int(cell)))
+        for cell in _nprobe_cells(centroids, r["v"]):
+            probe_rows.append((r["vec_id"], r["v"], cell))
     probes = spark.createDataFrame(
         probe_rows, "qid BIGINT, qv ARRAY<DOUBLE>, cell INT"
     )
@@ -522,13 +673,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("qid")
     ).select(
-        "qid", F.col("vec_id").alias("cid"), cosine("qv", "v").alias("c")
+        "qid",
+        F.col("vec_id").alias("cid"),
+        _q9col(cosine("qv", "v")).alias("c"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
+    # top-1 as MIN(struct(-c, cid)) — one hash aggregate with map-side
+    # partial combine (the q25 shape), not a per-partition sort window
     return (
-        scored.select("qid", "cid", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.col("cid").alias("neighbor_id"))
+        scored.groupBy("qid")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("cid"))).alias("b"))
+        .select("qid", F.col("b.cid").alias("neighbor_id"))
         .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
 
@@ -694,12 +848,14 @@ def _pq_store(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
         Xm = X[:, m * d_sub:(m + 1) * d_sub]
         C = Xm[:PQ_K].copy()  # deterministic init: first K sample rows
         for _ in range(IVF_KMEANS_ITERS):
-            d = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # quantized distances/means: the determinism contract that
+            # lets the duckdb oracle rebuild this loop bit-identically
+            d = _q9np(((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
             a = d.argmin(axis=1)
             for k in range(PQ_K):
                 members = Xm[a == k]
                 if len(members):
-                    C[k] = members.mean(axis=0)
+                    C[k] = _q9np(members.mean(axis=0))
         books.append(C.tolist())
 
     def encode(it):
@@ -715,7 +871,10 @@ def _pq_store(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
             codes = np.empty((len(V), PQ_M), dtype="int32")
             for m in range(PQ_M):
                 Vm = V[:, m * d_sub:(m + 1) * d_sub]
-                d = ((Vm[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+                d = np.floor(
+                    ((Vm[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+                    * 1e9 + 0.5
+                ) / 1e9
                 codes[:, m] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "codes": list(codes)}
@@ -729,9 +888,133 @@ def _pq_store(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     return path, books
 
 
+_D_SUB = EMB_DIM // PQ_M
+
+
+def _pq_ctes() -> str:
+    """CTEs: sub-codebook training b0..bN (per-subspace k-means, identical
+    loop to _coarse_ctes but keyed by subspace m), corpus codes, per-query
+    flattened ADC lookup table. Requires _coarse_ctes' s/e/q CTEs."""
+    pd2 = (
+        f"list_sum(list_transform(range(0, {_D_SUB}), ii -> "
+        "(sub.sv[ii+1] - b.cv[ii+1]) * (sub.sv[ii+1] - b.cv[ii+1])))"
+    )
+    ed2 = (
+        f"list_sum(list_transform(range(0, {_D_SUB}), ii -> "
+        "(esub.sv[ii+1] - b.cv[ii+1]) * (esub.sv[ii+1] - b.cv[ii+1])))"
+    )
+    lut_ip = (
+        f"list_sum(list_transform(range(0, {_D_SUB}), ii -> "
+        f"b.cv[ii+1] * q.qv[b.m * {_D_SUB} + ii + 1]))"
+    )
+    parts = [
+        f"""mm AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+sub AS (
+  SELECT s.vec_id, s.rn, mm.m,
+         list_transform(range(0, {_D_SUB}),
+                        ii -> s.v[mm.m * {_D_SUB} + ii + 1]) AS sv
+  FROM s CROSS JOIN mm),
+b0 AS (SELECT m, rn - 1 AS k, sv AS cv FROM sub WHERE rn <= {PQ_K})"""
+    ]
+    for i in range(1, IVF_KMEANS_ITERS + 1):
+        parts.append(
+            f"""pa{i} AS (
+  SELECT vec_id, m, k FROM (
+    SELECT sub.vec_id, sub.m, b.k,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+             ORDER BY {_q9sql(pd2)}, b.k) AS r
+    FROM sub JOIN b{i - 1} b ON b.m = sub.m) t WHERE r = 1),
+pm{i} AS (
+  SELECT a.m, a.k, t.d, {_q9sql("AVG(sub.sv[t.d + 1])")} AS mx
+  FROM pa{i} a JOIN sub ON sub.vec_id = a.vec_id AND sub.m = a.m
+  CROSS JOIN (SELECT UNNEST(range(0, {_D_SUB})) AS d) t
+  GROUP BY a.m, a.k, t.d),
+b{i} AS (
+  SELECT b.m, b.k, COALESCE(n.cv, b.cv) AS cv
+  FROM b{i - 1} b LEFT JOIN (
+    SELECT m, k, list(mx ORDER BY d) AS cv FROM pm{i} GROUP BY m, k) n
+  ON n.m = b.m AND n.k = b.k)"""
+        )
+    bf = f"b{IVF_KMEANS_ITERS}"
+    parts.append(
+        f"""esub AS (
+  SELECT e.vec_id, mm.m,
+         list_transform(range(0, {_D_SUB}),
+                        ii -> e.v[mm.m * {_D_SUB} + ii + 1]) AS sv
+  FROM e CROSS JOIN mm),
+ecode AS (
+  SELECT vec_id, m, k FROM (
+    SELECT esub.vec_id, esub.m, b.k,
+           ROW_NUMBER() OVER (PARTITION BY esub.vec_id, esub.m
+             ORDER BY {_q9sql(ed2)}, b.k) AS r
+    FROM esub JOIN {bf} b ON b.m = esub.m) t WHERE r = 1),
+codes AS (SELECT vec_id, list(k ORDER BY m) AS codes FROM ecode GROUP BY vec_id),
+lutv AS (
+  SELECT q.qid, b.m, b.k, {_q9sql(lut_ip)} AS w
+  FROM q CROSS JOIN {bf} b),
+lut AS (SELECT qid, list(w ORDER BY m * {PQ_K} + k) AS lut
+        FROM lutv GROUP BY qid)"""
+    )
+    return ",\n".join(parts)
+
+
+# ADC score: duckdb lists are 1-based — codes[m+1] is the m-th code,
+# lut[flat_index + 1] the (m, code) LUT entry. The LUT entries are 1e-9-
+# quantized, but the 8-term sum's rounding still depends on engine
+# addition order, so the sum is quantized again before ranking.
+_ADC_IP = _q9sql(
+    f"list_sum(list_transform(range(0, {PQ_M}), "
+    f"m -> l.lut[m * {PQ_K} + c.codes[m + 1] + 1]))"
+)
+
+_PQ_TAIL = f"""
+sl AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, cid) AS r
+    FROM adc) t WHERE r <= {PQ_SHORTLIST}),
+rr AS (
+  SELECT sl.qid, sl.cid,
+         {_q9sql("list_cosine_similarity(q.qv, e.v)")} AS c
+  FROM sl JOIN e ON e.vec_id = sl.cid JOIN q ON q.qid = sl.qid)"""
+
+
+def _pq_oracle() -> str:
+    return (
+        "WITH "
+        + _coarse_ctes()
+        + ",\n"
+        + _pq_ctes()
+        + f""",
+adc AS (
+  SELECT l.qid, c.vec_id AS cid, {_ADC_IP} AS ip
+  FROM codes c CROSS JOIN lut l WHERE c.vec_id <> l.qid),"""
+        + _PQ_TAIL
+        + _TOP1_TAIL
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return (
+        "WITH "
+        + _coarse_ctes()
+        + ",\n"
+        + _pq_ctes()
+        + f""",
+adc AS (
+  SELECT p.qid, c.vec_id AS cid, {_ADC_IP} AS ip
+  FROM probe p JOIN ecell ec ON ec.cell = p.cell
+  JOIN codes c ON c.vec_id = ec.vec_id
+  JOIN lut l ON l.qid = p.qid
+  WHERE c.vec_id <> p.qid),"""
+        + _PQ_TAIL
+        + _TOP1_TAIL
+    )
+
+
 @register(
     "sim_ann_pq",
-    oracle=None,  # approximate — recall contract in tests/test_dedup_consistency.py
+    oracle=_pq_oracle(),
     tags=("similarity", "serve"),
     bench=False,
     doc="Product-quantization ANN (the FAISS IVFPQ building block): each "
@@ -766,13 +1049,17 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut = []
         for m in range(PQ_M):
             qm = qv[m * d_sub:(m + 1) * d_sub]
-            lut.extend(float(x) for x in B[m] @ qm)
+            # quantized LUT entries (determinism contract): the oracle
+            # recomputes them in SQL and must land on the same doubles
+            lut.extend(float(x) for x in _q9np(B[m] @ qm))
         q_data.append((r["vec_id"], lut, [float(x) for x in qv]))
     queries = spark.createDataFrame(
         q_data, "qid BIGINT, lut ARRAY<DOUBLE>, qv ARRAY<DOUBLE>"
     )
     # ADC: approximate inner product = sum over subspaces of the LUT entry
-    # for that subspace's code — array lookups, no arithmetic on vectors
+    # for that subspace's code — array lookups, no arithmetic on vectors.
+    # The 8-term sum is re-quantized before ranking (addition order is
+    # engine-specific even over quantized inputs).
     adc = (
         codes.crossJoin(F.broadcast(queries.select("qid", "lut")))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -780,8 +1067,9 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("cid"),
             F.expr(
-                f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
-                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+                f"floor(aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
+                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]]) "
+                "* 1e9 + 0.5) / 1e9"
             ).alias("ip"),
         )
     )
@@ -798,12 +1086,13 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", F.explode(F.expr("transform(top, x -> x.cid)")).alias("cid"))
     )
-    # exact rerank of the bounded shortlist only
+    # exact rerank of the bounded shortlist only (quantized cosine so the
+    # oracle's list_cosine_similarity lands on the same ranking)
     e = emb.select(F.col("vec_id").alias("cid"), as_double("embedding").alias("v"))
     reranked = (
         shortlist.join(e, "cid")
         .join(F.broadcast(queries.select("qid", "qv")), "qid")
-        .select("qid", "cid", cosine("qv", "v").alias("c"))
+        .select("qid", "cid", _q9col(cosine("qv", "v")).alias("c"))
     )
     return (
         reranked.groupBy("qid")
@@ -815,7 +1104,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_ivfpq",
-    oracle=None,  # approximate — recall contract in tests/test_dedup_consistency.py
+    oracle=_ivfpq_oracle(),
     tags=("similarity", "serve"),
     bench=False,
     doc="IVF-PQ ANN — the FAISS IVFPQ composite and the standard "
@@ -842,9 +1131,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_sub = len(books[0][0])
 
     # driver-side per-query prep, bounded to N_QUERIES rows: nprobe
-    # nearest cells (coarse quantizer) + the ADC lookup table (PQ_M x
-    # PQ_K inner products against the sub-codebooks)
-    C = np.asarray(centroids)
+    # nearest cells (coarse quantizer, quantized stable argsort) + the
+    # ADC lookup table (PQ_M x PQ_K quantized inner products against the
+    # sub-codebooks) — both under the module determinism contract
     B = [np.asarray(b) for b in books]
     qrows = (
         emb.select("vec_id", as_double("embedding").alias("v"))
@@ -857,18 +1146,18 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut = []
         for m in range(PQ_M):
             qm = qv[m * d_sub:(m + 1) * d_sub]
-            lut.extend(float(x) for x in B[m] @ qm)
-        d = ((C - qv[None, :]) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:IVF_NPROBE]:
+            lut.extend(float(x) for x in _q9np(B[m] @ qm))
+        for cell in _nprobe_cells(centroids, r["v"]):
             probe_rows.append(
-                (r["vec_id"], int(cell), lut, [float(x) for x in qv])
+                (r["vec_id"], cell, lut, [float(x) for x in qv])
             )
     probes = spark.createDataFrame(
         probe_rows, "qid BIGINT, cell INT, lut ARRAY<DOUBLE>, qv ARRAY<DOUBLE>"
     )
 
     # ADC inside probed cells only: the cell equi-join IS the pruning —
-    # a query never meets codes outside its nprobe cells
+    # a query never meets codes outside its nprobe cells. The 8-term sum
+    # re-quantizes before ranking (engine-specific addition order).
     adc = (
         codes.join(F.broadcast(probes.select("qid", "cell", "lut")), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -876,8 +1165,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("cid"),
             F.expr(
-                f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
-                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+                f"floor(aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
+                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]]) "
+                "* 1e9 + 0.5) / 1e9"
             ).alias("ip"),
         )
     )
@@ -901,7 +1191,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(probes.select("qid", "qv").dropDuplicates(["qid"])),
             "qid",
         )
-        .select("qid", "cid", cosine("qv", "v").alias("c"))
+        .select("qid", "cid", _q9col(cosine("qv", "v")).alias("c"))
     )
     return (
         reranked.groupBy("qid")

@@ -16,15 +16,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
+# An oracle is either the duckdb SQL string itself or a zero-arg callable
+# producing it. Callables are for oracles with env-dependent constants
+# (the hot-shingle df cap): they resolve at CHECK time, so a post-import
+# env override can never make the driver gate compare a differently-
+# capped oracle against the store the Spark side actually built
+# (ADVICE r6).
+
 
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
     builder: Builder
-    oracle: str | None
+    oracle: "str | Callable[[], str] | None"
     tags: tuple[str, ...] = ()
     bench: bool = True  # include in bench.py headline timing
     doc: str = ""
+
+    def oracle_text(self) -> str | None:
+        """The oracle SQL, resolved NOW (env-dependent constants bake in
+        at check time, not import time)."""
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -32,7 +44,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def register(
     name: str,
-    oracle: str | None,
+    oracle: "str | Callable[[], str] | None",
     tags: tuple[str, ...] = (),
     bench: bool = True,
     doc: str = "",
@@ -252,7 +264,11 @@ def queries() -> dict[str, Builder]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in all_specs().items() if s.oracle is not None}
+    return {
+        n: s.oracle_text()
+        for n, s in all_specs().items()
+        if s.oracle is not None
+    }
 
 
 _LOADED = False

@@ -238,18 +238,29 @@ _MANIFEST_LOG_DIR = "_manifests"
 
 def commit_manifest(layout_dir: str, manifest: list[dict]) -> int:
     """Append ``manifest`` to the layout's version log; returns the new
-    version number. Write-temp-then-rename makes adoption atomic: a
-    concurrent reader either sees the complete v{N}.json or not at all."""
+    version number. Write-temp-then-LINK makes adoption atomic AND
+    put-if-absent: ``os.link`` fails with EEXIST if v{N}.json was
+    committed by a concurrent writer (a rename would silently clobber
+    it, violating the invariant that committed versions are immutable to
+    pinned readers), in which case the commit retries with the next
+    version number — the Delta/Iceberg optimistic-commit protocol."""
     import json
 
     log_dir = os.path.join(layout_dir, _MANIFEST_LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
-    version = (max(manifest_versions(layout_dir), default=-1)) + 1
-    tmp = os.path.join(log_dir, f".v{version}.json.tmp-{uuid.uuid4().hex[:8]}")
+    tmp = os.path.join(log_dir, f".manifest.json.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, default=str)
-    os.rename(tmp, os.path.join(log_dir, f"v{version}.json"))
-    return version
+    try:
+        version = (max(manifest_versions(layout_dir), default=-1)) + 1
+        while True:
+            try:
+                os.link(tmp, os.path.join(log_dir, f"v{version}.json"))
+                return version
+            except FileExistsError:
+                version += 1  # lost the race for this version; retry next
+    finally:
+        os.unlink(tmp)
 
 
 def manifest_versions(layout_dir: str) -> list[int]:

@@ -38,7 +38,7 @@ def main() -> None:
     for name, spec in registry.all_specs().items():
         try:
             if spec.oracle is not None:
-                r = compare(spec.builder(spark, sf_dir), con, spec.oracle)
+                r = compare(spec.builder(spark, sf_dir), con, spec.oracle_text())
                 out[name] = {
                     "rows_match": r["spark_rows"] == r["duck_rows"],
                     "schema_match": r["cols_match"],

@@ -209,14 +209,17 @@ def test_pair_count_store_shared(spark, sf_dir):
 
 def test_hot_shingle_cap_binding_matches_capped_oracle(spark, tmp_path, monkeypatch):
     """When the df cap BINDS (a shingle hotter than the cap exists), the
-    Spark pair-count store and the registered capped duckdb oracle must
-    still compute the SAME function (ADVICE r5: capped Spark vs uncapped
-    oracle diverged above the cap). Also proves the env override is read
-    at store-BUILD time, not import time: the env var is set here, long
-    after the module was imported."""
+    Spark pair-count store and the REGISTERED capped duckdb oracles must
+    still compute the SAME function, for the whole df-capped family —
+    Jaccard, containment, AND cluster-cc (ADVICE r5: capped Spark vs
+    uncapped oracle diverged above the cap). The oracles are taken
+    verbatim from the registry: since they are lazy callables (ADVICE
+    r6), the env override set HERE — long after import — must flow into
+    both the store build and the oracle text; any cap-semantics drift on
+    either side fails this test."""
     import duckdb as _duckdb
 
-    from bigdataindexing_spark.registry import queries
+    from bigdataindexing_spark.registry import all_specs
     from tests.oracle import canon_rows, duckdb_result, spark_result
 
     # six docs, all sharing the hot trigram "common common common":
@@ -237,24 +240,33 @@ def test_hot_shingle_cap_binding_matches_capped_oracle(spark, tmp_path, monkeypa
     )
     cap = 4  # hot trigram df=6 > 4 -> the cap binds
     monkeypatch.setenv("BDI_HOT_SHINGLE_DF_CAP", str(cap))
-    got_cols, got_rows = spark_result(queries()["dedup_ngram_jaccard"](spark, sf))
-
     con = _duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf}/documents.parquet/*.parquet')"
     )
-    capped_sql = (
-        dedup._SHINGLE_CAPPED_SQL.replace(
-            f"COUNT(*) > {dedup.HOT_SHINGLE_DF_CAP}", f"COUNT(*) > {cap}"
-        )
-        + dedup._JACCARD_SELECT
-    )
-    exp_cols, exp_rows = duckdb_result(con, capped_sql)
-    assert canon_rows(got_cols, got_rows) == canon_rows(exp_cols, exp_rows)
+
+    specs = all_specs()
+    results = {}
+    for name in (
+        "dedup_ngram_jaccard", "q104_containment_pairs", "dedup_cluster_cc"
+    ):
+        got_cols, got_rows = spark_result(specs[name].builder(spark, sf))
+        exp_cols, exp_rows = duckdb_result(con, specs[name].oracle_text())
+        assert canon_rows(got_cols, got_rows) == canon_rows(
+            exp_cols, exp_rows
+        ), name
+        results[name] = got_rows
+
     # the capped result is non-trivial and the cap actually bound:
     # (1,2) survives via non-hot shingles, (3,4) is dropped with the cap
-    pairs = {(r[0], r[1]) for r in got_rows}
+    pairs = {(r[0], r[1]) for r in results["dedup_ngram_jaccard"]}
     assert (1, 2) in pairs and (3, 4) not in pairs
     _, unc_rows = duckdb_result(con, dedup._JACCARD_SQL)
     assert (3, 4) in {(r[0], r[1]) for r in unc_rows}
+    # containment saw the same candidate prefilter
+    cpairs = {(r[0], r[1]) for r in results["q104_containment_pairs"]}
+    assert (3, 4) not in cpairs
+    # and the cluster graph only links the surviving pair
+    clusters = {r[0]: r[1] for r in results["dedup_cluster_cc"]}
+    assert clusters.get(2) == 1 and 3 not in clusters and 4 not in clusters

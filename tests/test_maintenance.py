@@ -301,6 +301,28 @@ def test_time_travel_vacuum_horizon_raises_not_partial(spark, sf_dir, layout):
     )
 
 
+def test_commit_manifest_put_if_absent_never_clobbers(layout, monkeypatch):
+    """Two concurrent committers can compute the same version = max+1;
+    the put-if-absent link must refuse the taken number and retry with
+    the next one — never silently overwrite a committed manifest (the
+    bytes a pinned reader plans from are immutable)."""
+    path, manifest, _li = layout
+    v0 = maintenance.commit_manifest(path, manifest)
+    content0 = maintenance.read_manifest_as_of(path, v0)
+    # simulate the race: the second committer listed the log BEFORE v0
+    # landed, so its max+1 collides with v0
+    stale = [v for v in maintenance.manifest_versions(path) if v < v0]
+    monkeypatch.setattr(maintenance, "manifest_versions", lambda d: stale)
+    v1 = maintenance.commit_manifest(path, manifest[:1])
+    monkeypatch.undo()
+    assert v1 == v0 + 1
+    assert maintenance.read_manifest_as_of(path, v0) == content0
+    assert len(maintenance.read_manifest_as_of(path, v1)) == 1
+    # the temp file never leaks, win or lose
+    log_dir = os.path.join(path, maintenance._MANIFEST_LOG_DIR)
+    assert not [n for n in os.listdir(log_dir) if n.startswith(".")]
+
+
 def test_time_travel_registry_query_contract(spark, sf_dir):
     """src_layout_time_travel: v0 < v1 == v2 row counts, and skipping
     (window_rows) composes with every version's own manifest."""

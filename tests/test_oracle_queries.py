@@ -21,7 +21,7 @@ ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
 def test_oracle_match(name, spark, duck, sf_dir):
     spec = SPECS[name]
     df = spec.builder(spark, sf_dir)
-    result = compare(df, duck, spec.oracle)
+    result = compare(df, duck, spec.oracle_text())
     assert result["match"], f"{name}: {result}"
 
 

@@ -253,6 +253,59 @@ def lsh_signature_view(spark: SparkSession, sf_dir: str) -> str:
     return view
 
 
+# Band-POSTINGS store: (tbl, bucket, members ARRAY<BIGINT>) — the
+# signature index inverted at BUILD time, one row per bucket (at most
+# LSH_TABLES x 2^LSH_PLANES_PER_TABLE = 2048 rows at ANY corpus size;
+# the member arrays grow, the row count doesn't). A serve query probes
+# its 8 buckets against this table instead of re-joining the corpus-
+# sized signature index — the Lucene postings-list layout idx_bm25_serve
+# uses, applied to LSH banding (VERDICT r6 #2).
+_POST_DIRS: dict[tuple[str, str], str] = {}
+_POST_DFS: dict[tuple[str, str], DataFrame] = {}
+_POST_VIEWS: dict[tuple[str, str], str] = {}
+
+
+def lsh_postings_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _POST_DIRS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = session_store_dir("lsh_postings")
+        (
+            lsh_signature_index(spark, sf_dir)
+            .groupBy("tbl", "bucket")
+            .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+            .repartition(1)
+            .sortWithinPartitions("tbl", "bucket")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _POST_DIRS[key] = path
+    return path
+
+
+def lsh_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _POST_DFS.get(key)
+    if df is None or df.sparkSession is not spark:
+        df = spark.read.parquet(lsh_postings_dir(spark, sf_dir))
+        _POST_DFS[key] = df
+    return df
+
+
+def lsh_postings_view(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    view = _POST_VIEWS.get(key)
+    if view is None:
+        view = f"bdi_lsh_post_{abs(hash(key)) % 10**8}"
+        lsh_postings_index(spark, sf_dir).createOrReplaceTempView(view)
+        _POST_VIEWS[key] = view
+    elif not spark.catalog.tableExists(view):  # sibling newSession()
+        lsh_postings_index(spark, sf_dir).createOrReplaceTempView(view)
+    return view
+
+
 # Full-fidelity duckdb oracle for the LSH pipeline: the hyperplanes are
 # md5-derived (cross-engine reproducible — same trick as md5_long), so the
 # ORACLE REBUILDS THE WHOLE PIPELINE IN SQL — plane weights from md5, per-
@@ -317,30 +370,53 @@ SELECT qid, neighbor_id FROM found UNION ALL SELECT qid, neighbor_id FROM fb ORD
     "hyperplane buckets, OR-construction): candidates = vectors sharing "
     "any table bucket with the query; queries whose buckets are empty fall "
     "back to brute force so the result is total. No quadratic stage; "
-    "bucket matching is an equi-join on (table, bucket) against the "
-    "signature index table, which materializes once per session "
-    "(lsh_signature_dir) — serve queries never recompute signatures. "
+    "serve probes the session band-POSTINGS store (lsh_postings_dir — "
+    "the signature index inverted at build, <= tables×2^bits rows) with "
+    "the query's bucket keys and exact-reranks only the matched member "
+    "lists — signatures are never recomputed and the corpus-sized "
+    "signature table is never re-joined at serve time. "
     "Hash-matched END TO END against a full SQL rebuild of the pipeline "
     "(md5-derived planes are engine-reproducible — see _LSH_ORACLE), so "
     "this ANN entry is oracle-checked, not just recall-bounded.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single SQL statement over the signature-index and embeddings views
-    # (one driver round-trip, tables.table_view rationale). Serve-path
-    # plan choices, each measured at sf0.1: top-1 via ``max_by(cid,
-    # struct(c, -cid))`` — one hash aggregate with partial map-side
-    # combine instead of a sort window (same (c DESC, cid ASC) tie-break
-    # as a rank-1 filter); NO distinct on the candidate pairs — a vector
-    # matching the query in several tables is scored more than once, but
-    # duplicate (qid, cid) rows carry identical c so the max is
-    # unaffected and the dedupe exchange costs more than the few repeat
-    # cosines; the query-side bucket probe is a filter on the signature
-    # index itself (vec_id < N), not a join back through the embeddings.
-    # Together: 0.58s -> 0.25s quiet-host (0.90 -> 0.48 under steal).
+    # Serve = store-probe + bounded rerank (the idx_bm25_serve pattern,
+    # VERDICT r6 #2). The query's bucket signatures are looked up DRIVER-
+    # side (a query-bounded N_QUERIES x LSH_TABLES pushed-down read of
+    # the signature store — in a real serving system the query arrives
+    # from outside and its signature is computed at the server, exactly
+    # like sim_ann_ivf's probe prep); the distributed plan probes the
+    # <=2048-row band-POSTINGS store with those literal keys, explodes
+    # the matched member lists, and joins embeddings once for the
+    # bounded rerank. ONE aggregate serves both the probed queries and
+    # the brute-force fallback: missing = queries with zero candidates,
+    # anti-joined on the CANDIDATE list (not on the aggregate's own
+    # output, which would force a second aggregate + union of results).
+    # Top-1 via max_by(cid, struct(c, -cid)) — hash aggregate with
+    # map-side partial combine, (c DESC, cid ASC) tie-break; no distinct
+    # on candidates (duplicate (qid,cid) rows carry identical c).
+    #
+    # vs the r5/r6 serve (qsig x full signature-table self-join),
+    # measured at sf0.1 with 5x-interleaved runs: exchanges 22 -> 18 and
+    # parquet scans 20 -> 12 under the audit count; wall time TIED
+    # (medians 1.35 vs 1.44 s under heavy steal, ~0.75 vs ~0.73 s on the
+    # earlier calmer run) — the local cost is the serial broadcast-job
+    # chain (~8 jobs x ~40 ms floor), not the scans. The restructure is
+    # kept for the 100 TB shape: a serve probe now touches O(bucket)
+    # postings rows instead of re-scanning the corpus-sized signature
+    # table per query.
     from bigdataindexing_spark.tables import table_view
 
     emb_view = table_view(spark, sf_dir, "embeddings")
-    sig_view = lsh_signature_view(spark, sf_dir)
+    post_view = lsh_postings_view(spark, sf_dir)
+    qsig = (
+        lsh_signature_index(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .collect()
+    )
+    probe_values = ", ".join(
+        f"({r['vec_id']}L, {r['tbl']}, {r['bucket']}L)" for r in qsig
+    )
     cos = (
         "aggregate(zip_with({q}, {v}, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
         " / (sqrt(aggregate(transform({q}, a -> a * a), 0.0D, (acc, x) -> acc + x))"
@@ -350,36 +426,27 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM {emb_view}),
         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
-        qsig AS (SELECT vec_id AS qid, tbl, bucket FROM {sig_view}
-                 WHERE vec_id < {N_QUERIES}),
+        qsig AS (SELECT * FROM VALUES {probe_values} AS t(qid, tbl, bucket)),
         cand AS (
-          SELECT qs.qid, s.vec_id FROM {sig_view} s
-          JOIN qsig qs ON s.tbl = qs.tbl AND s.bucket = qs.bucket
-          WHERE s.vec_id <> qs.qid
+          SELECT qs.qid, mem.cid
+          FROM qsig qs JOIN {post_view} p
+            ON p.tbl = qs.tbl AND p.bucket = qs.bucket
+          LATERAL VIEW explode(p.members) mem AS cid
+          WHERE mem.cid <> qs.qid
         ),
-        scored AS (
-          SELECT c.qid, c.vec_id AS cid, {cos.format(q='q.qv', v='e.v')} AS c
-          FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid
-        ),
-        found AS (
-          SELECT qid, max_by(cid, struct(c, -cid)) AS neighbor_id
-          FROM scored GROUP BY qid
-        ),
-        -- total-result fallback: brute-force any query whose buckets were
-        -- all empty (the anti side is empty on this corpus; the scan
+        -- total-result fallback: brute-force any query whose buckets
+        -- were all empty (anti side empty on this corpus; the scan
         -- behind an empty broadcast probe produces no pair rows)
-        missing AS (SELECT qid, qv FROM q LEFT ANTI JOIN found USING (qid)),
-        fbs AS (
-          SELECT m.qid, e.vec_id AS cid, {cos.format(q='m.qv', v='e.v')} AS c
-          FROM missing m JOIN e ON e.vec_id <> m.qid
-        ),
-        fb AS (
-          SELECT qid, max_by(cid, struct(c, -cid)) AS neighbor_id
-          FROM fbs GROUP BY qid
+        missing AS (SELECT qid, qv FROM q LEFT ANTI JOIN cand USING (qid)),
+        scored AS (
+          SELECT c.qid, c.cid, {cos.format(q='q.qv', v='e.v')} AS c
+          FROM cand c JOIN e ON e.vec_id = c.cid JOIN q ON q.qid = c.qid
+          UNION ALL
+          SELECT mi.qid, e.vec_id AS cid, {cos.format(q='mi.qv', v='e.v')} AS c
+          FROM missing mi JOIN e ON e.vec_id <> mi.qid
         )
-        SELECT qid, neighbor_id FROM found
-        UNION ALL SELECT qid, neighbor_id FROM fb
-        ORDER BY qid
+        SELECT qid, max_by(cid, struct(c, -cid)) AS neighbor_id
+        FROM scored GROUP BY qid ORDER BY qid
     """)
 
 

@@ -115,6 +115,7 @@ _BOUNDED_TAILS: dict[str, tuple] = {
     "q72_sql_tpch_q22": ("c_nationkey",),
     "q75_sql_tpch_q13": (("custdist", "desc"), ("c_count", "desc")),
     "q80_sql_tpch_q21": (("numwait", "desc"), "s_name"),
+    "q89_sql_tpch_q20": ("s_suppkey",),
     "q76_sql_tpch_q7": ("supp_nation", "cust_nation", "l_year"),
     "q79_sql_tpch_q15": ("s_suppkey",),
     "q85_sql_tpch_q8": ("o_year",),
@@ -488,6 +489,19 @@ _Q21 = (
 # local session, where it is a measured regression. The one residual
 # win taken: q80 joins _BOUNDED_TAILS (the ~50-row result sorts in one
 # partition instead of paying a range-sampling pass + range exchange).
+# Q20 (q89) variant sweep, measured at sf0.1, 5x interleaved A-B-C-D with
+# order reversed each round (round 7): canonical 1.11s median; staged
+# single-scan CTE (per-(suppkey,partkey) aggregate re-aggregated by
+# partkey for the half-of-total threshold, small-part IN pushed into the
+# shared scan — one lineitem pass instead of two) 1.09s; canonical +
+# bounded-sort tail 0.98s; staged + bounded 1.07s. All within host-noise
+# of each other: like Q21, the shape is floored by the serial broadcast-
+# build job chain, not the scans, so the one-scan rewrite buys nothing
+# locally (at 100 TB it would — but there the IN-chain plans as shuffle
+# joins and runtime bloom pruning restructures the plan anyway; see the
+# Q21 note above). Taken: the bounded-sort tail (_BOUNDED_TAILS entry),
+# the only variant that removes whole stages (range-sampling pass +
+# range exchange) rather than re-shuffling work between stages.
 _Q2 = (
     "SELECT p_partkey, p_name, s_name, n_name, l_extendedprice AS price "
     "FROM part JOIN lineitem ON p_partkey = l_partkey "

@@ -78,6 +78,12 @@ def _lsh_sig_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(similarity.lsh_signature_view(spark, sf_dir))
 
 
+def _lsh_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import similarity
+
+    return spark.table(similarity.lsh_postings_view(spark, sf_dir))
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.operators import similarity
 
@@ -144,6 +150,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "hll_sketch": _hll_sketch,
     "lsh_sig": _lsh_sig,
     "lsh_sig_view": _lsh_sig_view,
+    "lsh_postings": _lsh_postings,
     "pq_codes": _pq_codes,
     "maint_serve": _maint_serve,
     "maint_time_travel": _maint_time_travel,

@@ -174,76 +174,95 @@ _R05_VERIFIED = frozenset(
     }
 )
 
+# Green oracle rows from CORRECTNESS_r06.json (48 of the 50 checked
+# entries carried oracles and hashed green; sim_ann_ivfpq and
+# q32_approx_distinct were rows-only).
+_R06_VERIFIED = frozenset(
+    {
+        "dedup_ngram_jaccard_raw", "st4_stream_session",
+        "src_layout_time_travel", "txt_char_entropy", "dedup_span_align",
+        "dedup_ngram_jaccard", "q104_containment_pairs",
+        "dedup_cluster_cc", "udtf_char_shingles", "mm_decode_stats",
+        "q80_sql_tpch_q21", "dedup_delta_vs_corpus", "dedup_minhash_lsh",
+        "sim_ann_lsh", "q87_sql_tpch_q11", "q84_sql_tpch_q2",
+        "mm_binary_meta", "mm_frame_sample", "q16_union", "q17_intersect",
+        "q18_key_concat", "q19_date_extract", "q21_array_explode",
+        "q23_tumbling_window", "q24_distinct_text_count",
+        "q26_token_count", "q27_map_functions", "q30_theta_join",
+        "q31_cube", "q33_asof_join", "q40_key_parse", "q41_array_ops",
+        "q45_percentiles", "q46_pivot", "q47_ntile",
+        "q48_first_last_value", "q49_string_funcs", "q50_filtered_agg",
+        "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
+        "sim_cosine_neardup", "txt_bpe_tokens", "txt_fingerprint",
+        "txt_langid", "txt_normalize", "txt_quality_score",
+        "idx_delete_anti_join",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED
 )
 
 
-# Round-6 window. The driver checks the FIRST ~50 entries of queries() in
-# order. Priority tier 1: new entries and entries whose builder or oracle
-# CHANGED in round 6 (ADVICE r5 cap-parity + VERDICT r5 tasks) — a green
-# row from a prior round no longer evidences changed code; plus the
-# entries VERDICT r5 #9 asked to lead with. Tier 2: greens that have gone
-# the LONGEST without a driver re-check (last checked round 1). The 18
-# contract-only entries got rows-only checks in BOTH r04 and r05 and each
-# carries a pytest contract; they rotate out this round to make window
-# room for the stale oracle greens.
-_R06_PRIORITY = (
-    "dedup_ngram_jaccard_raw",  # NEW: from-raw uncapped exact-Jaccard
-                                # bench baseline (ADVICE r5)
-    "st4_stream_session",       # NEW: true streaming session_window,
-                                # full SQL oracle (VERDICT r5 #5)
-    "src_layout_time_travel",   # NEW: versioned-manifest snapshot reads,
-                                # full SQL oracle (X24)
-    "txt_char_entropy",         # NEW: per-doc character Shannon entropy
-    "sim_ann_ivfpq",            # NEW: IVF-PQ composite (rows-only; recall
-                                # contract in pytest)
-    "dedup_span_align",         # NEW: span alignment for flagged pairs,
-                                # full SQL oracle (X26)
-    "dedup_ngram_jaccard",      # oracle now df-capped (parity fix)
-    "q104_containment_pairs",   # oracle now df-capped (parity fix)
-    "dedup_cluster_cc",         # pair-graph CTE now df-capped
-    "udtf_char_shingles",       # session-cached input view + one-time
-                                # UDTF registration (VERDICT r5 #6)
-    "mm_decode_stats",          # bounded-inflate decode path (ADVICE r5
-                                # decompression-bomb guard)
-    "q80_sql_tpch_q21",         # plan work this round (VERDICT r5 #3)
-    "dedup_delta_vs_corpus",    # r5 bench regression re-measured
-                                # (VERDICT r5 #2)
-    # VERDICT r5 #9 rotation asks (touched in r5, keep one more round)
-    "dedup_minhash_lsh", "sim_ann_lsh", "q87_sql_tpch_q11",
-    "q84_sql_tpch_q2", "mm_binary_meta", "mm_frame_sample",
+# Round-7 window (VERDICT r6 #8). The driver checks the FIRST ~50
+# entries of queries() in order. Priority tier 1: everything round 7
+# TOUCHED — the three trained-ANN entries that gained full hash oracles
+# (the round's headline), the restructured sim_ann_lsh serve, the new
+# vacuum-horizon lifecycle, the q89 bounded tail, the lazily-resolved
+# capped dedup oracles, and the layout entries whose commit path gained
+# put-if-absent. Tier 2: the r03-window greens never re-checked since
+# round 3, then the contract-only entries rotated back in after sitting
+# out round 6 (each also carries a pytest contract).
+_R07_PRIORITY = (
+    "sim_ann_ivf",              # NEW full hash oracle (k-means rebuilt
+                                # in SQL under the 1e-9 quantization
+                                # contract — VERDICT r6 #1)
+    "sim_ann_pq",               # NEW full hash oracle (codebooks + ADC)
+    "sim_ann_ivfpq",            # NEW full hash oracle (composite)
+    "sim_ann_lsh",              # serve restructured onto the band-
+                                # postings store (VERDICT r6 #2)
+    "src_layout_vacuum_horizon",  # NEW: vacuum past retention in the
+                                # registered lifecycle (VERDICT r6 #6)
+    "q89_sql_tpch_q20",         # bounded-sort tail (VERDICT r6 #4)
+    "dedup_ngram_jaccard",      # oracle now resolves the df cap lazily
+    "q104_containment_pairs",   # (ADVICE r6) — re-evidence all four
+    "dedup_cluster_cc",
+    "dedup_span_align",
+    "src_layout_maintenance",   # commit_manifest now put-if-absent
+    "src_layout_time_travel",   # (ADVICE r6)
 )
 
-# Oldest-first re-checks: greens whose last driver check was round 1,
-# then the round-2 cohort as window room allows.
-_R06_RECHECK = (
-    "q16_union", "q17_intersect", "q18_key_concat", "q19_date_extract",
-    "q21_array_explode", "q23_tumbling_window", "q24_distinct_text_count",
-    "q26_token_count", "q27_map_functions", "q30_theta_join", "q31_cube",
-    "q32_approx_distinct", "q33_asof_join", "q40_key_parse",
-    "q41_array_ops", "q45_percentiles", "q46_pivot", "q47_ntile",
-    "q48_first_last_value", "q49_string_funcs", "q50_filtered_agg",
-    "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
-    "sim_cosine_neardup", "txt_bpe_tokens", "txt_fingerprint",
-    "txt_langid", "txt_normalize", "txt_quality_score",
-    # round-2 cohort (next oldest)
-    "idx_delete_anti_join", "idx_phrase_query", "idx_term_lookup",
-    "idx_top_terms", "q28_sliding_window", "q29_session_window",
-    "q34_sql_tpch_q3", "q35_sql_tpch_q5", "q36_sql_exists",
-    "q37_sql_having",
+# Oldest-first re-checks: greens whose last driver check was round 3,
+# then the contract-only entries (rows-only) as window room allows.
+_R07_RECHECK = (
+    "q56_sql_recursive_cte", "q57_sql_lateral_topk",
+    "q63_embedding_centroid", "q64_sql_tpch_q10", "q65_sql_tpch_q12",
+    "q66_sql_tpch_q14", "q70_event_funnel", "q71_cohort_retention",
+    "q72_sql_tpch_q22", "q74_sql_tpch_q6", "q75_sql_tpch_q13",
+    "q76_sql_tpch_q7", "q77_sql_tpch_q17", "q78_sql_tpch_q19",
+    "q79_sql_tpch_q15", "q85_sql_tpch_q8", "q86_sql_tpch_q9",
+    "q88_sql_tpch_q16", "q91_centroid_outliers", "q95_profile_columns",
+    "q97_chunk_windows", "st8_stream_stream_join", "st9_stream_lsh_dedup",
+    "q98_sequence_pack_sharded", "q99_budget_select_sharded",
+    "q67_sequence_pack", "q90_budget_select", "q39_salted_agg",
+    # contract-only rows (rows-only driver check; pytest-contract-backed)
+    # rotated back in after sitting out round 6
+    "doc_roundtrip", "doc_validation_quarantine", "doc_merge_contract",
+    "doc_replace_contract", "doc_cascade_delete", "doc_etag",
+    "doc_precondition", "doc_schema_inference", "search_match",
+    "search_wildcard",
 )
 
-_R06_DEFER = frozenset()
+_R07_DEFER = frozenset()
 
-_PIN_POS = {n: i for i, n in enumerate(_R06_PRIORITY + _R06_RECHECK)}
+_PIN_POS = {n: i for i, n in enumerate(_R07_PRIORITY + _R07_RECHECK)}
 
 
 def _driver_tier(spec: QuerySpec) -> tuple[int, int]:
     if spec.name in _PIN_POS:
         return (0, _PIN_POS[spec.name])
-    if spec.name in _R06_DEFER:
+    if spec.name in _R07_DEFER:
         return (2, -1)  # ahead of no-oracle contracts, behind the window
     if spec.name in _DRIVER_VERIFIED:
         return (3, 0)

@@ -466,6 +466,71 @@ def _register() -> None:
             out = out.unionAll(p)
         return bounded_sort(out, "version")
 
+    @register(
+        "src_layout_vacuum_horizon",
+        oracle=(
+            "SELECT CAST(0 AS BIGINT) AS version, true AS readable, "
+            "CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 5 <> 0) "
+            "AS BIGINT) AS total_rows, "
+            "CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 5 <> 0) "
+            "AS BIGINT) AS scanned_rows "
+            "UNION ALL SELECT CAST(1 AS BIGINT), false, "
+            "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT), "
+            "CAST(NULL AS BIGINT) "
+            "UNION ALL SELECT CAST(2 AS BIGINT), true, "
+            "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT), "
+            "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) "
+            "ORDER BY version"
+        ),
+        tags=("source", "layout", "maintenance", "ops", "serve"),
+        doc="The vacuum side of the time-travel trade (VERDICT r6 #6 — "
+        "src_layout_time_travel deliberately defers it): the same "
+        "v0 base / v1 append / v2 compact lifecycle, then VACUUM "
+        "reclaims the compaction's superseded files, pushing v1 past "
+        "the retention horizon. Per version the query reports: "
+        "total_rows served from the surviving manifest log (count-from-"
+        "stats works for EVERY version, vacuumed or not — the log is "
+        "never reclaimed), whether the snapshot is still readable, and "
+        "the actual scan count for readable versions (NULL for v1 — "
+        "read_layout_snapshot raises rather than partial-reads, the "
+        "loud-read guarantee driven here through the registered "
+        "surface instead of only pytest). v0 stays readable (only the "
+        "appended delta files were compacted away), v2 is the live "
+        "snapshot.",
+    )
+    def src_layout_vacuum_horizon(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        path, versions, snaps = _vacuumed_layout(spark, sf_dir)
+        parts = []
+        for v, snap in zip(versions, snaps):
+            total = sum(
+                m["num_rows"] for m in read_manifest_as_of(path, v)
+            )
+            if snap is None:
+                parts.append(
+                    spark.range(1).select(
+                        F.lit(v).cast("long").alias("version"),
+                        F.lit(False).alias("readable"),
+                        F.lit(total).cast("long").alias("total_rows"),
+                        F.lit(None).cast("long").alias("scanned_rows"),
+                    )
+                )
+            else:
+                parts.append(
+                    snap.select(F.count(F.lit(1)).alias("scanned_rows"))
+                    .select(
+                        F.lit(v).cast("long").alias("version"),
+                        F.lit(True).alias("readable"),
+                        F.lit(total).cast("long").alias("total_rows"),
+                        "scanned_rows",
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return bounded_sort(out, "version")
+
 
 # (applicationId, sf_dir) -> (layout_dir, [versions], [(snapshot_df,
 # window_df) per version]) for the versioned (non-vacuumed) time-travel
@@ -533,6 +598,79 @@ def _snapshot_relations(spark: SparkSession, layout_dir: str, version: int):
     snap = read_layout_snapshot(spark, manifest)
     keep = manifest_keep(manifest, MAINT_LO, MAINT_HI)
     return snap, spark.read.parquet(*keep)
+
+
+# (applicationId, sf_dir) -> (layout_dir, [versions], [snapshot_df|None])
+# for the VACUUMED time-travel layout: same v0 base / v1 append / v2
+# compact lifecycle as _time_travel_layout, then vacuum reclaims the
+# compaction's superseded files — v1 (which references the compacted-away
+# delta files) falls past the retention horizon while v0 (base files
+# only, none superseded: compaction takes strictly-smaller-than-minimum
+# files, and the delta's 2 files each hold ~half a base file's rows) and
+# v2 stay readable. Built once per session; None marks an unreadable
+# snapshot.
+_VACUUMED: dict[tuple[str, str], tuple] = {}
+
+
+def _vacuumed_layout(spark: SparkSession, sf_dir: str):
+    from bigdataindexing_spark.sources.store_dirs import session_store_dir
+    from bigdataindexing_spark.tables import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VACUUMED.get(key)
+    live = [s for s in cached[2] if s is not None] if cached else []
+    if cached is not None and live and live[0].sparkSession is spark:
+        return cached
+    if cached is not None:
+        path, versions, stale = cached
+        snaps = [
+            None if s is None else read_layout_snapshot(
+                spark, read_manifest_as_of(path, v)
+            )
+            for v, s in zip(versions, stale)
+        ]
+        _VACUUMED[key] = (path, versions, snaps)
+        return _VACUUMED[key]
+    path = session_store_dir("maint_vacuum")
+    li = table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    (
+        base.repartitionByRange(4, F.col("l_shipdate"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest = [
+        r.asDict()
+        for r in file_stats_manifest(
+            spark, _layout_files(path), "l_shipdate", "date"
+        ).collect()
+    ]
+    v0 = commit_manifest(path, manifest)
+    small = min(m["num_rows"] for m in manifest)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    manifest = append_to_layout(
+        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    )
+    v1 = commit_manifest(path, manifest)
+    manifest, superseded = compact_layout(
+        spark, path, manifest, "l_shipdate", "date",
+        small_rows=small, target_files=1,
+    )
+    v2 = commit_manifest(path, manifest)
+    # VACUUM past retention — the step _time_travel_layout defers. The
+    # manifests survive (the log is never vacuumed, so count-from-stats
+    # still serves every version); only v1's FILES are reclaimed.
+    vacuum_layout(path, manifest, superseded)
+    snaps = []
+    for v in (v0, v1, v2):
+        try:
+            snaps.append(
+                read_layout_snapshot(spark, read_manifest_as_of(path, v))
+            )
+        except FileNotFoundError:
+            snaps.append(None)
+    _VACUUMED[key] = (path, [v0, v1, v2], snaps)
+    return _VACUUMED[key]
 
 
 _register()

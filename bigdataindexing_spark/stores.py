@@ -107,6 +107,14 @@ def _maint_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maint_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import maintenance
+
+    path, versions, snaps = maintenance._vacuumed_layout(spark, sf_dir)
+    live = [s for s in snaps if s is not None]
+    return live[-1]  # the current (post-vacuum) snapshot
+
+
 def _clustered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import skipping
 
@@ -154,6 +162,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "pq_codes": _pq_codes,
     "maint_serve": _maint_serve,
     "maint_time_travel": _maint_time_travel,
+    "maint_vacuum": _maint_vacuum,
     "clustered_lineitem": _clustered_lineitem,
     "zorder_lineitem": _zorder_lineitem,
     "rollup_hourly": _rollup_hourly,

@@ -338,6 +338,31 @@ def test_time_travel_registry_query_contract(spark, sf_dir):
     assert 0 < rows[0]["window_rows"] < rows[0]["total_rows"]
 
 
+def test_vacuum_horizon_registry_query_contract(spark, sf_dir):
+    """src_layout_vacuum_horizon: after the registered lifecycle's vacuum,
+    v1 is unreadable (NULL scan, loud raise underneath), v0/v2 scan
+    counts equal their manifest-stats totals, and the version log itself
+    survives vacuum (total_rows served for every version)."""
+    from bigdataindexing_spark.registry import queries
+
+    rows = {r["version"]: r for r in queries()["src_layout_vacuum_horizon"](
+        spark, sf_dir
+    ).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1]["readable"] is False and rows[1]["scanned_rows"] is None
+    for v in (0, 2):
+        assert rows[v]["readable"] is True
+        assert rows[v]["scanned_rows"] == rows[v]["total_rows"]
+    assert rows[0]["total_rows"] < rows[1]["total_rows"]
+    assert rows[1]["total_rows"] == rows[2]["total_rows"]
+    # the raise is real, not just a flag: pinning v1 must fail loudly
+    path, versions, _snaps = maintenance._vacuumed_layout(spark, sf_dir)
+    with pytest.raises(FileNotFoundError):
+        maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, versions[1])
+        )
+
+
 def test_manifest_json_roundtrip_prunes_identically(spark, sf_dir, layout):
     """The version log serializes manifests to JSON (dates become ISO
     strings). Pruning over a log-loaded manifest must keep exactly the

@@ -310,10 +310,11 @@ def main() -> None:
 def _index_build_bench(spark, sf_dir: str) -> dict:
     """Wall-clock for the full inverted-index build (term_rows + postings
     written to Parquet) on both engines at the benched sf — best of five
-    runs each, the same policy the per-query timings use (a single cold
-    Spark run pays one-time codegen/committer costs the steady-state
-    build never sees; five samples because this host's steal bursts can
-    inflate three consecutive sub-second runs at once)."""
+    runs each, INTERLEAVED spark/duckdb per round so both engines sample
+    the same host weather (VERDICT r6 #7: five consecutive runs of one
+    engine can all land in the same steal burst, and the duckdb side
+    alone swings 0.18-0.22 s run to run with the wind; the per-query
+    suite has interleaved since round 4 for exactly this reason)."""
     import shutil
     import tempfile
 
@@ -324,7 +325,13 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
 
     docs = spread(table(spark, sf_dir, "documents"))
     n_docs = docs.count()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
     spark_sec = float("inf")
+    duck_sec = float("inf")
     for _ in range(5):
         out_dir = tempfile.mkdtemp(prefix="bdi_index_bench_")
         try:
@@ -334,13 +341,6 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
-    )
-    duck_sec = float("inf")
-    for _ in range(5):
         duck_dir = tempfile.mkdtemp(prefix="bdi_index_duck_")
         try:
             t0 = time.perf_counter()
@@ -369,6 +369,8 @@ def _index_build_bench(spark, sf_dir: str) -> dict:
         "spark_docs_per_sec": round(n_docs / spark_sec, 1),
         "duckdb_docs_per_sec": round(n_docs / duck_sec, 1),
         "ratio": round(spark_sec / duck_sec, 2),
+        "methodology": "best-of-5 per engine, spark/duckdb interleaved "
+        "per round (same host weather for both sides)",
     }
 
 

@@ -1,0 +1,295 @@
+"""Mergeable-sketch operators: Bloom-filter decontamination and
+count-min-sketch heavy hitters (SURVEY.md §2.9 extensions X27/X28).
+
+Sketches are the 100 TB answer when the exact structure doesn't fit:
+
+- q81_decontaminate holds the full eval shingle SET on the join's build
+  side — fine while benchmarks are small, impossible when the blocklist
+  is billions of entries. The BLOOM variant compresses the eval set to a
+  fixed M-bit mask (8 KiB here; a few GiB in production) that broadcasts
+  to every executor and probes as a row-local expression inside the scan
+  stage — no join, no shuffle, and the one-sided error is exactly the
+  direction decontamination wants (never a false NEGATIVE: a truly
+  contaminated document always hits).
+- Exact token counts need a full shuffle of the long tail; the COUNT-MIN
+  sketch caps the state at D×W counters that merge by addition (map-side
+  partial → tiny exchange), overestimating only via hash collisions.
+
+Both sketches hash with the md5_long trick (functions/text.py), so the
+registered duckdb oracles rebuild bitset and counters END TO END in SQL
+and the driver hash-gates the sketch CONTENTS, not just a property.
+Like every approximate operator here, pytest additionally pins the
+approximation guarantee itself (no-false-negative / overestimate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
+from bigdataindexing_spark.tables import bounded_sort, table_view
+
+# --- Bloom-filter decontamination -------------------------------------------
+
+BLOOM_N = 5            # shingle width (q81_decontaminate parity)
+BLOOM_M = 1 << 16      # filter bits (8 KiB mask)
+BLOOM_K = 4            # hash functions
+# Spark/duckdb twin fragments for hash i of shingle s: 60-bit md5
+# prefix mod M (md5_long's cross-engine recipe).
+_POS_SPARK = (
+    "CAST(conv(substr(md5(concat({s}, '_', CAST({i} AS STRING))), 1, 15), "
+    f"16, 10) AS BIGINT) % {BLOOM_M}"
+)
+_POS_DUCK = (
+    "CAST('0x' || substr(md5({s} || '_' || CAST({i} AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % {BLOOM_M}"
+)
+
+_SHINGLE_SPARK = (
+    "explode(array_distinct(transform("
+    f"sequence(1, size(t) - {BLOOM_N - 1}), "
+    f"i -> array_join(slice(t, i, {BLOOM_N}), ' '))))"
+)
+
+# (applicationId, sf_dir) -> the M-bit mask as M/64 longs. A driver-side
+# list, not a DataFrame: the collect is M-bounded (1024 rows) — the
+# fixed sketch size, NOT data-proportional — and the mask re-broadcasts
+# per query as a 1-row literal frame, so there is no session-bound
+# DataFrame handle to go stale (the ADVICE-r4 hazard class).
+_BLOOM_MASKS: dict[tuple[str, str], list[int]] = {}
+
+
+def bloom_mask(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Build (once per session) the Bloom bitset over the eval split's
+    distinct shingles: one aggregation jobs the bit positions into
+    M/64 bit-or'd words; absent words are zero."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    mask = _BLOOM_MASKS.get(key)
+    if mask is not None:
+        return mask
+    docs = table_view(spark, sf_dir, "documents")
+    rows = spark.sql(f"""
+        WITH ev AS (
+          SELECT DISTINCT {_SHINGLE_SPARK} AS s
+          FROM (SELECT split(lower(text), ' ') AS t FROM {docs}
+                WHERE doc_id % 97 = 0)
+          WHERE size(t) >= {BLOOM_N}
+        ),
+        pos AS (
+          SELECT explode(transform(sequence(0, {BLOOM_K - 1}),
+                 i -> {_POS_SPARK.format(s='s', i='i')})) AS p
+          FROM ev
+        )
+        SELECT CAST(p DIV 64 AS INT) AS word,
+               CAST(bit_or(shiftleft(CAST(1 AS BIGINT),
+                                     CAST(p % 64 AS INT))) AS BIGINT) AS bits
+        FROM pos GROUP BY word
+    """).collect()
+    mask = [0] * (BLOOM_M // 64)
+    for r in rows:
+        mask[r["word"]] = r["bits"]
+    _BLOOM_MASKS[key] = mask
+    return mask
+
+
+_BLOOM_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+             FROM documents),
+sh AS (SELECT doc_id, lang,
+              list_distinct(list_transform(range(0, len(t) - {BLOOM_N - 1}),
+                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                     t[i+4] || ' ' || t[i+5])) AS ss
+       FROM tok WHERE len(t) >= {BLOOM_N}),
+d AS (SELECT doc_id, lang, UNNEST(ss) AS s FROM sh),
+ks AS (SELECT UNNEST(range(0, {BLOOM_K})) AS i),
+evpos AS (
+  SELECT DISTINCT {_POS_DUCK.format(s='s', i='i')} AS p
+  FROM (SELECT DISTINCT s FROM d WHERE doc_id % 97 = 0) ev CROSS JOIN ks),
+probe AS (
+  SELECT doc_id, lang, s, i, {_POS_DUCK.format(s='s', i='i')} AS p
+  FROM d CROSS JOIN ks WHERE doc_id % 97 <> 0),
+hit AS (
+  SELECT doc_id, lang, s FROM probe JOIN evpos USING (p)
+  GROUP BY doc_id, lang, s HAVING COUNT(DISTINCT i) = {BLOOM_K}),
+per AS (SELECT doc_id, lang, COUNT(*) AS n_hits FROM hit
+        GROUP BY doc_id, lang)
+SELECT lang, COUNT(*) AS flagged_docs,
+       CAST(SUM(n_hits) AS BIGINT) AS hit_shingles
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "dedup_bloom_decontaminate",
+    oracle=_BLOOM_ORACLE,
+    tags=("dedup", "decontamination", "pipeline", "serve"),
+    doc="Bloom-filter decontamination (X27): the eval split's distinct "
+    f"{BLOOM_N}-gram shingles compress into a {BLOOM_M}-bit / "
+    f"{BLOOM_K}-hash Bloom mask built once per session (one aggregation "
+    "to M/64 bit-or'd words, an M-bounded driver collect); the serve "
+    "query broadcasts the mask as a 1-row literal frame and flags "
+    "training documents whose shingles hit all K bits — a row-local "
+    "forall over element_at/shiftleft inside the scan stage, NO join "
+    "and NO shuffle until the per-lang rollup. One-sided error by "
+    "construction: every truly contaminated document is flagged (pytest "
+    "pins bloom-flags ⊇ exact-flags vs q81's semantics); false "
+    "positives are hash collisions the oracle reproduces exactly, since "
+    "the bitset is md5-derived and rebuilt END TO END in duckdb SQL. "
+    "At 100 TB this is the shape that survives when the blocklist no "
+    "longer fits a broadcast hash set: the mask is fixed-size, "
+    "executors never exchange eval data, and the filter runs at scan "
+    "throughput.",
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table_view(spark, sf_dir, "documents")
+    mask = bloom_mask(spark, sf_dir)
+    mask_df = spark.createDataFrame([(mask,)], "mask ARRAY<BIGINT>")
+    mask_df.createOrReplaceTempView("bdi_bloom_mask")
+    out = spark.sql(f"""
+        WITH d AS (
+          SELECT doc_id, lang, {_SHINGLE_SPARK} AS s
+          FROM (SELECT doc_id, lang, split(lower(text), ' ') AS t
+                FROM {docs} WHERE doc_id % 97 != 0)
+          WHERE size(t) >= {BLOOM_N}
+        ),
+        hit AS (
+          SELECT /*+ BROADCAST(m) */ doc_id, lang
+          FROM d CROSS JOIN bdi_bloom_mask m
+          WHERE forall(
+            transform(sequence(0, {BLOOM_K - 1}),
+                      i -> {_POS_SPARK.format(s='s', i='i')}),
+            p -> (element_at(m.mask, CAST(p DIV 64 AS INT) + 1)
+                  & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)
+        ),
+        per AS (
+          SELECT doc_id, lang, COUNT(1) AS n_hits
+          FROM hit GROUP BY doc_id, lang
+        )
+        SELECT lang, COUNT(1) AS flagged_docs,
+               SUM(n_hits) AS hit_shingles
+        FROM per GROUP BY lang
+    """)
+    return bounded_sort(out, "lang")
+
+
+# --- Count-min-sketch heavy hitters ------------------------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # counters per row
+CMS_TOP = 20   # heavy hitters reported
+
+_CMS_POS_SPARK = (
+    "CAST(conv(substr(md5(concat({t}, '#', CAST({d} AS STRING))), 1, 15), "
+    f"16, 10) AS BIGINT) % {CMS_W}"
+)
+_CMS_POS_DUCK = (
+    "CAST('0x' || substr(md5({t} || '#' || CAST({d} AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % {CMS_W}"
+)
+
+# (applicationId, sf_dir) -> parquet dir of the (d, w, cnt) counter table
+_CMS_DIRS: dict[tuple[str, str], str] = {}
+_CMS_VIEWS: dict[tuple[str, str], str] = {}
+
+
+def cms_counters_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per session) the CMS counter table: every token
+    occurrence increments one counter per hash row; counters merge by
+    addition, so the build is one partial-aggregating shuffle whose
+    output is AT MOST D×W rows regardless of corpus size."""
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _CMS_DIRS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = session_store_dir("cms_counters")
+        docs = table_view(spark, sf_dir, "documents")
+        spark.sql(f"""
+            WITH tok AS (
+              SELECT explode(split(lower(text), ' ')) AS t FROM {docs}
+            ),
+            pos AS (
+              SELECT d, {_CMS_POS_SPARK.format(t='t', d='d')} AS w
+              FROM tok
+              LATERAL VIEW explode(sequence(0, {CMS_D - 1})) dd AS d
+              WHERE t != ''
+            )
+            SELECT d, w, COUNT(1) AS cnt FROM pos GROUP BY d, w
+        """).repartition(1).sortWithinPartitions("d", "w").write.mode(
+            "overwrite"
+        ).parquet(path)
+        _CMS_DIRS[key] = path
+    return path
+
+
+def cms_counters_view(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    view = _CMS_VIEWS.get(key)
+    if view is None:
+        view = f"bdi_cms_{abs(hash(key)) % 10**8}"
+        spark.read.parquet(cms_counters_dir(spark, sf_dir)).createOrReplaceTempView(view)
+        _CMS_VIEWS[key] = view
+    elif not spark.catalog.tableExists(view):  # sibling newSession()
+        spark.read.parquet(cms_counters_dir(spark, sf_dir)).createOrReplaceTempView(view)
+    return view
+
+
+_CMS_ORACLE = f"""
+WITH tok AS (SELECT UNNEST(string_split(lower(text), ' ')) AS t
+             FROM documents),
+cnts AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+ds AS (SELECT UNNEST(range(0, {CMS_D})) AS d),
+cms AS (
+  SELECT d, {_CMS_POS_DUCK.format(t='t', d='d')} AS w,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM cnts CROSS JOIN ds GROUP BY 1, 2),
+top AS (SELECT t, c FROM cnts ORDER BY c DESC, t LIMIT {CMS_TOP}),
+probe AS (
+  SELECT top.t, top.c, ds.d, {_CMS_POS_DUCK.format(t='top.t', d='ds.d')} AS w
+  FROM top CROSS JOIN ds)
+SELECT p.t AS token, CAST(p.c AS BIGINT) AS true_cnt,
+       MIN(cms.cnt) AS cms_cnt
+FROM probe p JOIN cms ON cms.d = p.d AND cms.w = p.w
+GROUP BY p.t, p.c ORDER BY true_cnt DESC, token
+"""
+
+
+@register(
+    "txt_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    tags=("text", "sketch", "serve"),
+    doc=f"Count-min-sketch heavy hitters (X28): a {CMS_D}×{CMS_W} "
+    "counter table built once per session (every token occurrence "
+    "increments one md5-derived counter per hash row; counters merge by "
+    "ADDITION, so the build partial-aggregates map-side and the "
+    "exchange carries at most D×W rows — fixed state where an exact "
+    "token count shuffles the whole long tail). The serve query takes "
+    f"the true top-{CMS_TOP} tokens and reports each one's exact count "
+    "next to its sketch estimate (min over the D probed counters — a "
+    "broadcast join against the 4096-row counter store). "
+    "cms_cnt >= true_cnt ALWAYS (pytest pins the overestimate "
+    "guarantee); the estimates themselves are hash-gated because the "
+    "md5 counter layout rebuilds exactly in duckdb SQL. At 100 TB the "
+    "sketch is how per-shard token statistics merge into corpus "
+    "statistics without re-touching the data: sum the D×W tables.",
+)
+def txt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table_view(spark, sf_dir, "documents")
+    cms = cms_counters_view(spark, sf_dir)
+    out = spark.sql(f"""
+        WITH tok AS (
+          SELECT explode(split(lower(text), ' ')) AS t FROM {docs}
+        ),
+        cnts AS (SELECT t, COUNT(1) AS c FROM tok WHERE t != '' GROUP BY t),
+        top AS (SELECT t, c FROM cnts ORDER BY c DESC, t LIMIT {CMS_TOP}),
+        probe AS (
+          SELECT t, c, d, {_CMS_POS_SPARK.format(t='t', d='d')} AS w
+          FROM top LATERAL VIEW explode(sequence(0, {CMS_D - 1})) dd AS d
+        )
+        SELECT p.t AS token, p.c AS true_cnt, MIN(cm.cnt) AS cms_cnt
+        FROM probe p JOIN {cms} cm ON cm.d = p.d AND cm.w = p.w
+        GROUP BY p.t, p.c
+    """)
+    return bounded_sort(out, F.col("true_cnt").desc(), "token")

@@ -215,6 +215,10 @@ _DRIVER_VERIFIED = (
 # round 3, then the contract-only entries rotated back in after sitting
 # out round 6 (each also carries a pytest contract).
 _R07_PRIORITY = (
+    "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
+                                # (X27), full hash oracle
+    "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy
+                                # hitters (X28), full hash oracle
     "sim_ann_ivf",              # NEW full hash oracle (k-means rebuilt
                                 # in SQL under the 1e-9 quantization
                                 # contract — VERDICT r6 #1)
@@ -310,6 +314,7 @@ def _ensure_loaded() -> None:
         pipeline,
         udtf_ops,
         behavioral,
+        sketches,
     )
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401

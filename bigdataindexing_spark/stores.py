@@ -91,6 +91,12 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import sketches
+
+    return spark.table(sketches.cms_counters_view(spark, sf_dir))
+
+
 def _maint_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import maintenance
 
@@ -160,6 +166,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "lsh_sig_view": _lsh_sig_view,
     "lsh_postings": _lsh_postings,
     "pq_codes": _pq_codes,
+    "cms_counters": _cms_counters,
     "maint_serve": _maint_serve,
     "maint_time_travel": _maint_time_travel,
     "maint_vacuum": _maint_vacuum,

@@ -306,6 +306,42 @@ def lsh_postings_view(spark: SparkSession, sf_dir: str) -> str:
     return view
 
 
+# --- Incremental ANN index maintenance ---------------------------------------
+# Base postings over 90% of the corpus (vec_id % 10 != 7), built once per
+# session; the remaining 10% plays the arriving batch. The upsert merges
+# the DELTA's band postings into the base store with one full-outer join
+# on (tbl, bucket) + row-local sorted-concat — index maintenance cost
+# scales with the delta (signature pass over new vectors only + a
+# 2048-row-bounded merge), never a corpus re-sign. The registered result
+# is the merged postings table itself, hash-gated against a from-scratch
+# SQL rebuild over ALL vectors — the incremental ≡ batch proof, the same
+# contract idx_postings_merge carries for the inverted text index.
+_BASE_POST_DIRS: dict[tuple[str, str], str] = {}
+
+
+def lsh_base_postings_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BASE_POST_DIRS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = session_store_dir("lsh_base_postings")
+        base = spread(table(spark, sf_dir, "embeddings"), heavy=True).filter(
+            F.col("vec_id") % 10 != 7
+        )
+        (
+            lsh_signatures(base, 64)
+            .groupBy("tbl", "bucket")
+            .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+            .repartition(1)
+            .sortWithinPartitions("tbl", "bucket")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _BASE_POST_DIRS[key] = path
+    return path
+
+
 # Full-fidelity duckdb oracle for the LSH pipeline: the hyperplanes are
 # md5-derived (cross-engine reproducible — same trick as md5_long), so the
 # ORACLE REBUILDS THE WHOLE PIPELINE IN SQL — plane weights from md5, per-
@@ -316,8 +352,10 @@ def lsh_postings_view(spark: SparkSession, sf_dir: str) -> str:
 # decision must match. Float risk is confined to sign(dot) at |dot|≈0 —
 # with 64 ±0.5-weight terms the dot is O(1), so an engine-order rounding
 # flip is measure-zero (verified identical at all three SFs).
-_LSH_ORACLE = f"""
-WITH w AS (
+# Shared signature-rebuild CTEs (w/e/bits/sig): plane weights from md5,
+# per-vector bucket bits via list_dot_product — consumed by _LSH_ORACLE
+# and the index-upsert oracle below.
+_SIG_CTES = f"""w AS (
   SELECT p, list(CAST('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15) AS BIGINT)
                  / pow(2.0, 60) * 2.0 - 1.0 ORDER BY d) AS wv
   FROM (SELECT UNNEST(range(0, {LSH_TABLES * LSH_PLANES_PER_TABLE})) AS p)
@@ -333,7 +371,10 @@ bits AS (
 sig AS (
   SELECT vec_id, tbl, CAST(SUM(bit * CAST(pow(2.0, pl) AS BIGINT)) AS BIGINT) AS bucket
   FROM bits GROUP BY vec_id, tbl
-),
+)"""
+
+_LSH_ORACLE = f"""
+WITH {_SIG_CTES},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
 qsig AS (SELECT s.vec_id AS qid, s.tbl, s.bucket FROM sig s JOIN q ON s.vec_id = q.qid),
 cand AS (
@@ -448,6 +489,59 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT qid, max_by(cid, struct(c, -cid)) AS neighbor_id
         FROM scored GROUP BY qid ORDER BY qid
     """)
+
+
+@register(
+    "sim_ann_index_upsert",
+    oracle="WITH " + _SIG_CTES + " "
+    "SELECT tbl, bucket, COUNT(*) AS n_members, "
+    "list_sort(list(vec_id)) AS members "
+    "FROM sig GROUP BY tbl, bucket ORDER BY tbl, bucket",
+    tags=("similarity", "index", "serve"),
+    doc="Incremental ANN index maintenance: a batch of new vectors "
+    "(vec_id % 10 = 7 plays the arrival) upserts into the session base "
+    "band-postings store via ONE full-outer join on (tbl, bucket) with "
+    "row-local sorted-concat of the member lists — maintenance cost is "
+    "a signature pass over the DELTA plus a bucket-count-bounded merge "
+    "(<= tables×2^bits rows), never a corpus re-sign. The registered "
+    "result is the merged postings table itself, hash-gated against a "
+    "from-scratch SQL rebuild over ALL vectors (md5-derived planes, see "
+    "_SIG_CTES) — the incremental ≡ batch contract idx_postings_merge "
+    "carries for the text index, applied to the ANN serving layer. At "
+    "100 TB this is how the LSH index tracks an append-only corpus: "
+    "nightly deltas fold into bucket postings partitioned by (tbl, "
+    "bucket), and serve queries (sim_ann_lsh) probe the merged store.",
+)
+def sim_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.read.parquet(lsh_base_postings_dir(spark, sf_dir))
+    delta = spread(table(spark, sf_dir, "embeddings"), heavy=True).filter(
+        F.col("vec_id") % 10 == 7
+    )
+    dpost = (
+        lsh_signatures(delta, 64)
+        .groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("d_members"))
+    )
+    merged = (
+        base.join(dpost, ["tbl", "bucket"], "full_outer")
+        .select(
+            "tbl",
+            "bucket",
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("members"), F.array().cast("array<bigint>")),
+                    F.coalesce(F.col("d_members"), F.array().cast("array<bigint>")),
+                )
+            ).alias("members"),
+        )
+        .select(
+            "tbl",
+            "bucket",
+            F.size("members").cast("long").alias("n_members"),
+            "members",
+        )
+    )
+    return bounded_sort(merged, "tbl", "bucket", barrier=True)
 
 
 @register(

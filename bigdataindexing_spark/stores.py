@@ -84,6 +84,14 @@ def _lsh_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(similarity.lsh_postings_view(spark, sf_dir))
 
 
+def _lsh_base_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import similarity
+
+    return spark.read.parquet(
+        similarity.lsh_base_postings_dir(spark, sf_dir)
+    )
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.operators import similarity
 
@@ -165,6 +173,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "lsh_sig": _lsh_sig,
     "lsh_sig_view": _lsh_sig_view,
     "lsh_postings": _lsh_postings,
+    "lsh_base_postings": _lsh_base_postings,
     "pq_codes": _pq_codes,
     "cms_counters": _cms_counters,
     "maint_serve": _maint_serve,

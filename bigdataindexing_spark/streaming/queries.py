@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.streaming.core import run_available_now, stream_table
+from bigdataindexing_spark.streaming.core import (
+    run_available_now,
+    run_foreach_batch,
+    stream_table,
+)
 from bigdataindexing_spark.streaming.index_maintenance import streaming_index_build
 
 
@@ -431,3 +435,93 @@ def st10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.col("c_mktsegment").alias("segment"), "cnt", "sum_value"
     ).orderBy("segment")
+
+
+# --- ST12: streaming count-min-sketch maintenance -----------------------------
+
+def cms_partial_counters(batch_df: DataFrame) -> DataFrame:
+    """Per-batch PARTIAL CMS counters (d, w, cnt) — the additivity that
+    makes the sketch streamable: batch partials sum into the corpus
+    sketch, no read-modify-write of existing counters."""
+    from bigdataindexing_spark.operators.sketches import CMS_D, _CMS_POS_SPARK
+
+    toks = batch_df.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    pos = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CMS_D - 1}), "
+                f"d -> named_struct('d', d, 'w', "
+                f"{_CMS_POS_SPARK.format(t='t', d='d')}))"
+            )
+        ).alias("x")
+    ).select("x.d", "x.w")
+    return pos.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_upsert_batch(cms_dir: str):
+    """foreachBatch sink: idempotent batchId-keyed partial write (the ST1
+    exactly-once-on-Parquet pattern — a replayed batch overwrites its own
+    directory)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_partial_counters(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{cms_dir}/batch={batch_id}")
+        )
+
+    return fn
+
+
+def read_cms(spark: SparkSession, cms_dir: str) -> DataFrame:
+    """Merge-on-read view: counters are additive, so the serve-time
+    sketch is SUM over partials — at most D×W rows however many batches
+    contributed."""
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(cms_dir)
+    return partials.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def _st12_register() -> None:
+    from bigdataindexing_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _CMS_POS_DUCK,
+    )
+
+    @register(
+        "st12_stream_cms",
+        oracle=f"""
+WITH tok AS (SELECT UNNEST(string_split(lower(text), ' ')) AS t
+             FROM documents),
+cnts AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+ds AS (SELECT UNNEST(range(0, {CMS_D})) AS d)
+SELECT d, {_CMS_POS_DUCK.format(t='t', d='d')} AS w,
+       CAST(SUM(c) AS BIGINT) AS cnt
+FROM cnts CROSS JOIN ds GROUP BY 1, 2 ORDER BY d, w
+""",
+        tags=("streaming", "sketch"),
+        bench=False,
+        doc="ST12: streaming count-min-sketch maintenance — document "
+        "micro-batches fold into the corpus CMS through foreachBatch "
+        "partial-counter writes (batchId-keyed, idempotent under "
+        "replay), with the serve-time sketch a merge-on-read SUM over "
+        f"partials (counters are additive; at most {CMS_D}x{CMS_W} rows "
+        "regardless of batch count). The registered result is the FULL "
+        "stream-built counter table, hash-gated against the batch "
+        "sketch rebuilt in duckdb — stream-maintained state ≡ batch "
+        "state, the st1 contract applied to the sketch layer. The "
+        "multi-batch additivity (3-chunk replay ≡ one-shot) is pinned "
+        "in tests/test_sketches.py.",
+    )
+    def st12_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdataindexing_spark.tables import bounded_sort
+
+        cms_dir = tempfile.mkdtemp(prefix="stream_cms_")
+        docs = stream_table(spark, sf_dir, "documents")
+        run_foreach_batch(docs, cms_upsert_batch(cms_dir))
+        return bounded_sort(read_cms(spark, cms_dir), "d", "w")
+
+
+_st12_register()

@@ -107,3 +107,37 @@ def test_cms_counters_bounded_and_mergeable(spark, sf_dir):
     }
     assert set(per_row) == set(range(sketches.CMS_D))
     assert all(v == total for v in per_row.values())
+
+
+def test_cms_stream_multibatch_additivity(spark, sf_dir, tmp_path):
+    """ST12's exactly-once claim, exercised across REAL micro-batches:
+    the corpus split into 3 files streamed one per trigger must merge to
+    exactly the one-shot sketch (counters are additive; batchId-keyed
+    partials make replay idempotent)."""
+    import os
+
+    from bigdataindexing_spark.streaming import queries as sq
+    from bigdataindexing_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "chunks")
+    docs.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    cms_dir = str(tmp_path / "cms")
+    sq.run_foreach_batch(stream, sq.cms_upsert_batch(cms_dir))
+    batches = [n for n in os.listdir(cms_dir) if n.startswith("batch=")]
+    assert len(batches) >= 3  # really ran multi-batch
+    merged = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in sq.read_cms(spark, cms_dir).collect()
+    }
+    oneshot = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in sq.cms_partial_counters(docs).collect()
+    }
+    assert merged == oneshot

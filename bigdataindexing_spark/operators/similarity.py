@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from bigdataindexing_spark.sources.store_dirs import session_store_dir
+from bigdataindexing_spark.sources.store_dirs import SessionParquetStore
 
 from bigdataindexing_spark.functions.vectors import as_double, cosine
 from bigdataindexing_spark.registry import register
@@ -196,61 +196,34 @@ def lsh_signatures(emb: DataFrame, dim: int) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir) -> parquet dir holding the materialized LSH
-# signature index. Signatures are a property of the corpus, not of any
-# query — a serving system builds them once at ingest and every ANN
+# Signature-index store: signatures are a property of the corpus, not of
+# any query — a serving system builds them once at ingest and every ANN
 # query probes the index table; recomputing the mapInPandas matmul pass
 # inside each query charged index-build cost to the serve path (the
-# same defect q44_rollup_serve had with its rollup).
-_SIG_DIRS: dict[tuple[str, str], str] = {}
+# same defect q44_rollup_serve had with its rollup). All the ANN stores
+# below share SessionParquetStore (store_dirs.py), which owns the
+# session-rebind and stale-dir hazards once for every tier.
+_SIG_STORE = SessionParquetStore(
+    "lsh_sig",
+    lambda spark, sf_dir: lsh_signatures(
+        spread(table(spark, sf_dir, "embeddings"), heavy=True), 64
+    ),
+    sort_cols=("tbl", "bucket"),
+)
 
 
 def lsh_signature_dir(spark: SparkSession, sf_dir: str, dim: int = 64) -> str:
-    import os
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _SIG_DIRS.get(key)
-    if path is None or not os.path.isdir(path):
-        path = session_store_dir("lsh_sig")
-        (
-            lsh_signatures(
-                spread(table(spark, sf_dir, "embeddings"), heavy=True), dim
-            )
-            .repartition(1)
-            .sortWithinPartitions("tbl", "bucket")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        _SIG_DIRS[key] = path
-    return path
-
-
-# cached read of the signature index (parquet footer re-read per call
-# is pure driver overhead; the DataFrame plan is immutable)
-_SIG_DFS: dict[tuple[str, str], DataFrame] = {}
-_SIG_VIEWS: dict[tuple[str, str], str] = {}
+    assert dim == 64, "the materialized signature store is 64-dim"
+    return _SIG_STORE.dir(spark, sf_dir)
 
 
 def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SIG_DFS.get(key)
-    # session-bound cache: a sibling spark.newSession() re-reads (ADVICE r4)
-    if df is None or df.sparkSession is not spark:
-        df = spark.read.parquet(lsh_signature_dir(spark, sf_dir, dim=64))
-        _SIG_DFS[key] = df
-    return df
+    return _SIG_STORE.df(spark, sf_dir)
 
 
 def lsh_signature_view(spark: SparkSession, sf_dir: str) -> str:
     """Session temp view over the signature index, for single-SQL serves."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    view = _SIG_VIEWS.get(key)
-    if view is None:
-        view = f"bdi_lsh_sig_{abs(hash(key)) % 10**8}"
-        lsh_signature_index(spark, sf_dir).createOrReplaceTempView(view)
-        _SIG_VIEWS[key] = view
-    elif not spark.catalog.tableExists(view):  # sibling newSession()
-        lsh_signature_index(spark, sf_dir).createOrReplaceTempView(view)
-    return view
+    return _SIG_STORE.view(spark, sf_dir)
 
 
 # Band-POSTINGS store: (tbl, bucket, members ARRAY<BIGINT>) — the
@@ -260,50 +233,27 @@ def lsh_signature_view(spark: SparkSession, sf_dir: str) -> str:
 # its 8 buckets against this table instead of re-joining the corpus-
 # sized signature index — the Lucene postings-list layout idx_bm25_serve
 # uses, applied to LSH banding (VERDICT r6 #2).
-_POST_DIRS: dict[tuple[str, str], str] = {}
-_POST_DFS: dict[tuple[str, str], DataFrame] = {}
-_POST_VIEWS: dict[tuple[str, str], str] = {}
+_POST_STORE = SessionParquetStore(
+    "lsh_postings",
+    lambda spark, sf_dir: (
+        lsh_signature_index(spark, sf_dir)
+        .groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+    ),
+    sort_cols=("tbl", "bucket"),
+)
 
 
 def lsh_postings_dir(spark: SparkSession, sf_dir: str) -> str:
-    import os
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _POST_DIRS.get(key)
-    if path is None or not os.path.isdir(path):
-        path = session_store_dir("lsh_postings")
-        (
-            lsh_signature_index(spark, sf_dir)
-            .groupBy("tbl", "bucket")
-            .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
-            .repartition(1)
-            .sortWithinPartitions("tbl", "bucket")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        _POST_DIRS[key] = path
-    return path
+    return _POST_STORE.dir(spark, sf_dir)
 
 
 def lsh_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _POST_DFS.get(key)
-    if df is None or df.sparkSession is not spark:
-        df = spark.read.parquet(lsh_postings_dir(spark, sf_dir))
-        _POST_DFS[key] = df
-    return df
+    return _POST_STORE.df(spark, sf_dir)
 
 
 def lsh_postings_view(spark: SparkSession, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    view = _POST_VIEWS.get(key)
-    if view is None:
-        view = f"bdi_lsh_post_{abs(hash(key)) % 10**8}"
-        lsh_postings_index(spark, sf_dir).createOrReplaceTempView(view)
-        _POST_VIEWS[key] = view
-    elif not spark.catalog.tableExists(view):  # sibling newSession()
-        lsh_postings_index(spark, sf_dir).createOrReplaceTempView(view)
-    return view
+    return _POST_STORE.view(spark, sf_dir)
 
 
 # --- Incremental ANN index maintenance ---------------------------------------
@@ -316,30 +266,24 @@ def lsh_postings_view(spark: SparkSession, sf_dir: str) -> str:
 # is the merged postings table itself, hash-gated against a from-scratch
 # SQL rebuild over ALL vectors — the incremental ≡ batch proof, the same
 # contract idx_postings_merge carries for the inverted text index.
-_BASE_POST_DIRS: dict[tuple[str, str], str] = {}
+_BASE_POST_STORE = SessionParquetStore(
+    "lsh_base_postings",
+    lambda spark, sf_dir: (
+        lsh_signatures(
+            spread(table(spark, sf_dir, "embeddings"), heavy=True).filter(
+                F.col("vec_id") % 10 != 7
+            ),
+            64,
+        )
+        .groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+    ),
+    sort_cols=("tbl", "bucket"),
+)
 
 
 def lsh_base_postings_dir(spark: SparkSession, sf_dir: str) -> str:
-    import os
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _BASE_POST_DIRS.get(key)
-    if path is None or not os.path.isdir(path):
-        path = session_store_dir("lsh_base_postings")
-        base = spread(table(spark, sf_dir, "embeddings"), heavy=True).filter(
-            F.col("vec_id") % 10 != 7
-        )
-        (
-            lsh_signatures(base, 64)
-            .groupBy("tbl", "bucket")
-            .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
-            .repartition(1)
-            .sortWithinPartitions("tbl", "bucket")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        _BASE_POST_DIRS[key] = path
-    return path
+    return _BASE_POST_STORE.dir(spark, sf_dir)
 
 
 # Full-fidelity duckdb oracle for the LSH pipeline: the hyperplanes are
@@ -458,6 +402,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_values = ", ".join(
         f"({r['vec_id']}L, {r['tbl']}, {r['bucket']}L)" for r in qsig
     )
+    if not probe_values:
+        # no queries in the corpus -> one NULL-qid row that joins
+        # nothing, keeping the VALUES clause well-formed (the result is
+        # then empty, matching the oracle; bare 'VALUES' is a
+        # ParseException)
+        probe_values = "(CAST(NULL AS BIGINT), -1, CAST(-1 AS BIGINT))"
     cos = (
         "aggregate(zip_with({q}, {v}, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
         " / (sqrt(aggregate(transform({q}, a -> a * a), 0.0D, (acc, x) -> acc + x))"
@@ -669,9 +619,7 @@ def assign_cells(emb: DataFrame, centroids: "list[list[float]]") -> DataFrame:
                 yield pd.DataFrame({"vec_id": [], "cell": []})
                 continue
             V = np.stack(pdf["embedding"].map(np.asarray)).astype("float64")
-            d = np.floor(
-                ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) * 1e9 + 0.5
-            ) / 1e9
+            d = _q9np(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cell": d.argmin(axis=1)}
             )
@@ -1032,10 +980,7 @@ def _pq_store(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
             codes = np.empty((len(V), PQ_M), dtype="int32")
             for m in range(PQ_M):
                 Vm = V[:, m * d_sub:(m + 1) * d_sub]
-                d = np.floor(
-                    ((Vm[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
-                    * 1e9 + 0.5
-                ) / 1e9
+                d = _q9np(((Vm[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2))
                 codes[:, m] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "codes": list(codes)}
@@ -1228,9 +1173,10 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("cid"),
             F.expr(
-                f"floor(aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
-                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]]) "
-                "* 1e9 + 0.5) / 1e9"
+                _q9sql(
+                    f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
+                    f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+                )
             ).alias("ip"),
         )
     )
@@ -1326,9 +1272,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("cid"),
             F.expr(
-                f"floor(aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
-                f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]]) "
-                "* 1e9 + 0.5) / 1e9"
+                _q9sql(
+                    f"aggregate(sequence(0, {PQ_M - 1}), 0.0D, "
+                    f"(acc, m) -> acc + lut[m * {PQ_K} + codes[m]])"
+                )
             ).alias("ip"),
         )
     )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
-from bigdataindexing_spark.sources.store_dirs import session_store_dir
+from bigdataindexing_spark.sources.store_dirs import SessionParquetStore
 from bigdataindexing_spark.tables import bounded_sort, table_view
 
 # --- Bloom-filter decontamination -------------------------------------------
@@ -145,8 +145,13 @@ FROM per GROUP BY lang ORDER BY lang
 def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table_view(spark, sf_dir, "documents")
     mask = bloom_mask(spark, sf_dir)
+    # view name keyed by (applicationId, sf_dir) like every session
+    # store view: a fixed name would race between two invocations for
+    # DIFFERENT sf_dirs in one session (probe the wrong corpus's mask)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    mask_view = f"bdi_bloom_mask_{abs(hash(key)) % 10**8}"
     mask_df = spark.createDataFrame([(mask,)], "mask ARRAY<BIGINT>")
-    mask_df.createOrReplaceTempView("bdi_bloom_mask")
+    mask_df.createOrReplaceTempView(mask_view)
     out = spark.sql(f"""
         WITH d AS (
           SELECT doc_id, lang, {_SHINGLE_SPARK} AS s
@@ -156,7 +161,7 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         hit AS (
           SELECT /*+ BROADCAST(m) */ doc_id, lang
-          FROM d CROSS JOIN bdi_bloom_mask m
+          FROM d CROSS JOIN {mask_view} m
           WHERE forall(
             transform(sequence(0, {BLOOM_K - 1}),
                       i -> {_POS_SPARK.format(s='s', i='i')}),
@@ -189,51 +194,37 @@ _CMS_POS_DUCK = (
     f"AS BIGINT) % {CMS_W}"
 )
 
-# (applicationId, sf_dir) -> parquet dir of the (d, w, cnt) counter table
-_CMS_DIRS: dict[tuple[str, str], str] = {}
-_CMS_VIEWS: dict[tuple[str, str], str] = {}
+def _build_cms(spark: SparkSession, sf_dir: str):
+    """The CMS counter table: every token occurrence increments one
+    counter per hash row; counters merge by addition, so the build is
+    one partial-aggregating shuffle whose output is AT MOST D×W rows
+    regardless of corpus size."""
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH tok AS (
+          SELECT explode(split(lower(text), ' ')) AS t FROM {docs}
+        ),
+        pos AS (
+          SELECT d, {_CMS_POS_SPARK.format(t='t', d='d')} AS w
+          FROM tok
+          LATERAL VIEW explode(sequence(0, {CMS_D - 1})) dd AS d
+          WHERE t != ''
+        )
+        SELECT d, w, COUNT(1) AS cnt FROM pos GROUP BY d, w
+    """)
+
+
+_CMS_STORE = SessionParquetStore(
+    "cms_counters", _build_cms, sort_cols=("d", "w")
+)
 
 
 def cms_counters_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (once per session) the CMS counter table: every token
-    occurrence increments one counter per hash row; counters merge by
-    addition, so the build is one partial-aggregating shuffle whose
-    output is AT MOST D×W rows regardless of corpus size."""
-    import os
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _CMS_DIRS.get(key)
-    if path is None or not os.path.isdir(path):
-        path = session_store_dir("cms_counters")
-        docs = table_view(spark, sf_dir, "documents")
-        spark.sql(f"""
-            WITH tok AS (
-              SELECT explode(split(lower(text), ' ')) AS t FROM {docs}
-            ),
-            pos AS (
-              SELECT d, {_CMS_POS_SPARK.format(t='t', d='d')} AS w
-              FROM tok
-              LATERAL VIEW explode(sequence(0, {CMS_D - 1})) dd AS d
-              WHERE t != ''
-            )
-            SELECT d, w, COUNT(1) AS cnt FROM pos GROUP BY d, w
-        """).repartition(1).sortWithinPartitions("d", "w").write.mode(
-            "overwrite"
-        ).parquet(path)
-        _CMS_DIRS[key] = path
-    return path
+    return _CMS_STORE.dir(spark, sf_dir)
 
 
 def cms_counters_view(spark: SparkSession, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    view = _CMS_VIEWS.get(key)
-    if view is None:
-        view = f"bdi_cms_{abs(hash(key)) % 10**8}"
-        spark.read.parquet(cms_counters_dir(spark, sf_dir)).createOrReplaceTempView(view)
-        _CMS_VIEWS[key] = view
-    elif not spark.catalog.tableExists(view):  # sibling newSession()
-        spark.read.parquet(cms_counters_dir(spark, sf_dir)).createOrReplaceTempView(view)
-    return view
+    return _CMS_STORE.view(spark, sf_dir)
 
 
 _CMS_ORACLE = f"""

@@ -236,14 +236,28 @@ def sweep_orphans(
 _MANIFEST_LOG_DIR = "_manifests"
 
 
+class ManifestConflictError(RuntimeError):
+    """A concurrent writer committed the version this commit targeted.
+
+    Manifests here are FULL snapshots (complete file lists), not
+    commutative append deltas — so the losing writer's manifest is
+    STALE: it was derived from a superseded snapshot and silently
+    re-committing it one version later would drop the winner's files
+    from the log head (a lost update). The loser must re-read the
+    latest manifest, re-apply its change, and commit again — the same
+    re-validate step Delta/Iceberg force on snapshot-replacing commits
+    (only blind appends get auto-retry there, and we have none)."""
+
+
 def commit_manifest(layout_dir: str, manifest: list[dict]) -> int:
     """Append ``manifest`` to the layout's version log; returns the new
     version number. Write-temp-then-LINK makes adoption atomic AND
     put-if-absent: ``os.link`` fails with EEXIST if v{N}.json was
     committed by a concurrent writer (a rename would silently clobber
-    it, violating the invariant that committed versions are immutable to
-    pinned readers), in which case the commit retries with the next
-    version number — the Delta/Iceberg optimistic-commit protocol."""
+    it, violating the invariant that committed versions are immutable
+    to pinned readers). A lost race raises :class:`ManifestConflictError`
+    — never auto-retries — because this manifest was computed against a
+    now-stale snapshot (see the error's docstring)."""
     import json
 
     log_dir = os.path.join(layout_dir, _MANIFEST_LOG_DIR)
@@ -253,12 +267,15 @@ def commit_manifest(layout_dir: str, manifest: list[dict]) -> int:
         json.dump(manifest, f, default=str)
     try:
         version = (max(manifest_versions(layout_dir), default=-1)) + 1
-        while True:
-            try:
-                os.link(tmp, os.path.join(log_dir, f"v{version}.json"))
-                return version
-            except FileExistsError:
-                version += 1  # lost the race for this version; retry next
+        try:
+            os.link(tmp, os.path.join(log_dir, f"v{version}.json"))
+        except FileExistsError as exc:
+            raise ManifestConflictError(
+                f"version {version} in {layout_dir} was committed "
+                "concurrently; re-read the latest manifest, re-apply the "
+                "change, and commit again"
+            ) from exc
+        return version
     finally:
         os.unlink(tmp)
 
@@ -315,15 +332,22 @@ MAINT_LO = "1996-01-01"
 MAINT_HI = "1996-03-31"
 
 
-def _maintained_layout(spark: SparkSession, sf_dir: str):
+def _run_lifecycle(spark: SparkSession, sf_dir: str, store_kind: str):
+    """The ONE base-write → footer-manifest → delta-append → compaction
+    lifecycle all three maintained-layout fixtures share (maintained /
+    time-travel / vacuum-horizon — they differ only in commit and vacuum
+    POLICY, applied by the callers). Returns ``(path, (m_base, m_append,
+    m_compact), superseded)``.
+
+    The compaction threshold sits AT the smallest base file's row count
+    (strictly-smaller comparison): compaction must touch only the
+    appended small-file backlog, never rewrite the base layout — the
+    module's whole contract, and what keeps the vacuum-horizon
+    lifecycle's v0 (base files only) readable after vacuum."""
     from bigdataindexing_spark.sources.store_dirs import session_store_dir
     from bigdataindexing_spark.tables import table
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _MAINTAINED.get(key)
-    if cached is not None:
-        return cached
-    path = session_store_dir("maint_serve")
+    path = session_store_dir(store_kind)
     li = table(spark, sf_dir, "lineitem")
     base = li.filter(F.col("l_orderkey") % 5 != 0)
     (
@@ -331,23 +355,31 @@ def _maintained_layout(spark: SparkSession, sf_dir: str):
         .write.mode("overwrite")
         .parquet(path)
     )
-    manifest = [
+    m_base = [
         r.asDict()
         for r in file_stats_manifest(
             spark, _layout_files(path), "l_shipdate", "date"
         ).collect()
     ]
-    # threshold BELOW the smallest base file: compaction must touch only
-    # the appended small-file backlog, never rewrite the base layout
-    # (that is the module's whole contract)
-    small = min(m["num_rows"] for m in manifest)
+    small = min(m["num_rows"] for m in m_base)
     delta = li.filter(F.col("l_orderkey") % 5 == 0)
-    manifest = append_to_layout(
-        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
+    m_append = append_to_layout(
+        spark, path, m_base, delta, "l_shipdate", "date", n_files=2
     )
-    manifest, superseded = compact_layout(
-        spark, path, manifest, "l_shipdate", "date",
+    m_compact, superseded = compact_layout(
+        spark, path, m_append, "l_shipdate", "date",
         small_rows=small, target_files=1,
+    )
+    return path, (m_base, m_append, m_compact), superseded
+
+
+def _maintained_layout(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MAINTAINED.get(key)
+    if cached is not None:
+        return cached
+    path, (_m0, _m1, manifest), superseded = _run_lifecycle(
+        spark, sf_dir, "maint_serve"
     )
     vacuum_layout(path, manifest, superseded)
     _MAINTAINED[key] = (path, manifest)
@@ -540,9 +572,6 @@ _TIME_TRAVEL: dict[tuple[str, str], tuple] = {}
 
 
 def _time_travel_layout(spark: SparkSession, sf_dir: str):
-    from bigdataindexing_spark.sources.store_dirs import session_store_dir
-    from bigdataindexing_spark.tables import table
-
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TIME_TRAVEL.get(key)
     # DataFrame handles are session-bound (ADVICE r4): rebuild the
@@ -556,36 +585,16 @@ def _time_travel_layout(spark: SparkSession, sf_dir: str):
         ]
         _TIME_TRAVEL[key] = (path, versions, snaps)
         return _TIME_TRAVEL[key]
-    path = session_store_dir("maint_time_travel")
-    li = table(spark, sf_dir, "lineitem")
-    base = li.filter(F.col("l_orderkey") % 5 != 0)
-    (
-        base.repartitionByRange(4, F.col("l_shipdate"))
-        .write.mode("overwrite")
-        .parquet(path)
+    path, manifests, _superseded = _run_lifecycle(
+        spark, sf_dir, "maint_time_travel"
     )
-    manifest = [
-        r.asDict()
-        for r in file_stats_manifest(
-            spark, _layout_files(path), "l_shipdate", "date"
-        ).collect()
-    ]
-    v0 = commit_manifest(path, manifest)
-    small = min(m["num_rows"] for m in manifest)
-    delta = li.filter(F.col("l_orderkey") % 5 == 0)
-    manifest = append_to_layout(
-        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
-    )
-    v1 = commit_manifest(path, manifest)
-    manifest, _superseded = compact_layout(
-        spark, path, manifest, "l_shipdate", "date",
-        small_rows=small, target_files=1,
-    )
-    # NO vacuum: superseded files stay until the retention horizon so
-    # v0/v1 remain readable — the Delta retention trade, deliberate here
-    v2 = commit_manifest(path, manifest)
-    snaps = [_snapshot_relations(spark, path, v) for v in (v0, v1, v2)]
-    _TIME_TRAVEL[key] = (path, [v0, v1, v2], snaps)
+    # each step's manifest commits to the version log; NO vacuum:
+    # superseded files stay until the retention horizon so v0/v1 remain
+    # readable — the Delta retention trade, deliberate here (the vacuum
+    # side is _vacuumed_layout's job)
+    versions = [commit_manifest(path, m) for m in manifests]
+    snaps = [_snapshot_relations(spark, path, v) for v in versions]
+    _TIME_TRAVEL[key] = (path, versions, snaps)
     return _TIME_TRAVEL[key]
 
 
@@ -613,9 +622,6 @@ _VACUUMED: dict[tuple[str, str], tuple] = {}
 
 
 def _vacuumed_layout(spark: SparkSession, sf_dir: str):
-    from bigdataindexing_spark.sources.store_dirs import session_store_dir
-    from bigdataindexing_spark.tables import table
-
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _VACUUMED.get(key)
     live = [s for s in cached[2] if s is not None] if cached else []
@@ -631,45 +637,23 @@ def _vacuumed_layout(spark: SparkSession, sf_dir: str):
         ]
         _VACUUMED[key] = (path, versions, snaps)
         return _VACUUMED[key]
-    path = session_store_dir("maint_vacuum")
-    li = table(spark, sf_dir, "lineitem")
-    base = li.filter(F.col("l_orderkey") % 5 != 0)
-    (
-        base.repartitionByRange(4, F.col("l_shipdate"))
-        .write.mode("overwrite")
-        .parquet(path)
+    path, manifests, superseded = _run_lifecycle(
+        spark, sf_dir, "maint_vacuum"
     )
-    manifest = [
-        r.asDict()
-        for r in file_stats_manifest(
-            spark, _layout_files(path), "l_shipdate", "date"
-        ).collect()
-    ]
-    v0 = commit_manifest(path, manifest)
-    small = min(m["num_rows"] for m in manifest)
-    delta = li.filter(F.col("l_orderkey") % 5 == 0)
-    manifest = append_to_layout(
-        spark, path, manifest, delta, "l_shipdate", "date", n_files=2
-    )
-    v1 = commit_manifest(path, manifest)
-    manifest, superseded = compact_layout(
-        spark, path, manifest, "l_shipdate", "date",
-        small_rows=small, target_files=1,
-    )
-    v2 = commit_manifest(path, manifest)
+    versions = [commit_manifest(path, m) for m in manifests]
     # VACUUM past retention — the step _time_travel_layout defers. The
     # manifests survive (the log is never vacuumed, so count-from-stats
     # still serves every version); only v1's FILES are reclaimed.
-    vacuum_layout(path, manifest, superseded)
+    vacuum_layout(path, manifests[-1], superseded)
     snaps = []
-    for v in (v0, v1, v2):
+    for v in versions:
         try:
             snaps.append(
                 read_layout_snapshot(spark, read_manifest_as_of(path, v))
             )
         except FileNotFoundError:
             snaps.append(None)
-    _VACUUMED[key] = (path, [v0, v1, v2], snaps)
+    _VACUUMED[key] = (path, versions, snaps)
     return _VACUUMED[key]
 
 

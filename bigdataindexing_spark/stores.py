@@ -187,5 +187,6 @@ STORE_REGISTRY: dict[str, Accessor] = {
 }
 
 # session_store_dir() call sites that are deliberately NOT stores:
-# checkpoint scratch space, not a build-once/serve-many relation
-NON_STORE_DIRS = {"cc_checkpoint"}
+# checkpoint scratch space / per-invocation stream outputs, not
+# build-once/serve-many relations
+NON_STORE_DIRS = {"cc_checkpoint", "stream_cms"}

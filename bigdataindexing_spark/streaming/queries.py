@@ -516,9 +516,12 @@ FROM cnts CROSS JOIN ds GROUP BY 1, 2 ORDER BY d, w
         "in tests/test_sketches.py.",
     )
     def st12_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdataindexing_spark.sources.store_dirs import session_store_dir
         from bigdataindexing_spark.tables import bounded_sort
 
-        cms_dir = tempfile.mkdtemp(prefix="stream_cms_")
+        # per-invocation stream output (NOT a build-once store — each
+        # replay is the point), but still atexit-reclaimed
+        cms_dir = session_store_dir("stream_cms")
         docs = stream_table(spark, sf_dir, "documents")
         run_foreach_batch(docs, cms_upsert_batch(cms_dir))
         return bounded_sort(read_cms(spark, cms_dir), "d", "w")

@@ -301,11 +301,13 @@ def test_time_travel_vacuum_horizon_raises_not_partial(spark, sf_dir, layout):
     )
 
 
-def test_commit_manifest_put_if_absent_never_clobbers(layout, monkeypatch):
+def test_commit_manifest_put_if_absent_conflicts_never_clobbers(layout, monkeypatch):
     """Two concurrent committers can compute the same version = max+1;
-    the put-if-absent link must refuse the taken number and retry with
-    the next one — never silently overwrite a committed manifest (the
-    bytes a pinned reader plans from are immutable)."""
+    the put-if-absent link must refuse the taken number and raise a
+    CONFLICT — never silently overwrite a committed manifest, and never
+    auto-retry either (manifests are full snapshots, so re-committing
+    the loser's stale manifest one version later would drop the
+    winner's files from the log head — a lost update)."""
     path, manifest, _li = layout
     v0 = maintenance.commit_manifest(path, manifest)
     content0 = maintenance.read_manifest_as_of(path, v0)
@@ -313,11 +315,15 @@ def test_commit_manifest_put_if_absent_never_clobbers(layout, monkeypatch):
     # landed, so its max+1 collides with v0
     stale = [v for v in maintenance.manifest_versions(path) if v < v0]
     monkeypatch.setattr(maintenance, "manifest_versions", lambda d: stale)
-    v1 = maintenance.commit_manifest(path, manifest[:1])
+    with pytest.raises(maintenance.ManifestConflictError):
+        maintenance.commit_manifest(path, manifest[:1])
     monkeypatch.undo()
-    assert v1 == v0 + 1
+    # the winner's committed bytes are untouched and still the log head
     assert maintenance.read_manifest_as_of(path, v0) == content0
-    assert len(maintenance.read_manifest_as_of(path, v1)) == 1
+    assert maintenance.manifest_versions(path) == [v0]
+    # the loser re-validates (re-reads the log) and commits cleanly
+    v1 = maintenance.commit_manifest(path, manifest[:1])
+    assert v1 == v0 + 1
     # the temp file never leaks, win or lose
     log_dir = os.path.join(path, maintenance._MANIFEST_LOG_DIR)
     assert not [n for n in os.listdir(log_dir) if n.startswith(".")]

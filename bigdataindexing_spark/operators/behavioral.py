@@ -227,3 +227,67 @@ def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     """)
     return bounded_sort(counts, "prev_type", "next_type", barrier=True)
+
+
+SCD2_COHORT = 25  # users in the registered build (output stays cohort-
+# bounded: intervals per user are history-bounded, not corpus-bounded)
+
+_SCD2_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id < {SCD2_COHORT}
+),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM m
+),
+iv AS (
+  SELECT user_id, run_id, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM r GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM iv ORDER BY user_id, valid_from
+"""
+
+
+@register(
+    "q116_scd2_intervals",
+    oracle=_SCD2_SQL,
+    tags=("behavioral", "temporal"),
+    doc="SCD2 (type-2 slowly-changing dimension) interval build: collapse "
+    "each user's (ts, event_id)-ordered event stream into validity "
+    "intervals — one row per run of equal event_type with [valid_from, "
+    "valid_to) bounds (valid_to NULL = current), the standard temporal-"
+    "dimension layout a warehouse keeps for as-of joins (q33 is the "
+    "consumer shape). Gaps-and-islands: a lag-change marker, a running "
+    "sum assigning run ids, one grouped aggregate per run, and a lead "
+    "for the closing bound — two shuffles total (user_id for the "
+    "windows, then the run aggregate reuses the same clustering). "
+    "Cohort-restricted (user_id pushdown) so the registered output is "
+    "bounded by users x their state-change history, never corpus-"
+    "proportional; at 100 TB the build partitions by user and appends "
+    "incrementally — new events can only extend or close each user's "
+    "LAST interval, so a delta merge touches one interval per active "
+    "user.",
+)
+def q116_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    ev = table_view(spark, sf_dir, "events")
+    out = spark.sql(_SCD2_SQL.replace("FROM events", f"FROM {ev}").rsplit(
+        "ORDER BY user_id, valid_from", 1
+    )[0])
+    return bounded_sort(out, "user_id", "valid_from", barrier=True)

@@ -219,6 +219,8 @@ _R07_PRIORITY = (
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy
                                 # hitters (X28), full hash oracle
+    "q116_scd2_intervals",      # NEW op: SCD2 temporal-dimension
+                                # build (X30), full hash oracle
     "st12_stream_cms",          # NEW op: streaming CMS maintenance
                                 # (ST12), full hash oracle
     "sim_ann_index_upsert",     # NEW op: incremental ANN postings

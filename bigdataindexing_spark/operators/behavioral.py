@@ -291,3 +291,82 @@ def q116_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY user_id, valid_from", 1
     )[0])
     return bounded_sort(out, "user_id", "valid_from", barrier=True)
+
+
+_PIT_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value FROM events
+  WHERE user_id < {SCD2_COHORT}
+),
+d AS (
+  SELECT user_id, ts, event_id, event_type FROM e
+  WHERE event_type <> 'purchase'
+),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM m
+),
+iv AS (
+  SELECT user_id, run_id, MIN(event_type) AS state,
+         MIN(ts) AS valid_from
+  FROM r GROUP BY user_id, run_id
+),
+dim AS (
+  SELECT user_id, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+           AS valid_to
+  FROM iv
+),
+f AS (
+  SELECT user_id, ts, value FROM e WHERE event_type = 'purchase'
+)
+SELECT COALESCE(dim.state, '(pre-history)') AS state,
+       COUNT(*) AS purchases,
+       COUNT(DISTINCT f.user_id) AS users,
+       ROUND(SUM(f.value), 2) AS revenue
+FROM f LEFT JOIN dim
+  ON f.user_id = dim.user_id
+ AND f.ts >= dim.valid_from
+ AND (dim.valid_to IS NULL OR f.ts < dim.valid_to)
+GROUP BY COALESCE(dim.state, '(pre-history)')
+ORDER BY state
+"""
+
+
+@register(
+    "q117_scd2_pit_join",
+    oracle=_PIT_SQL,
+    tags=("behavioral", "temporal", "join"),
+    doc="Point-in-time enrichment against the SCD2 dimension (the q116 "
+    "consumer): the browsing-state dimension is rebuilt from the "
+    "cohort's NON-purchase events (same gaps-and-islands plan), then "
+    "every purchase left-joins to the interval containing its "
+    "timestamp — an equi-join on user_id with a residual "
+    "[valid_from, valid_to) range predicate, the temporal-warehouse "
+    "'attribute as it was THEN' join. Because intervals tile each "
+    "user's timeline, every fact matches at most one dimension row "
+    "(pre-history purchases keep the left row, labeled); revenue then "
+    "aggregates by state. At 100 TB the fact side partitions by "
+    "user_id and the dimension is per-user history-bounded, so the "
+    "join stays an equi-key hash join with a row-local range filter — "
+    "never an interval cross-product; a date-bucketed dimension key "
+    "is the standard refinement if one user's history itself gets "
+    "large.",
+)
+def q117_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    ev = table_view(spark, sf_dir, "events")
+    out = spark.sql(_PIT_SQL.replace("FROM events", f"FROM {ev}").rsplit(
+        "ORDER BY state", 1
+    )[0])
+    return bounded_sort(out, "state", barrier=True)

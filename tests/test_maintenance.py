@@ -384,3 +384,54 @@ def test_manifest_json_roundtrip_prunes_identically(spark, sf_dir, layout):
     assert 0 < len(live_keep) < len(manifest)  # the window actually prunes
     # row counts survive the roundtrip exactly
     assert [m["num_rows"] for m in loaded] == [m["num_rows"] for m in manifest]
+
+
+def test_merge_upsert_copy_on_write_contract(spark, sf_dir):
+    """src_layout_merge_upsert: the CDC merge rewrites ONLY the files
+    whose min/max overlaps the merge window — every other v0 manifest
+    row passes through to v1 by reference (same path, same stats) — and
+    the pre-merge snapshot stays readable and unchanged (snapshot
+    isolation across a destructive table change)."""
+    from bigdataindexing_spark.registry import queries
+
+    # drive the registered lifecycle (session-cached)
+    queries()["src_layout_merge_upsert"](spark, sf_dir).collect()
+    path, v0, v1, snap = maintenance._merged_layout(spark, sf_dir)
+    m0 = maintenance.read_manifest_as_of(path, v0)
+    m1 = maintenance.read_manifest_as_of(path, v1)
+    f0 = {m["file"] for m in m0}
+    f1 = {m["file"] for m in m1}
+    shared = f0 & f1
+    # copy-on-write boundedness: the rewrite touched a strict subset
+    assert shared, "no pass-through files — merge rewrote the whole table"
+    assert f1 - f0, "merge committed no new files"
+    rewritten = f0 - f1
+    assert rewritten, "merge superseded no files"
+    # only window-overlapping files were superseded
+    keep = set(
+        skipping.manifest_keep(
+            m0, maintenance.MERGE_LO, maintenance.MERGE_HI
+        )
+    )
+    assert rewritten <= keep
+    # pass-through rows carried their stats verbatim
+    stats0 = {m["file"]: m["num_rows"] for m in m0}
+    for m in m1:
+        if m["file"] in shared:
+            assert m["num_rows"] == stats0[m["file"]]
+    # pre-merge snapshot is still readable and serves the v0 table:
+    # deletes/updates/inserts are invisible to a pinned reader
+    pre = maintenance.read_layout_snapshot(
+        spark, maintenance.read_manifest_as_of(path, v0)
+    )
+    post_rows = snap.count()
+    pre_rows = pre.count()
+    assert pre_rows == sum(m["num_rows"] for m in m0)
+    # net row delta = inserts - deletes (updates are row-preserving)
+    li = table(spark, sf_dir, "lineitem")
+    win = li.filter(
+        F.col("l_shipdate").between(maintenance.MERGE_LO, maintenance.MERGE_HI)
+    )
+    n_del = win.filter(F.col("l_orderkey") % 7 == 1).count()
+    n_ins = win.filter(F.col("l_orderkey") % 7 == 2).count()
+    assert post_rows == pre_rows - n_del + n_ins

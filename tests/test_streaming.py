@@ -433,3 +433,64 @@ def test_st4_stream_session_equals_batch_and_merges_across_batches(spark, sf_dir
         .agg(F.count_distinct((F.col("event_id") % 3)).alias("n_arrivals"))
     )
     assert sess.filter(F.col("n_arrivals") > 1).count() > 0
+
+
+def test_st13_scd2_merge_paths_and_replay(spark, tmp_path):
+    """ST13 unit contract on synthetic arrivals that force every merge
+    path: extend-open (same state continues across a batch boundary),
+    close-open (state change at a boundary), within-batch close, and
+    carry-forward (user absent from a batch keeps their open interval).
+    Then the whole stream REPLAYS into the same store (fresh checkpoint,
+    batch ids restart) and must land on the identical dimension —
+    batchId-keyed writes make reprocessing idempotent."""
+    import datetime as dt
+
+    from bigdataindexing_spark.streaming.core import write_arrivals
+    from bigdataindexing_spark.streaming.queries import (
+        read_scd2_dimension,
+        scd2_upsert_batch,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING"
+    arrivals = [
+        spark.createDataFrame(
+            [(1, t(0), 10, "a"), (1, t(1), 11, "a")], schema
+        ),
+        spark.createDataFrame(
+            [(1, t(2), 12, "a"), (1, t(3), 13, "b"), (2, t(2), 20, "x")],
+            schema,
+        ),
+        spark.createDataFrame([(1, t(4), 14, "b")], schema),
+    ]
+    src = str(tmp_path / "src")
+    write_arrivals(arrivals, src)
+    dim_dir = str(tmp_path / "dim")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        from bigdataindexing_spark.streaming.core import run_foreach_batch
+
+        run_foreach_batch(stream, scd2_upsert_batch(dim_dir))
+        return sorted(
+            tuple(r)
+            for r in read_scd2_dimension(spark, dim_dir).collect()
+        )
+
+    first = drain()
+    expected = sorted(
+        [
+            (1, "a", t(0), t(3), 3),  # extended across batches 0->1, closed in 1
+            (1, "b", t(3), None, 2),  # opened in batch 1, extended by batch 2
+            (2, "x", t(2), None, 1),  # carried forward through batch 2
+        ]
+    )
+    assert first == expected
+    # full replay into the same store: identical end state
+    assert drain() == expected

@@ -321,6 +321,7 @@ def _ensure_loaded() -> None:
         udtf_ops,
         behavioral,
         sketches,
+        graph,
     )
     from bigdataindexing_spark.plans import sql  # noqa: F401
     from bigdataindexing_spark.documents import contracts  # noqa: F401

@@ -284,3 +284,83 @@ def txt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.t, p.c
     """)
     return bounded_sort(out, F.col("true_cnt").desc(), "token")
+
+
+# --- mergeable quantile sketch (fixed-grid histogram) -------------------------
+
+QH_W = 16  # bin width over documents.n_chars (range ~44-577 -> ~36 bins)
+
+
+def _build_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard (source) partial histograms over a FIXED, data-independent
+    bin grid — the mergeable-quantile artifact. Counts are additive, so
+    shard partials sum into the corpus histogram with no re-touch of the
+    data; the fixed grid is what makes the sketch deterministic enough
+    for a SQL oracle (production swaps in t-digest/KLL for adaptive
+    resolution; the merge algebra is identical)."""
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        SELECT source, CAST(FLOOR(n_chars / {QH_W}.0) AS BIGINT) AS bin,
+               COUNT(1) AS cnt
+        FROM {docs} GROUP BY source, bin
+    """)
+
+
+_QH_STORE = SessionParquetStore(
+    "quantile_hist", _build_quantile_hist, sort_cols=("source", "bin")
+)
+
+
+def quantile_hist_view(spark: SparkSession, sf_dir: str) -> str:
+    return _QH_STORE.view(spark, sf_dir)
+
+
+_QH_SERVE = """
+WITH h AS (SELECT bin, SUM(cnt) AS cnt FROM {src} GROUP BY bin),
+c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+n AS (SELECT SUM(cnt) AS n FROM h),
+t AS (SELECT 'p50' AS q, CAST(CEIL(0.5e0 * n) AS BIGINT) AS rnk FROM n
+      UNION ALL
+      SELECT 'p90', CAST(CEIL(0.9e0 * n) AS BIGINT) FROM n
+      UNION ALL
+      SELECT 'p99', CAST(CEIL(0.99e0 * n) AS BIGINT) FROM n),
+b AS (SELECT t.q, t.rnk, MIN(c.bin) AS bin
+      FROM t JOIN c ON c.cum >= t.rnk GROUP BY t.q, t.rnk)
+SELECT b.q,
+       ROUND(b.bin * {w} + {w}e0 * (b.rnk - (c.cum - c.cnt)) / c.cnt, 4)
+         AS est
+FROM b JOIN c ON b.bin = c.bin
+ORDER BY q
+"""
+
+
+@register(
+    "q119_quantile_sketch",
+    oracle=_QH_SERVE.format(
+        src=f"(SELECT CAST(FLOOR(n_chars / {QH_W}.0) AS BIGINT) AS bin, "
+        "COUNT(*) AS cnt FROM documents GROUP BY bin)",
+        w=QH_W,
+    ),
+    tags=("sketch", "serve"),
+    doc="Mergeable quantile sketch: per-shard fixed-grid histograms "
+    "(source x bin x count) materialize once in the session store; "
+    "quantile serves merge the partials by ADDITION (the HLL/CMS merge "
+    "algebra applied to quantiles) and interpolate p50/p90/p99 inside "
+    "the covering bin — rank error bounded by one bin width, pinned by "
+    "the pytest contract against the exact percentile. The duckdb "
+    "oracle rebuilds the same histogram from raw documents and must "
+    "match the interpolated estimates exactly (the grid is fixed and "
+    "data-independent, so the sketch is deterministic). At 100 TB each "
+    "shard histogram is a few hundred rows regardless of shard size: "
+    "cross-shard quantiles become a ~bins-sized merge instead of a "
+    "corpus-wide percentile sort — the reason warehouses keep t-digest/"
+    "KLL columns per partition; the fixed grid here trades adaptive "
+    "resolution for oracle-exact determinism, the merge path is "
+    "identical.",
+)
+def q119_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = quantile_hist_view(spark, sf_dir)
+    out = spark.sql(
+        _QH_SERVE.format(src=view, w=QH_W).rsplit("ORDER BY q", 1)[0]
+    )
+    return bounded_sort(out, "q")

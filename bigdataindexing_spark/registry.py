@@ -215,6 +215,18 @@ _DRIVER_VERIFIED = (
 # round 3, then the contract-only entries rotated back in after sitting
 # out round 6 (each also carries a pytest contract).
 _R07_PRIORITY = (
+    "q117_scd2_pit_join",       # NEW op: SCD2 point-in-time join
+                                # (X31), full hash oracle
+    "src_layout_merge_upsert",  # NEW op: copy-on-write MERGE (X32),
+                                # full hash oracle
+    "src_layout_cdc_read",      # NEW op: derived CDC read (X33),
+                                # full hash oracle
+    "st13_stream_scd2",         # NEW op: streaming SCD2 maintenance
+                                # (ST13), full hash oracle
+    "q118_pagerank",            # NEW op: PageRank centrality (X34),
+                                # full hash oracle
+    "q119_quantile_sketch",     # NEW op: mergeable quantile sketch
+                                # (X35), full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy

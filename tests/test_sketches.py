@@ -141,3 +141,42 @@ def test_cms_stream_multibatch_additivity(spark, sf_dir, tmp_path):
         for r in sq.cms_partial_counters(docs).collect()
     }
     assert merged == oneshot
+
+
+def test_quantile_sketch_error_bound_and_mergeability(spark, sf_dir):
+    """q119: (a) every interpolated quantile is within one bin width of
+    the EXACT percentile (the sketch's rank-error contract); (b) the
+    per-shard partials merged by addition equal the one-pass corpus
+    histogram (the mergeable algebra that makes the sketch streamable/
+    distributable)."""
+    from bigdataindexing_spark.tables import table
+
+    est = {
+        r["q"]: r["est"]
+        for r in queries()["q119_quantile_sketch"](spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents")
+    exact = docs.select(
+        F.expr(
+            "percentile(n_chars, array(0.5, 0.9, 0.99))"
+        ).alias("p")
+    ).collect()[0]["p"]
+    for q, ex in zip(("p50", "p90", "p99"), exact):
+        assert abs(est[q] - ex) <= sketches.QH_W, (q, est[q], ex)
+
+    # merge algebra: partials summed across shards == one-pass histogram
+    partials = sketches._build_quantile_hist(spark, sf_dir)
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in partials.groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    onepass = {
+        r["bin"]: r["cnt"]
+        for r in docs.select(
+            F.floor(F.col("n_chars") / sketches.QH_W).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert merged == onepass

@@ -227,6 +227,8 @@ _R07_PRIORITY = (
                                 # full hash oracle
     "q119_quantile_sketch",     # NEW op: mergeable quantile sketch
                                 # (X35), full hash oracle
+    "src_layout_schema_evolution",  # NEW op: metadata-only ADD COLUMN
+                                # (X36), full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy

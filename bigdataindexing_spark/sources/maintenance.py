@@ -621,6 +621,50 @@ def _register() -> None:
         return bounded_sort(out, "month")
 
     @register(
+        "src_layout_schema_evolution",
+        oracle=(
+            "WITH ev AS ("
+            "  SELECT CASE WHEN l_orderkey % 5 = 0 THEN "
+            "(CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END) END "
+            "AS cls, l_quantity FROM lineitem"
+            ") "
+            "SELECT COALESCE(cls, '(pre-evolution)') AS priority_class, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty "
+            "FROM ev GROUP BY 1 ORDER BY priority_class"
+        ),
+        tags=("source", "layout", "maintenance", "ops", "serve"),
+        doc="Schema evolution as a metadata-only commit (the Delta/Iceberg "
+        "ADD COLUMN path): the base layout commits at v0, then a delta "
+        "batch carrying a NEW column (l_priority_class) appends and "
+        "commits v1 — no base file is rewritten (pytest-pinned: every v0 "
+        "file passes into v1 by reference), each manifest row records "
+        "its file's column list, and the v1 read plans the union schema "
+        "with NULL fill for pre-evolution files (Spark's mergeSchema "
+        "over the manifest's file list). The serve query groups the "
+        "merged snapshot by the evolved column, pre-evolution rows "
+        "surfacing under a NULL-coalesced label, and must reproduce the "
+        "oracle's predicate recomputation. At 100 TB this is why "
+        "evolution must be O(metadata): rewriting a table to add a "
+        "column is a full-table write, while schema-per-commit in the "
+        "log costs one manifest row per file and lets old files age out "
+        "through normal compaction.",
+    )
+    def src_layout_schema_evolution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        _path, _v0, _v1, snap = _evolved_layout(spark, sf_dir)
+        out = snap.groupBy(
+            F.coalesce(
+                F.col("l_priority_class"), F.lit("(pre-evolution)")
+            ).alias("priority_class")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        return bounded_sort(out, "priority_class")
+
+    @register(
         "src_layout_cdc_read",
         oracle=(
             "WITH w AS (SELECT * FROM lineitem WHERE l_shipdate BETWEEN "
@@ -764,6 +808,85 @@ def _vacuumed_layout(spark: SparkSession, sf_dir: str):
             snaps.append(None)
     _VACUUMED[key] = (path, versions, snaps)
     return _VACUUMED[key]
+
+
+# (applicationId, sf_dir) -> (layout_dir, v0, v1, merged_snapshot_df) for
+# the SCHEMA-EVOLUTION lifecycle: base columns commit at v0, a delta
+# batch carrying a new column commits at v1 with zero base-file
+# rewrites; the v1 relation plans the union schema with NULL fill.
+_EVOLVED: dict[tuple[str, str], tuple] = {}
+
+
+def _evolved_snapshot(spark: SparkSession, manifest: list[dict]) -> DataFrame:
+    """Union-schema snapshot read (mergeSchema over the manifest's file
+    list) with the same loud-missing-file guarantee as
+    :func:`read_layout_snapshot`."""
+    files = [m["file"] for m in manifest]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot references {len(missing)} missing file(s), "
+            f"e.g. {missing[0]!r}"
+        )
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def _evolved_layout(spark: SparkSession, sf_dir: str):
+    from bigdataindexing_spark.sources.store_dirs import session_store_dir
+    from bigdataindexing_spark.tables import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EVOLVED.get(key)
+    if cached is not None and cached[3].sparkSession is spark:
+        return cached
+    if cached is not None:  # sibling session: rebuild the relation only
+        path, v0, v1, _stale = cached
+        snap = _evolved_snapshot(spark, read_manifest_as_of(path, v1))
+        _EVOLVED[key] = (path, v0, v1, snap)
+        return _EVOLVED[key]
+
+    path = session_store_dir("schema_evo")
+    li = table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    (
+        base.repartitionByRange(3, F.col("l_shipdate"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    base_cols = base.columns
+    m0 = [
+        dict(r.asDict(), columns=base_cols)
+        for r in file_stats_manifest(
+            spark, _layout_files(path), "l_shipdate", "date"
+        ).collect()
+    ]
+    v0 = commit_manifest(path, m0)
+    # the evolved delta: same rows as the arriving batch, plus a NEW
+    # derived column — committed without touching any v0 file
+    delta = li.filter(F.col("l_orderkey") % 5 == 0).withColumn(
+        "l_priority_class",
+        F.when(F.col("l_quantity") > 25, F.lit("bulk")).otherwise(
+            F.lit("small")
+        ),
+    )
+    new_files = _commit_files(
+        path,
+        lambda d: (
+            delta.repartitionByRange(2, F.col("l_shipdate"))
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
+    )
+    added = [
+        dict(r.asDict(), columns=delta.columns)
+        for r in file_stats_manifest(
+            spark, new_files, "l_shipdate", "date"
+        ).collect()
+    ]
+    v1 = commit_manifest(path, m0 + added)
+    snap = _evolved_snapshot(spark, read_manifest_as_of(path, v1))
+    _EVOLVED[key] = (path, v0, v1, snap)
+    return _EVOLVED[key]
 
 
 # (applicationId, sf_dir) -> (layout_dir, v0, v1, merged_snapshot_df) for

@@ -435,3 +435,40 @@ def test_merge_upsert_copy_on_write_contract(spark, sf_dir):
     n_del = win.filter(F.col("l_orderkey") % 7 == 1).count()
     n_ins = win.filter(F.col("l_orderkey") % 7 == 2).count()
     assert post_rows == pre_rows - n_del + n_ins
+
+
+def test_schema_evolution_is_metadata_only(spark, sf_dir):
+    """src_layout_schema_evolution: adding a column costs ZERO data
+    rewrites — every v0 file passes into v1 by reference with identical
+    stats, the two commits record different column lists in the
+    manifest, and a v0-pinned reader still plans the OLD schema (the
+    evolution is invisible to it)."""
+    from bigdataindexing_spark.registry import queries
+
+    queries()["src_layout_schema_evolution"](spark, sf_dir).collect()
+    path, v0, v1, snap = maintenance._evolved_layout(spark, sf_dir)
+    m0 = maintenance.read_manifest_as_of(path, v0)
+    m1 = maintenance.read_manifest_as_of(path, v1)
+    f0 = {m["file"]: m["num_rows"] for m in m0}
+    f1 = {m["file"]: m["num_rows"] for m in m1}
+    assert set(f0) <= set(f1)  # no base file rewritten or dropped
+    for f, n in f0.items():
+        assert f1[f] == n
+    # the manifest records the evolution: old rows carry the base
+    # column list, new rows the evolved one
+    cols0 = {tuple(m["columns"]) for m in m1 if m["file"] in f0}
+    cols1 = {tuple(m["columns"]) for m in m1 if m["file"] not in f0}
+    assert len(cols0) == 1 and len(cols1) == 1
+    (base_cols,) = cols0
+    (evo_cols,) = cols1
+    assert "l_priority_class" not in base_cols
+    assert "l_priority_class" in evo_cols
+    # v0-pinned reader sees the pre-evolution schema and row count
+    pre = maintenance.read_layout_snapshot(spark, m0)
+    assert "l_priority_class" not in pre.columns
+    assert pre.count() == sum(f0.values())
+    # the union-schema read NULL-fills exactly the pre-evolution rows
+    assert (
+        snap.filter(F.col("l_priority_class").isNull()).count()
+        == sum(f0.values())
+    )

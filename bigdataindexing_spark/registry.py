@@ -229,6 +229,8 @@ _R07_PRIORITY = (
                                 # (X35), full hash oracle
     "src_layout_schema_evolution",  # NEW op: metadata-only ADD COLUMN
                                 # (X36), full hash oracle
+    "st14_stream_cdc_apply",    # NEW op: streaming CDC apply, version-
+                                # gated exactly-once (ST14), full oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy

@@ -336,6 +336,15 @@ MAINT_HI = "1996-03-31"
 MERGE_LO = "1996-01-01"
 MERGE_HI = "1996-02-28"
 
+# The streaming CDC apply (st14) feeds three month-scoped change batches
+# that tile this quarter — disjoint windows, so the composed effect is
+# the X32 merge semantics over the whole range.
+STREAM_MERGE_MONTHS = (
+    ("1996-01-01", "1996-01-31"),
+    ("1996-02-01", "1996-02-29"),
+    ("1996-03-01", "1996-03-31"),
+)
+
 
 def _run_lifecycle(spark: SparkSession, sf_dir: str, store_kind: str):
     """The ONE base-write → footer-manifest → delta-append → compaction
@@ -621,6 +630,56 @@ def _register() -> None:
         return bounded_sort(out, "month")
 
     @register(
+        "st14_stream_cdc_apply",
+        oracle=(
+            "WITH merged AS ("
+            "  SELECT l_shipdate, l_quantity + CASE WHEN l_shipdate "
+            f"BETWEEN DATE '{STREAM_MERGE_MONTHS[0][0]}' AND "
+            f"DATE '{STREAM_MERGE_MONTHS[-1][1]}' "
+            "AND l_orderkey % 7 = 0 THEN 100 ELSE 0 END AS qty "
+            "  FROM lineitem "
+            f"  WHERE NOT (l_shipdate BETWEEN "
+            f"DATE '{STREAM_MERGE_MONTHS[0][0]}' AND "
+            f"DATE '{STREAM_MERGE_MONTHS[-1][1]}' AND l_orderkey % 7 = 1) "
+            "  UNION ALL "
+            "  SELECT l_shipdate, 1 AS qty FROM lineitem "
+            f"  WHERE l_shipdate BETWEEN DATE '{STREAM_MERGE_MONTHS[0][0]}' "
+            f"AND DATE '{STREAM_MERGE_MONTHS[-1][1]}' AND l_orderkey % 7 = 2"
+            ") "
+            "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "ROUND(SUM(qty), 2) AS sum_qty "
+            "FROM merged GROUP BY month ORDER BY month"
+        ),
+        tags=("streaming", "layout", "maintenance", "ops"),
+        bench=False,
+        doc="ST14: streaming CDC apply — the copy-on-write MERGE (X32) "
+        "driven by a change stream. Three month-scoped CDC batches "
+        "arrive as micro-batches (maxFilesPerTrigger=1); each batch "
+        "applies the shared merge pass (manifest-pruned rewrite, "
+        "broadcast key join, U/D/I routing) and commits manifest "
+        "version batch_id+1 — and the commit is VERSION-GATED: a "
+        "replayed batch finds its target version already in the log and "
+        "skips, the Delta txnVersion idempotence pattern, so the sink "
+        "is exactly-once however many times the source replays "
+        "(pytest-pinned by a double drain). Every intermediate version "
+        "stays time-travel readable: the stream leaves v0..v3 in the "
+        "log. The final snapshot must reproduce the X32 oracle composed "
+        "over all three windows — stream-applied merges ≡ one batch "
+        "merge over the union, the st1/st13 contract at the table-"
+        "format layer.",
+    )
+    def st14_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _path, _versions, snap = _stream_merged_layout(spark, sf_dir)
+        out = snap.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        return bounded_sort(out, "month")
+
+    @register(
         "src_layout_schema_evolution",
         oracle=(
             "WITH ev AS ("
@@ -810,6 +869,95 @@ def _vacuumed_layout(spark: SparkSession, sf_dir: str):
     return _VACUUMED[key]
 
 
+def cdc_apply_batch(path: str):
+    """foreachBatch sink: one copy-on-write merge per CDC micro-batch,
+    committing manifest version ``batch_id + 1``. VERSION-GATED for
+    exactly-once: a replayed batch finds its target version already in
+    the log and returns without touching the table — Delta's
+    txnAppId/txnVersion idempotence, expressed as the manifest log
+    itself being the transaction ledger."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = batch_id + 1
+        log = os.path.join(path, _MANIFEST_LOG_DIR, f"v{target}.json")
+        if os.path.exists(log):
+            return  # replay: this batch's merge already committed
+        row = batch_df.agg(
+            F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            raise RuntimeError(
+                f"empty CDC batch {batch_id}: the version chain would skip "
+                f"v{target}"
+            )
+        lo = str(row["lo"].date())
+        hi = str(row["hi"].date())
+        manifest = read_manifest_as_of(path, target - 1)
+        new_manifest = _apply_cdc_merge(
+            spark, path, manifest, batch_df, lo, hi
+        )
+        v = commit_manifest(path, new_manifest)
+        assert v == target, (v, target)
+
+    return fn
+
+
+# (applicationId, sf_dir) -> (layout_dir, arrivals_src, [versions],
+# final_snapshot_df) for the STREAMING merge lifecycle.
+_STREAM_MERGED: dict[tuple[str, str], tuple] = {}
+
+
+def _stream_merged_layout(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from bigdataindexing_spark.streaming.core import (
+        run_foreach_batch,
+        write_arrivals,
+    )
+    from bigdataindexing_spark.tables import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_MERGED.get(key)
+    if cached is not None and cached[3].sparkSession is spark:
+        return cached[0], cached[2], cached[3]
+    if cached is not None:  # sibling session: rebuild the relation only
+        path, src, versions, _stale = cached
+        snap = read_layout_snapshot(
+            spark, read_manifest_as_of(path, versions[-1])
+        )
+        _STREAM_MERGED[key] = (path, src, versions, snap)
+        return path, versions, snap
+
+    path, manifests, superseded = _run_lifecycle(
+        spark, sf_dir, "maint_stream_merge"
+    )
+    manifest = manifests[-1]
+    vacuum_layout(path, manifest, superseded)
+    commit_manifest(path, manifest)  # v0: the pre-stream table
+    li = table(spark, sf_dir, "lineitem")
+    src = tempfile.mkdtemp(prefix="st14_src_")
+    write_arrivals(
+        [
+            li.filter(F.col("l_shipdate").between(lo, hi))
+            for lo, hi in STREAM_MERGE_MONTHS
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(stream, cdc_apply_batch(path))
+    versions = manifest_versions(path)
+    snap = read_layout_snapshot(
+        spark, read_manifest_as_of(path, versions[-1])
+    )
+    _STREAM_MERGED[key] = (path, src, versions, snap)
+    return path, versions, snap
+
+
 # (applicationId, sf_dir) -> (layout_dir, v0, v1, merged_snapshot_df) for
 # the SCHEMA-EVOLUTION lifecycle: base columns commit at v0, a delta
 # batch carrying a new column commits at v1 with zero base-file
@@ -915,11 +1063,36 @@ def _merged_layout(spark: SparkSession, sf_dir: str):
     vacuum_layout(path, manifest, superseded)
     v0 = commit_manifest(path, manifest)
 
-    # Deterministic CDC batch, scoped to the merge window. op is a pure
-    # function of the match key (l_orderkey % 7), so the DISTINCT key set
-    # is consistent even though (l_orderkey, l_linenumber) repeats.
     li = table(spark, sf_dir, "lineitem")
     win = li.filter(F.col("l_shipdate").between(MERGE_LO, MERGE_HI))
+    new_manifest = _apply_cdc_merge(
+        spark, path, manifest, win, MERGE_LO, MERGE_HI
+    )
+    v1 = commit_manifest(path, new_manifest)
+    snap = read_layout_snapshot(spark, read_manifest_as_of(path, v1))
+    _MERGED[key] = (path, v0, v1, snap)
+    return _MERGED[key]
+
+
+def _apply_cdc_merge(
+    spark: SparkSession,
+    path: str,
+    manifest: list[dict],
+    win: DataFrame,
+    lo: str,
+    hi: str,
+) -> list[dict]:
+    """One copy-on-write MERGE pass: derive the deterministic CDC batch
+    from the window's change-feed rows (op is a pure function of the
+    match key, l_orderkey % 7, so the DISTINCT key set is consistent
+    even though (l_orderkey, l_linenumber) repeats), prune the rewrite
+    to window-overlapping files, apply U/D row-locally and union the
+    inserts, and return the new manifest (untouched rows by reference +
+    fresh stats for the rewritten files). Shared by the batch merge
+    lifecycle and the streaming CDC apply (st14) — one merge semantics,
+    two drivers."""
+    from bigdataindexing_spark.sources.skipping import manifest_keep
+
     opmod = F.col("l_orderkey") % 7
     cdc_ud = (
         win.filter(opmod.isin(0, 1))
@@ -938,7 +1111,7 @@ def _merged_layout(spark: SparkSession, sf_dir: str):
 
     # Copy-on-write scope: ONLY files whose min/max overlaps the CDC
     # window are rewritten; everything else passes through by reference.
-    touched_set = set(manifest_keep(manifest, MERGE_LO, MERGE_HI))
+    touched_set = set(manifest_keep(manifest, lo, hi))
     touched = [m for m in manifest if m["file"] in touched_set]
     untouched = [m for m in manifest if m["file"] not in touched_set]
     tdf = spark.read.parquet(*[m["file"] for m in touched])
@@ -947,7 +1120,7 @@ def _merged_layout(spark: SparkSession, sf_dir: str):
         on=(
             (tdf["l_orderkey"] == cdc_ud["c_orderkey"])
             & (tdf["l_linenumber"] == cdc_ud["c_linenumber"])
-            & tdf["l_shipdate"].between(MERGE_LO, MERGE_HI)
+            & tdf["l_shipdate"].between(lo, hi)
         ),
         how="left",
     )
@@ -959,7 +1132,7 @@ def _merged_layout(spark: SparkSession, sf_dir: str):
             + F.when(F.col("op") == "U", F.lit(100.0)).otherwise(F.lit(0.0)),
         )
         .drop("c_orderkey", "c_linenumber", "op")
-        .unionByName(inserts)
+        .unionByName(inserts.select(*tdf.columns))
     )
     new_files = _commit_files(
         path,
@@ -975,10 +1148,7 @@ def _merged_layout(spark: SparkSession, sf_dir: str):
             spark, new_files, "l_shipdate", "date"
         ).collect()
     ]
-    v1 = commit_manifest(path, untouched + added)
-    snap = read_layout_snapshot(spark, read_manifest_as_of(path, v1))
-    _MERGED[key] = (path, v0, v1, snap)
-    return _MERGED[key]
+    return untouched + added
 
 
 _register()

@@ -472,3 +472,59 @@ def test_schema_evolution_is_metadata_only(spark, sf_dir):
         snap.filter(F.col("l_priority_class").isNull()).count()
         == sum(f0.values())
     )
+
+
+def test_stream_cdc_apply_version_gated_exactly_once(spark, sf_dir):
+    """st14: the streaming CDC apply leaves the full version chain
+    (v0 pre-stream + one version per micro-batch) time-travel readable,
+    and REPLAYING the whole stream (fresh checkpoint, same source) is a
+    no-op — every batch finds its target version already committed and
+    skips, so the table state and the log are byte-identical after the
+    second drain (the Delta txnVersion idempotence contract)."""
+    from bigdataindexing_spark.registry import queries
+    from bigdataindexing_spark.streaming.core import run_foreach_batch
+    from bigdataindexing_spark.tables import table
+
+    result1 = sorted(
+        tuple(r)
+        for r in queries()["st14_stream_cdc_apply"](spark, sf_dir).collect()
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, src, versions, _snap = maintenance._STREAM_MERGED[key]
+    assert versions == [0, 1, 2, 3]
+    # every intermediate version still plans (nothing vacuumed)
+    counts = [
+        maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, v)
+        ).count()
+        for v in versions
+    ]
+    assert len(set(counts)) > 1  # deletes/inserts actually moved rows
+    manifests_before = [
+        maintenance.read_manifest_as_of(path, v) for v in versions
+    ]
+    # full replay: fresh checkpoint re-fires batches 0..2 against the
+    # same layout; the version gate must skip every one
+    li = table(spark, sf_dir, "lineitem")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(stream, maintenance.cdc_apply_batch(path))
+    assert maintenance.manifest_versions(path) == [0, 1, 2, 3]
+    for v, before in zip(versions, manifests_before):
+        assert maintenance.read_manifest_as_of(path, v) == before
+    result2 = sorted(
+        tuple(r)
+        for r in maintenance.read_layout_snapshot(
+            spark, maintenance.read_manifest_as_of(path, 3)
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .collect()
+    )
+    assert result2 == result1

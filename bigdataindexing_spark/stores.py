@@ -161,6 +161,39 @@ def _search_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.search_index_table(spark, sf_dir, "postings")
 
 
+def _maint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import maintenance
+
+    _path, _v0, _v1, snap = maintenance._merged_layout(spark, sf_dir)
+    return snap
+
+
+def _maint_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import maintenance
+
+    _path, _versions, snap = maintenance._stream_merged_layout(spark, sf_dir)
+    return snap
+
+
+def _schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import maintenance
+
+    _path, _v0, _v1, snap = maintenance._evolved_layout(spark, sf_dir)
+    return snap
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import graph
+
+    return graph._EDGE_STORE.df(spark, sf_dir)
+
+
+def _quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import sketches
+
+    return spark.table(sketches.quantile_hist_view(spark, sf_dir))
+
+
 # store name (the session_store_dir() prefix) -> uniform accessor
 STORE_REGISTRY: dict[str, Accessor] = {
     "shingle_sig": _shingle_sig,
@@ -184,9 +217,15 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "rollup_hourly": _rollup_hourly,
     "base_postings": _base_postings,
     "search_idx": _search_idx,
+    "maint_merge": _maint_merge,
+    "maint_stream_merge": _maint_stream_merge,
+    "schema_evo": _schema_evo,
+    "pr_edges": _pr_edges,
+    "quantile_hist": _quantile_hist,
 }
 
 # session_store_dir() call sites that are deliberately NOT stores:
 # checkpoint scratch space / per-invocation stream outputs, not
-# build-once/serve-many relations
-NON_STORE_DIRS = {"cc_checkpoint", "stream_cms"}
+# build-once/serve-many relations (stream_scd2, like stream_cms, is a
+# fresh per-invocation stream output — each replay is the point)
+NON_STORE_DIRS = {"cc_checkpoint", "stream_cms", "stream_scd2"}

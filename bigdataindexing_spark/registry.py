@@ -231,6 +231,8 @@ _R07_PRIORITY = (
                                 # (X36), full hash oracle
     "st14_stream_cdc_apply",    # NEW op: streaming CDC apply, version-
                                 # gated exactly-once (ST14), full oracle
+    "src_layout_mor_read",      # NEW op: merge-on-read layout (X37),
+                                # full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy

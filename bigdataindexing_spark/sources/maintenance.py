@@ -630,6 +630,52 @@ def _register() -> None:
         return bounded_sort(out, "month")
 
     @register(
+        "src_layout_mor_read",
+        oracle=(
+            "WITH merged AS ("
+            "  SELECT l_shipdate, l_quantity + CASE WHEN l_shipdate "
+            f"BETWEEN DATE '{MERGE_LO}' AND DATE '{MERGE_HI}' "
+            "AND l_orderkey % 7 = 0 THEN 100 ELSE 0 END AS qty "
+            "  FROM lineitem "
+            f"  WHERE NOT (l_shipdate BETWEEN DATE '{MERGE_LO}' AND "
+            f"DATE '{MERGE_HI}' AND l_orderkey % 7 = 1) "
+            "  UNION ALL "
+            "  SELECT l_shipdate, 1 AS qty FROM lineitem "
+            f"  WHERE l_shipdate BETWEEN DATE '{MERGE_LO}' AND "
+            f"DATE '{MERGE_HI}' AND l_orderkey % 7 = 2"
+            ") "
+            "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "ROUND(SUM(qty), 2) AS sum_qty "
+            "FROM merged GROUP BY month ORDER BY month"
+        ),
+        tags=("source", "layout", "maintenance", "ops", "serve"),
+        doc="Merge-on-read — the other half of the CoW/MoR trade the X32 "
+        "merge docstring points at: the CDC batch APPENDS to a delta log "
+        "(write cost O(delta), zero base files touched) and every READ "
+        "pays the merge instead — base rows left-join the broadcast "
+        "delta key set (window-scoped, like the CoW ON clause), D keys "
+        "drop, U keys adjust row-locally, insert records union in. The "
+        "serve result must equal the SAME oracle the CoW merge satisfies "
+        "— two physical strategies, one table semantics — and the pytest "
+        "additionally pins MoR read ≡ post-compaction CoW read row-for-"
+        "row (compaction = _apply_cdc_merge over the same delta, the "
+        "Hudi compactor). Choose MoR when write amplification dominates "
+        "(streaming upserts into huge files), CoW when read "
+        "amplification does (hot analytic tables); this layout keeps "
+        "both paths against one manifest log.",
+    )
+    def src_layout_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _path, _manifest, mor = _mor_layout(spark, sf_dir)
+        out = mor.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        return bounded_sort(out, "month")
+
+    @register(
         "st14_stream_cdc_apply",
         oracle=(
             "WITH merged AS ("
@@ -867,6 +913,96 @@ def _vacuumed_layout(spark: SparkSession, sf_dir: str):
             snaps.append(None)
     _VACUUMED[key] = (path, versions, snaps)
     return _VACUUMED[key]
+
+
+# (applicationId, sf_dir) -> (layout_dir, manifest, mor_view_df) for the
+# MERGE-ON-READ lifecycle: base commits once, the CDC batch appends to
+# the delta log, reads merge base + deltas. Session-bound relation.
+_MOR: dict[tuple[str, str], tuple] = {}
+
+
+def mor_merge_view(
+    spark: SparkSession,
+    manifest: list[dict],
+    delta_dir: str,
+    lo: str,
+    hi: str,
+) -> DataFrame:
+    """The read-time merge: base snapshot left-joins the broadcast delta
+    key set (window-scoped), drops D keys, adjusts U keys row-locally,
+    unions the insert records. Same single-pass shape as the CoW merge
+    — executed per READ instead of once per write."""
+    base = read_layout_snapshot(spark, manifest)
+    d = spark.read.parquet(delta_dir)
+    ud = (
+        d.filter(F.col("op").isin("U", "D"))
+        .select(
+            F.col("l_orderkey").alias("c_orderkey"),
+            F.col("l_linenumber").alias("c_linenumber"),
+            "op",
+        )
+        .distinct()
+    )
+    joined = base.join(
+        F.broadcast(ud),
+        on=(
+            (base["l_orderkey"] == ud["c_orderkey"])
+            & (base["l_linenumber"] == ud["c_linenumber"])
+            & base["l_shipdate"].between(lo, hi)
+        ),
+        how="left",
+    )
+    inserts = d.filter(F.col("op") == "I").drop("op")
+    return (
+        joined.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .withColumn(
+            "l_quantity",
+            F.col("l_quantity")
+            + F.when(F.col("op") == "U", F.lit(100.0)).otherwise(F.lit(0.0)),
+        )
+        .drop("c_orderkey", "c_linenumber", "op")
+        .unionByName(inserts.select(*base.columns))
+    )
+
+
+def _mor_layout(spark: SparkSession, sf_dir: str):
+    from bigdataindexing_spark.tables import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MOR.get(key)
+    if cached is not None and cached[2].sparkSession is spark:
+        return cached
+    if cached is not None:  # sibling session: rebuild the relation only
+        path, manifest, _stale = cached
+        mor = mor_merge_view(
+            spark, manifest, os.path.join(path, "_delta"), MERGE_LO, MERGE_HI
+        )
+        _MOR[key] = (path, manifest, mor)
+        return _MOR[key]
+
+    path, manifests, superseded = _run_lifecycle(spark, sf_dir, "maint_mor")
+    manifest = manifests[-1]
+    vacuum_layout(path, manifest, superseded)
+    commit_manifest(path, manifest)
+    # the CDC batch appends DELTA RECORDS — (key, op) change vectors and
+    # insert row images — to the delta log; no base file is touched
+    li = table(spark, sf_dir, "lineitem")
+    win = li.filter(F.col("l_shipdate").between(MERGE_LO, MERGE_HI))
+    opmod = F.col("l_orderkey") % 7
+    changes = win.filter(opmod.isin(0, 1)).withColumn(
+        "op", F.when(opmod == 0, F.lit("U")).otherwise(F.lit("D"))
+    )
+    inserts = (
+        win.filter(opmod == 2)
+        .withColumn("l_orderkey", -F.col("l_orderkey"))
+        .withColumn("l_quantity", F.lit(1.0))
+        .withColumn("op", F.lit("I"))
+    )
+    delta_dir = os.path.join(path, "_delta")
+    changes.unionByName(inserts).write.mode("overwrite").parquet(delta_dir)
+    mor = mor_merge_view(spark, manifest, delta_dir, MERGE_LO, MERGE_HI)
+    _MOR[key] = (path, manifest, mor)
+    return _MOR[key]
 
 
 def cdc_apply_batch(path: str):

@@ -182,6 +182,13 @@ def _schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap
 
 
+def _maint_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import maintenance
+
+    _path, _manifest, mor = maintenance._mor_layout(spark, sf_dir)
+    return mor
+
+
 def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.operators import graph
 
@@ -219,6 +226,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "search_idx": _search_idx,
     "maint_merge": _maint_merge,
     "maint_stream_merge": _maint_stream_merge,
+    "maint_mor": _maint_mor,
     "schema_evo": _schema_evo,
     "pr_edges": _pr_edges,
     "quantile_hist": _quantile_hist,

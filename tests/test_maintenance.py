@@ -528,3 +528,38 @@ def test_stream_cdc_apply_version_gated_exactly_once(spark, sf_dir):
         .collect()
     )
     assert result2 == result1
+
+
+def test_mor_read_equals_compacted_cow(spark, sf_dir):
+    """src_layout_mor_read: (a) the delta-log append touched ZERO base
+    files (write-side cost is O(delta)); (b) compacting the same delta
+    through the CoW merge pass yields a snapshot that is row-for-row
+    identical to the merge-on-read view — the Hudi compactor contract:
+    MoR and CoW are two physical strategies for ONE table semantics."""
+    import os
+
+    from bigdataindexing_spark.registry import queries
+
+    queries()["src_layout_mor_read"](spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, manifest, mor = maintenance._MOR[key]
+    # base files untouched by the delta append: every manifest file
+    # still exists and the manifest is still the committed v0
+    assert maintenance.manifest_versions(path) == [0]
+    for m in manifest:
+        assert os.path.exists(m["file"])
+    # compact: apply the SAME delta via the CoW merge pass
+    li = table(spark, sf_dir, "lineitem")
+    win = li.filter(
+        F.col("l_shipdate").between(maintenance.MERGE_LO, maintenance.MERGE_HI)
+    )
+    compacted_manifest = maintenance._apply_cdc_merge(
+        spark, path, manifest, win, maintenance.MERGE_LO, maintenance.MERGE_HI
+    )
+    v1 = maintenance.commit_manifest(path, compacted_manifest)
+    compacted = maintenance.read_layout_snapshot(
+        spark, maintenance.read_manifest_as_of(path, v1)
+    )
+    # row-for-row multiset equality, both directions
+    assert mor.exceptAll(compacted).count() == 0
+    assert compacted.exceptAll(mor).count() == 0

@@ -233,6 +233,8 @@ _R07_PRIORITY = (
                                 # gated exactly-once (ST14), full oracle
     "src_layout_mor_read",      # NEW op: merge-on-read layout (X37),
                                 # full hash oracle
+    "q120_bucketed_join",       # NEW op: zero-exchange bucketed join
+                                # (X38), full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy
@@ -346,6 +348,7 @@ def _ensure_loaded() -> None:
     from bigdataindexing_spark.index import rollup, search  # noqa: F401
     from bigdataindexing_spark.sources import (  # noqa: F401
         json_ingest,
+        layout,
         maintenance,
         skipping,
     )

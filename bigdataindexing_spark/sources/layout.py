@@ -83,5 +83,50 @@ def bucketed_join(spark: SparkSession, db: str = "bdi") -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
-        .orderBy("o_orderpriority")
     )
+
+
+# applicationId -> sf_dir the bucketed tables currently hold: the catalog
+# names are application-global, so switching sf_dir mid-session must
+# rewrite them (a stale-layout read would silently serve the wrong SF)
+_BUCKETED_SF: dict[str, str] = {}
+
+
+def _register() -> None:
+    from bigdataindexing_spark.registry import register
+    from bigdataindexing_spark.tables import bounded_sort
+
+    @register(
+        "q120_bucketed_join",
+        oracle=(
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "ROUND(SUM(l_quantity), 4) AS sum_qty "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        tags=("source", "layout", "join", "serve"),
+        doc="Co-located bucketed join: orders and lineitem bucketed AND "
+        "sorted by the join key at WRITE time (saveAsTable bucket "
+        "metadata), so the sort-merge join plans with NO Exchange and "
+        "NO Sort on either side — the shuffle is paid once at layout "
+        "time and amortized over every subsequent join, the single "
+        "biggest join lever at 100 TB (where neither fact side "
+        "broadcasts; the MERGE hint models that, since at test scale "
+        "AQE would broadcast the tiny orders side). The zero-exchange "
+        "plan is pinned by tests/test_layout.py AND the serve golden; "
+        "the oracle is the plain unbucketed join — bucketing is pure "
+        "physical layout, results identical.",
+    )
+    def q120_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        app = spark.sparkContext.applicationId
+        # the catalog is application-shared (sibling sessions see the
+        # same external catalog), so build-once is keyed like the stores
+        if _BUCKETED_SF.get(app) != sf_dir or not spark.catalog.tableExists(
+            "bdi.orders_bucketed"
+        ):
+            write_bucketed(spark, sf_dir)
+            _BUCKETED_SF[app] = sf_dir
+        return bounded_sort(bucketed_join(spark), "o_orderpriority")
+
+
+_register()

@@ -92,6 +92,23 @@ def bucketed_join(spark: SparkSession, db: str = "bdi") -> DataFrame:
 _BUCKETED_SF: dict[str, str] = {}
 
 
+# (applicationId, sf_dir) -> partitioned-orders layout dir (build once
+# per session; a fresh dir per build, so no cross-sf staleness)
+_PARTITIONED: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    from bigdataindexing_spark.sources.store_dirs import session_store_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PARTITIONED.get(key)
+    if path is None:
+        path = session_store_dir("partitioned_orders")
+        write_partitioned_orders(spark, sf_dir, path)
+        _PARTITIONED[key] = path
+    return path
+
+
 def _register() -> None:
     from bigdataindexing_spark.registry import register
     from bigdataindexing_spark.tables import bounded_sort
@@ -127,6 +144,39 @@ def _register() -> None:
             write_bucketed(spark, sf_dir)
             _BUCKETED_SF[app] = sf_dir
         return bounded_sort(bucketed_join(spark), "o_orderpriority")
+
+    @register(
+        "q121_partition_pruning",
+        oracle=(
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) "
+            "= 1996 GROUP BY month ORDER BY month"
+        ),
+        tags=("source", "layout", "serve"),
+        doc="Hive-style partition pruning, driver-evidenced: orders "
+        "written partitionBy(o_year) once per session, then a one-year "
+        "query plans with PartitionFilters — Spark lists and reads ONLY "
+        "the matching directory, the coarse-grained skip that stacks "
+        "under file-level min/max (X15) and Z-order (X18); at 100 TB "
+        "date-partitioned facts make every time-bounded query's scan "
+        "proportional to its window, not the table. Pruning itself is "
+        "pinned by tests/test_layout.py (PartitionFilters + scanned-"
+        "file count); this query evidences the VALUES through the "
+        "pruned path against the plain full-scan oracle.",
+    )
+    def q121_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = _partitioned_orders(spark, sf_dir)
+        out = (
+            read_orders_year(spark, path, 1996)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+        return bounded_sort(out, "month")
 
 
 _register()

@@ -201,6 +201,12 @@ def _quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sketches.quantile_hist_view(spark, sf_dir))
 
 
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import layout
+
+    return spark.read.parquet(layout._partitioned_orders(spark, sf_dir))
+
+
 # store name (the session_store_dir() prefix) -> uniform accessor
 STORE_REGISTRY: dict[str, Accessor] = {
     "shingle_sig": _shingle_sig,
@@ -230,6 +236,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "schema_evo": _schema_evo,
     "pr_edges": _pr_edges,
     "quantile_hist": _quantile_hist,
+    "partitioned_orders": _partitioned_orders,
 }
 
 # session_store_dir() call sites that are deliberately NOT stores:

@@ -810,14 +810,32 @@ def _register() -> None:
         f1 = {m["file"] for m in m1}
         old = spark.read.parquet(*sorted(f0 - f1))
         new = spark.read.parquet(*sorted(f1 - f0))
-        chg = (
-            old.exceptAll(new)
-            .withColumn("change_type", F.lit("D"))
-            .unionByName(new.exceptAll(old).withColumn("change_type", F.lit("I")))
+        # signed-multiset diff: one union + one aggregation computes both
+        # EXCEPT ALL directions (a +1/-1 weight per side; rows present in
+        # both cancel, survivors carry their multiplicity in |d|) — one
+        # shuffle and one scan per side, where the naive two-exceptAll
+        # form paid four scans and two shuffles for the same answer.
+        cols = old.columns
+        signed = old.withColumn("w", F.lit(1)).unionByName(
+            new.withColumn("w", F.lit(-1))
         )
-        out = chg.groupBy("change_type").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        diff = (
+            signed.groupBy(*cols)
+            .agg(F.sum("w").alias("d"))
+            .filter(F.col("d") != 0)
+        )
+        out = (
+            diff.withColumn(
+                "change_type",
+                F.when(F.col("d") > 0, F.lit("D")).otherwise(F.lit("I")),
+            )
+            .groupBy("change_type")
+            .agg(
+                F.sum(F.abs(F.col("d"))).alias("n_rows"),
+                F.round(
+                    F.sum(F.col("l_quantity") * F.abs(F.col("d"))), 2
+                ).alias("sum_qty"),
+            )
         )
         return bounded_sort(out, "change_type")
 

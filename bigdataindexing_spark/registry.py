@@ -237,6 +237,8 @@ _R07_PRIORITY = (
                                 # (X38), full hash oracle
     "q121_partition_pruning",   # NEW op: Hive-style partition pruning
                                 # (X39), full hash oracle
+    "q122_dpp_star_join",       # NEW op: dynamic partition pruning
+                                # (X40), full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy

@@ -178,5 +178,49 @@ def _register() -> None:
         )
         return bounded_sort(out, "month")
 
+    @register(
+        "q122_dpp_star_join",
+        oracle=(
+            "SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS y, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) "
+            "% 2 = 0 GROUP BY y ORDER BY y"
+        ),
+        tags=("source", "layout", "join", "serve"),
+        doc="Dynamic partition pruning: the fact side (orders partitioned "
+        "by o_year) joins a calendar dimension filtered on an ATTRIBUTE "
+        "(is_even_year) — the partition predicate is unknowable at plan "
+        "time, so Catalyst injects a dynamicpruning subquery that reuses "
+        "the dimension's broadcast to prune fact partitions AT RUNTIME "
+        "(pytest-pinned: 'dynamicpruning' appears in the scan's "
+        "PartitionFilters). This is the star-schema scan killer at "
+        "100 TB: a date-dim filter like 'fiscal Q4' touches only the "
+        "matching fact partitions without the query ever naming them; "
+        "static pruning (q121) can't express it because the predicate "
+        "lives on the dimension. Values gate against the predicate-"
+        "inlined oracle.",
+    )
+    def q122_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = _partitioned_orders(spark, sf_dir)
+        fact = spark.read.parquet(path)
+        years = (
+            fact.select(F.col("o_year").alias("y"))
+            .distinct()
+            .withColumn("is_even_year", F.col("y") % 2 == 0)
+        )
+        out = (
+            fact.join(
+                F.broadcast(years),
+                (fact["o_year"] == years["y"]) & years["is_even_year"],
+            )
+            .groupBy(F.col("y").cast("int").alias("y"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+        return bounded_sort(out, "y")
+
 
 _register()

@@ -138,3 +138,31 @@ def test_sibling_session_reregisters_cached_views(spark, sf_dir):
     # and a single-SQL store-served query runs end to end in the sibling
     rows = queries()["dedup_ngram_jaccard"](sibling, sf_dir).collect()
     assert len(rows) > 0
+
+
+def test_dpp_star_join_prunes_at_runtime(spark, sf_dir):
+    """q122: the dimension-attribute filter must reach the partitioned
+    fact scan as a DYNAMIC pruning subquery — plan-time pruning cannot
+    express it (the predicate lives on the dimension), so the scan's
+    PartitionFilters must carry a dynamicpruning expression, and the
+    values must equal the predicate-inlined twin."""
+    from bigdataindexing_spark.registry import queries
+
+    df = queries()["q122_dpp_star_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = sorted(map(tuple, df.collect()))
+    o = table(spark, sf_dir, "orders")
+    expect = sorted(
+        map(
+            tuple,
+            o.filter(F.year("o_orderdate") % 2 == 0)
+            .groupBy(F.year("o_orderdate").alias("y"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .collect(),
+        )
+    )
+    assert got == expect

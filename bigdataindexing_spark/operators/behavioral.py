@@ -370,3 +370,98 @@ def q117_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY state", 1
     )[0])
     return bounded_sort(out, "state", barrier=True)
+
+
+OVERLAP_CAP = "2024-02-01"  # open intervals cap just past the data window
+
+_OVERLAP_IV = f"""
+e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id < {SCD2_COHORT}
+),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM m
+),
+iv AS (
+  SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS vf
+  FROM r GROUP BY user_id, run_id
+),
+d AS (
+  SELECT user_id, state, vf,
+         COALESCE(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+                  TIMESTAMP '{OVERLAP_CAP}') AS vt
+  FROM iv
+)
+"""
+
+_OVERLAP_ORACLE = f"""
+WITH {_OVERLAP_IV},
+p AS (
+  SELECT a.state, a.user_id AS ua, b.user_id AS ub,
+         GREATEST(a.vf, b.vf) AS gf, LEAST(a.vt, b.vt) AS lt
+  FROM d a JOIN d b
+    ON a.state = b.state AND a.user_id < b.user_id
+   AND a.vf < b.vt AND b.vf < a.vt
+)
+SELECT state, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(epoch_us(lt) - epoch_us(gf)) AS BIGINT) AS overlap_us
+FROM p GROUP BY state ORDER BY state
+"""
+
+_OVERLAP_SPARK = f"""
+WITH {_OVERLAP_IV},
+b AS (
+  SELECT user_id, state, vf, vt,
+         explode(sequence(date_trunc('DAY', vf), date_trunc('DAY', vt),
+                          interval 1 day)) AS day
+  FROM d
+),
+p AS (
+  SELECT DISTINCT a.state, a.user_id AS ua, b2.user_id AS ub,
+         GREATEST(a.vf, b2.vf) AS gf, LEAST(a.vt, b2.vt) AS lt
+  FROM b a JOIN b b2
+    ON a.state = b2.state AND a.day = b2.day AND a.user_id < b2.user_id
+   AND a.vf < b2.vt AND b2.vf < a.vt
+)
+SELECT state, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(unix_micros(lt) - unix_micros(gf)) AS BIGINT) AS overlap_us
+FROM p GROUP BY state
+"""
+
+
+@register(
+    "q123_interval_overlap",
+    oracle=_OVERLAP_ORACLE,
+    tags=("behavioral", "temporal", "join"),
+    doc="Interval-overlap join, completing the temporal trifecta (as-of "
+    "q33, point-in-time q117, overlap q123): which users were in the "
+    "SAME state at the SAME time — per state, the count of overlapping "
+    "interval pairs across distinct users and their total overlap "
+    "duration (microsecond-exact, so the hash gate needs no float "
+    "rounding). The naive formulation is a quadratic theta-join; the "
+    "Spark plan DECOMPOSES it: intervals explode to the day buckets "
+    "they span, pairs equi-join on (state, day) with the overlap "
+    "predicate as a row-local residual, and DISTINCT collapses multi-"
+    "bucket matches — the standard interval-join reduction (Spark "
+    "itself uses it for stream-stream interval joins). At 100 TB the "
+    "bucket grain trades join fan-out against bucket skew; day is "
+    "right when intervals span hours. The duckdb oracle runs the "
+    "direct quadratic join — tractable at oracle scale, and exactly "
+    "what the decomposition must reproduce.",
+)
+def q123_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    ev = table_view(spark, sf_dir, "events")
+    out = spark.sql(_OVERLAP_SPARK.replace("FROM events", f"FROM {ev}"))
+    return bounded_sort(out, "state", barrier=True)

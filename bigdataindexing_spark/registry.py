@@ -239,6 +239,8 @@ _R07_PRIORITY = (
                                 # (X39), full hash oracle
     "q122_dpp_star_join",       # NEW op: dynamic partition pruning
                                 # (X40), full hash oracle
+    "q123_interval_overlap",    # NEW op: interval-overlap join (X41),
+                                # full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy

@@ -931,3 +931,128 @@ def q107_range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q124_unpivot",
+    oracle=(
+        "WITH long AS ("
+        "  SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem "
+        "  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem "
+        "  UNION ALL SELECT 'discount', l_discount FROM lineitem "
+        "  UNION ALL SELECT 'tax', l_tax FROM lineitem"
+        ") "
+        "SELECT metric, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(v), 2) AS total, ROUND(AVG(v), 6) AS mean "
+        "FROM long GROUP BY metric ORDER BY metric"
+    ),
+    tags=("relational", "reshape"),
+    doc="Unpivot (wide -> long reshape, the inverse of q46's pivot): the "
+    "four lineitem measures melt into (metric, value) rows via STACK — "
+    "a row-local generator inside the scan stage, NO shuffle and NO "
+    "4x re-scan (the oracle's UNION ALL formulation reads the table "
+    "four times; the unpivot reads it once and emits four rows per "
+    "input row) — then one aggregation per metric. The long format is "
+    "what metrics stores and plotting layers consume; at 100 TB the "
+    "single-scan property is the whole point of the operator.",
+)
+def q124_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(4, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount, 'tax', l_tax) AS (metric, v)"
+        )
+    )
+    out = long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.round(F.avg("v"), 6).alias("mean"),
+    )
+    return bounded_sort(out, "metric")
+
+
+@register(
+    "q125_dq_audit",
+    oracle=(
+        "SELECT 'documents_dup_doc_id' AS chk, CAST((SELECT COUNT(*) FROM ("
+        "  SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1"
+        ")) AS BIGINT) AS violations "
+        "UNION ALL SELECT 'events_null_props', "
+        "CAST((SELECT COUNT(*) FROM events WHERE props IS NULL) AS BIGINT) "
+        "UNION ALL SELECT 'lineitem_nonpositive_qty', "
+        "CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT) "
+        "UNION ALL SELECT 'lineitem_orphan_orderkey', "
+        "CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN "
+        "(SELECT o_orderkey FROM orders)) AS BIGINT) "
+        "UNION ALL SELECT 'orders_orphan_custkey', "
+        "CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer)) AS BIGINT) "
+        "ORDER BY chk"
+    ),
+    tags=("relational", "quality", "ops"),
+    doc="Data-quality constraint audit (the dbt-test / Deequ shape): one "
+    "DAG evaluates five declared constraints — primary-key uniqueness "
+    "(documents.doc_id), two referential checks (lineitem->orders, "
+    "orders->customer, LEFT ANTI joins with the dimension broadcast), "
+    "a null-rate check, and a domain check (quantity > 0) — and emits "
+    "one (check, violations) row each. Every check is a scan-side "
+    "aggregate or a broadcast anti-join: no corpus shuffle, so the "
+    "audit runs at ingest cadence even at 100 TB (checks share the "
+    "fact scan where Catalyst can fuse them). The oracle recomputes "
+    "each constraint as a scalar subquery.",
+)
+def q125_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_checks(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "events"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
+def dq_checks(docs, ev, li, orders, cust) -> DataFrame:
+    """The five constraint evaluations behind q125, table-injectable so
+    tests can plant violations and prove each check actually fires
+    (an all-zero audit over clean data would otherwise also pass with
+    every check broken)."""
+
+    def row(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("chk"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    dup = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    nulls = ev.filter(F.col("props").isNull()).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    domain = li.filter(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    orphan_li = li.join(
+        F.broadcast(orders.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    orphan_o = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("violations"))
+
+    out = (
+        row("documents_dup_doc_id", dup)
+        .unionByName(row("events_null_props", nulls))
+        .unionByName(row("lineitem_nonpositive_qty", domain))
+        .unionByName(row("lineitem_orphan_orderkey", orphan_li))
+        .unionByName(row("orders_orphan_custkey", orphan_o))
+    )
+    return bounded_sort(out, "chk")

@@ -241,6 +241,10 @@ _R07_PRIORITY = (
                                 # (X40), full hash oracle
     "q123_interval_overlap",    # NEW op: interval-overlap join (X41),
                                 # full hash oracle
+    "q124_unpivot",             # NEW op: wide->long reshape (X42),
+                                # full hash oracle
+    "q125_dq_audit",            # NEW op: constraint audit (X43),
+                                # full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination
                                 # (X27), full hash oracle
     "txt_cms_heavy_hitters",    # NEW op: count-min-sketch heavy

@@ -225,3 +225,50 @@ def test_hll_sketch_merge_equals_single_pass(spark, sf_dir):
     assert set(merged) == set(exact)
     for et, est in merged.items():
         assert abs(est - exact[et]) <= max(3, 0.05 * exact[et])
+
+
+def test_dq_audit_detects_planted_violations(spark, sf_dir):
+    """q125's checks must FIRE, not just return zero on clean data: plant
+    one violation of each class in table copies and assert the audit
+    counts exactly them (and the registered query stays all-zero on the
+    pristine tables)."""
+    from bigdataindexing_spark.operators.relational import dq_checks
+    from bigdataindexing_spark.registry import queries
+    from bigdataindexing_spark.tables import table
+
+    clean = {
+        r["chk"]: r["violations"]
+        for r in queries()["q125_dq_audit"](spark, sf_dir).collect()
+    }
+    assert set(clean.values()) == {0}
+
+    docs = table(spark, sf_dir, "documents")
+    ev = table(spark, sf_dir, "events")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    # plant: duplicate one doc_id, null one props, negate one quantity,
+    # orphan one lineitem and one order (keys no dimension can hold)
+    docs_bad = docs.unionByName(docs.limit(1))
+    ev_bad = ev.unionByName(
+        ev.limit(1).withColumn("props", F.lit(None).cast("string"))
+    )
+    li_bad = li.unionByName(
+        li.limit(1)
+        .withColumn("l_quantity", F.lit(-1.0))
+        .withColumn("l_orderkey", F.lit(-999999))
+    )
+    orders_bad = orders.unionByName(
+        orders.limit(1).withColumn("o_custkey", F.lit(-999999))
+    )
+    got = {
+        r["chk"]: r["violations"]
+        for r in dq_checks(docs_bad, ev_bad, li_bad, orders_bad, cust).collect()
+    }
+    assert got == {
+        "documents_dup_doc_id": 1,
+        "events_null_props": 1,
+        "lineitem_nonpositive_qty": 1,
+        "lineitem_orphan_orderkey": 1,
+        "orders_orphan_custkey": 1,
+    }

@@ -232,17 +232,21 @@ def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_COHORT = 25  # users in the registered build (output stays cohort-
 # bounded: intervals per user are history-bounded, not corpus-bounded)
 
-_SCD2_SQL = f"""
-WITH e AS (
-  SELECT user_id, ts, event_id, event_type FROM events
-  WHERE user_id < {SCD2_COHORT}
-),
-m AS (
+
+def _islands(src: str) -> str:
+    """The gaps-and-islands core shared by q116/q117/q123 (and st13's
+    oracle): lag-change marker -> running-sum run ids -> one
+    (state, valid_from, n_events) row per run, over CTE ``src``
+    (user_id, ts, event_id, event_type). ONE definition: a fix to the
+    run-assignment logic (e.g. the tie-break ordering) lands in every
+    consumer at once instead of silently diverging the 'same
+    gaps-and-islands plan' claims."""
+    return f"""m AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN LAG(event_type) OVER w IS NULL
                 OR LAG(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS chg
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM {src} WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 r AS (
   SELECT user_id, ts, event_type,
@@ -251,11 +255,19 @@ r AS (
   FROM m
 ),
 iv AS (
-  SELECT user_id, run_id, MIN(event_type) AS event_type,
+  SELECT user_id, run_id, MIN(event_type) AS state,
          MIN(ts) AS valid_from, COUNT(*) AS n_events
   FROM r GROUP BY user_id, run_id
-)
-SELECT user_id, event_type, valid_from,
+)"""
+
+
+_SCD2_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id < {SCD2_COHORT}
+),
+{_islands('e')}
+SELECT user_id, state AS event_type, valid_from,
        LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
          AS valid_to,
        n_events
@@ -298,28 +310,11 @@ WITH e AS (
   SELECT user_id, ts, event_id, event_type, value FROM events
   WHERE user_id < {SCD2_COHORT}
 ),
-d AS (
+d0 AS (
   SELECT user_id, ts, event_id, event_type FROM e
   WHERE event_type <> 'purchase'
 ),
-m AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN LAG(event_type) OVER w IS NULL
-                OR LAG(event_type) OVER w <> event_type
-              THEN 1 ELSE 0 END AS chg
-  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-r AS (
-  SELECT user_id, ts, event_type,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS run_id
-  FROM m
-),
-iv AS (
-  SELECT user_id, run_id, MIN(event_type) AS state,
-         MIN(ts) AS valid_from
-  FROM r GROUP BY user_id, run_id
-),
+{_islands('d0')},
 dim AS (
   SELECT user_id, state, valid_from,
          LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
@@ -372,34 +367,27 @@ def q117_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_sort(out, "state", barrier=True)
 
 
-OVERLAP_CAP = "2024-02-01"  # open intervals cap just past the data window
+# Open intervals cap just past the data window. The interval CTE clamps
+# vt to GREATEST(cap, vf): if the events table ever extends past the cap
+# an interval opening later becomes empty ([vf, vf), contributing no
+# overlap in BOTH engines) instead of crashing Spark's day-bucket
+# sequence() with vt < vf while the oracle silently computes negative
+# overlaps — degraded-but-consistent, never divergent.
+OVERLAP_CAP = "2024-02-01"
 
 _OVERLAP_IV = f"""
 e AS (
   SELECT user_id, ts, event_id, event_type FROM events
   WHERE user_id < {SCD2_COHORT}
 ),
-m AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN LAG(event_type) OVER w IS NULL
-                OR LAG(event_type) OVER w <> event_type
-              THEN 1 ELSE 0 END AS chg
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-r AS (
-  SELECT user_id, ts, event_type,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS run_id
-  FROM m
-),
-iv AS (
-  SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS vf
-  FROM r GROUP BY user_id, run_id
-),
+{_islands('e')},
 d AS (
-  SELECT user_id, state, vf,
-         COALESCE(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id),
-                  TIMESTAMP '{OVERLAP_CAP}') AS vt
+  SELECT user_id, state, valid_from AS vf,
+         GREATEST(
+           COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY run_id),
+                    TIMESTAMP '{OVERLAP_CAP}'),
+           valid_from) AS vt
   FROM iv
 )
 """

@@ -994,13 +994,13 @@ def q124_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "quality", "ops"),
     doc="Data-quality constraint audit (the dbt-test / Deequ shape): one "
     "DAG evaluates five declared constraints — primary-key uniqueness "
-    "(documents.doc_id), two referential checks (lineitem->orders, "
-    "orders->customer, LEFT ANTI joins with the dimension broadcast), "
-    "a null-rate check, and a domain check (quantity > 0) — and emits "
-    "one (check, violations) row each. Every check is a scan-side "
-    "aggregate or a broadcast anti-join: no corpus shuffle, so the "
-    "audit runs at ingest cadence even at 100 TB (checks share the "
-    "fact scan where Catalyst can fuse them). The oracle recomputes "
+    "(documents.doc_id), two referential checks (orders->customer as a "
+    "broadcast anti-join against the bounded dimension; lineitem->"
+    "orders as a shuffled anti-join, since orders is fact-sized and "
+    "must never be pinned to a broadcast), a null-rate check, and a "
+    "domain check (quantity > 0) — and emits one (check, violations) "
+    "row each. Scan-side aggregates and key-only anti-joins keep the "
+    "audit at ingest cadence even at 100 TB. The oracle recomputes "
     "each constraint as a scalar subquery.",
 )
 def q125_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,8 +1037,11 @@ def dq_checks(docs, ev, li, orders, cust) -> DataFrame:
     domain = li.filter(F.col("l_quantity") <= 0).agg(
         F.count(F.lit(1)).alias("violations")
     )
+    # NO broadcast hint on the orders side: it is fact-sized (grows with
+    # SF), so the referential check must stay a shuffled anti-join AQE
+    # can plan; only the genuinely bounded customer dimension broadcasts
     orphan_li = li.join(
-        F.broadcast(orders.select("o_orderkey")),
+        orders.select("o_orderkey"),
         li["l_orderkey"] == F.col("o_orderkey"),
         "left_anti",
     ).agg(F.count(F.lit(1)).alias("violations"))

@@ -307,12 +307,13 @@ def read_manifest_as_of(layout_dir: str, version: int) -> list[dict]:
 
 
 def read_layout_snapshot(
-    spark: SparkSession, manifest: list[dict]
+    spark: SparkSession, manifest: list[dict], merge_schema: bool = False
 ) -> DataFrame:
     """Plan a scan of exactly the manifest's file list — the snapshot
     read. Raises FileNotFoundError for vacuumed files instead of letting
     Spark silently skip them (a partial snapshot is corruption, not a
-    smaller result)."""
+    smaller result). ``merge_schema=True`` plans the union schema with
+    NULL fill for pre-evolution files (the schema-evolution read)."""
     files = [m["file"] for m in manifest]
     missing = [f for f in files if not os.path.exists(f)]
     if missing:
@@ -321,7 +322,10 @@ def read_layout_snapshot(
             f"e.g. {missing[0]!r} — this version is beyond the vacuum "
             "retention horizon"
         )
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 # (applicationId, sf_dir) -> (layout_dir, manifest) AFTER the full
@@ -344,6 +348,32 @@ STREAM_MERGE_MONTHS = (
     ("1996-02-01", "1996-02-29"),
     ("1996-03-01", "1996-03-31"),
 )
+
+
+def _merge_oracle(lo: str, hi: str) -> str:
+    """The CDC-merge oracle (duckdb): the post-merge table recomputed
+    from the op predicates over [lo, hi], aggregated per month. ONE
+    definition shared by the CoW merge, the MoR read, and the streaming
+    apply — the three queries must gate against identical semantics or
+    'one table semantics, N physical strategies' silently breaks."""
+    return (
+        "WITH merged AS ("
+        "  SELECT l_shipdate, l_quantity + CASE WHEN l_shipdate "
+        f"BETWEEN DATE '{lo}' AND DATE '{hi}' "
+        "AND l_orderkey % 7 = 0 THEN 100 ELSE 0 END AS qty "
+        "  FROM lineitem "
+        f"  WHERE NOT (l_shipdate BETWEEN DATE '{lo}' AND "
+        f"DATE '{hi}' AND l_orderkey % 7 = 1) "
+        "  UNION ALL "
+        "  SELECT l_shipdate, 1 AS qty FROM lineitem "
+        f"  WHERE l_shipdate BETWEEN DATE '{lo}' AND "
+        f"DATE '{hi}' AND l_orderkey % 7 = 2"
+        ") "
+        "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "ROUND(SUM(qty), 2) AS sum_qty "
+        "FROM merged GROUP BY month ORDER BY month"
+    )
 
 
 def _run_lifecycle(spark: SparkSession, sf_dir: str, store_kind: str):
@@ -579,24 +609,7 @@ def _register() -> None:
 
     @register(
         "src_layout_merge_upsert",
-        oracle=(
-            "WITH merged AS ("
-            "  SELECT l_shipdate, l_quantity + CASE WHEN l_shipdate "
-            f"BETWEEN DATE '{MERGE_LO}' AND DATE '{MERGE_HI}' "
-            "AND l_orderkey % 7 = 0 THEN 100 ELSE 0 END AS qty "
-            "  FROM lineitem "
-            f"  WHERE NOT (l_shipdate BETWEEN DATE '{MERGE_LO}' AND "
-            f"DATE '{MERGE_HI}' AND l_orderkey % 7 = 1) "
-            "  UNION ALL "
-            "  SELECT l_shipdate, 1 AS qty FROM lineitem "
-            f"  WHERE l_shipdate BETWEEN DATE '{MERGE_LO}' AND "
-            f"DATE '{MERGE_HI}' AND l_orderkey % 7 = 2"
-            ") "
-            "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
-            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            "ROUND(SUM(qty), 2) AS sum_qty "
-            "FROM merged GROUP BY month ORDER BY month"
-        ),
+        oracle=_merge_oracle(MERGE_LO, MERGE_HI),
         tags=("source", "layout", "maintenance", "ops", "serve"),
         doc="Copy-on-write MERGE INTO (CDC upsert) on the maintained "
         "layout — the Delta/Iceberg bread-and-butter the append/compact/"
@@ -631,24 +644,7 @@ def _register() -> None:
 
     @register(
         "src_layout_mor_read",
-        oracle=(
-            "WITH merged AS ("
-            "  SELECT l_shipdate, l_quantity + CASE WHEN l_shipdate "
-            f"BETWEEN DATE '{MERGE_LO}' AND DATE '{MERGE_HI}' "
-            "AND l_orderkey % 7 = 0 THEN 100 ELSE 0 END AS qty "
-            "  FROM lineitem "
-            f"  WHERE NOT (l_shipdate BETWEEN DATE '{MERGE_LO}' AND "
-            f"DATE '{MERGE_HI}' AND l_orderkey % 7 = 1) "
-            "  UNION ALL "
-            "  SELECT l_shipdate, 1 AS qty FROM lineitem "
-            f"  WHERE l_shipdate BETWEEN DATE '{MERGE_LO}' AND "
-            f"DATE '{MERGE_HI}' AND l_orderkey % 7 = 2"
-            ") "
-            "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
-            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            "ROUND(SUM(qty), 2) AS sum_qty "
-            "FROM merged GROUP BY month ORDER BY month"
-        ),
+        oracle=_merge_oracle(MERGE_LO, MERGE_HI),
         tags=("source", "layout", "maintenance", "ops", "serve"),
         doc="Merge-on-read — the other half of the CoW/MoR trade the X32 "
         "merge docstring points at: the CDC batch APPENDS to a delta log "
@@ -677,25 +673,8 @@ def _register() -> None:
 
     @register(
         "st14_stream_cdc_apply",
-        oracle=(
-            "WITH merged AS ("
-            "  SELECT l_shipdate, l_quantity + CASE WHEN l_shipdate "
-            f"BETWEEN DATE '{STREAM_MERGE_MONTHS[0][0]}' AND "
-            f"DATE '{STREAM_MERGE_MONTHS[-1][1]}' "
-            "AND l_orderkey % 7 = 0 THEN 100 ELSE 0 END AS qty "
-            "  FROM lineitem "
-            f"  WHERE NOT (l_shipdate BETWEEN "
-            f"DATE '{STREAM_MERGE_MONTHS[0][0]}' AND "
-            f"DATE '{STREAM_MERGE_MONTHS[-1][1]}' AND l_orderkey % 7 = 1) "
-            "  UNION ALL "
-            "  SELECT l_shipdate, 1 AS qty FROM lineitem "
-            f"  WHERE l_shipdate BETWEEN DATE '{STREAM_MERGE_MONTHS[0][0]}' "
-            f"AND DATE '{STREAM_MERGE_MONTHS[-1][1]}' AND l_orderkey % 7 = 2"
-            ") "
-            "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
-            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            "ROUND(SUM(qty), 2) AS sum_qty "
-            "FROM merged GROUP BY month ORDER BY month"
+        oracle=_merge_oracle(
+            STREAM_MERGE_MONTHS[0][0], STREAM_MERGE_MONTHS[-1][1]
         ),
         tags=("streaming", "layout", "maintenance", "ops"),
         bench=False,
@@ -939,6 +918,38 @@ def _vacuumed_layout(spark: SparkSession, sf_dir: str):
 _MOR: dict[tuple[str, str], tuple] = {}
 
 
+def _merge_rows(
+    base: DataFrame, ud: DataFrame, inserts: DataFrame, lo: str, hi: str
+) -> DataFrame:
+    """THE row-level merge semantics, defined once: base rows left-join
+    the broadcast (c_orderkey, c_linenumber, op) key set with the
+    [lo, hi] window as a residual condition, D keys drop, U keys adjust
+    l_quantity row-locally (+100, the CDC delta), unmatched rows pass
+    through, and the insert images union in. Both physical strategies —
+    the CoW rewrite (_apply_cdc_merge) and the MoR read (mor_merge_view)
+    — call exactly this; an edit here changes both or neither, which is
+    the 'one table semantics' contract made structural."""
+    joined = base.join(
+        F.broadcast(ud),
+        on=(
+            (base["l_orderkey"] == ud["c_orderkey"])
+            & (base["l_linenumber"] == ud["c_linenumber"])
+            & base["l_shipdate"].between(lo, hi)
+        ),
+        how="left",
+    )
+    return (
+        joined.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .withColumn(
+            "l_quantity",
+            F.col("l_quantity")
+            + F.when(F.col("op") == "U", F.lit(100.0)).otherwise(F.lit(0.0)),
+        )
+        .drop("c_orderkey", "c_linenumber", "op")
+        .unionByName(inserts.select(*base.columns))
+    )
+
+
 def mor_merge_view(
     spark: SparkSession,
     manifest: list[dict],
@@ -961,26 +972,8 @@ def mor_merge_view(
         )
         .distinct()
     )
-    joined = base.join(
-        F.broadcast(ud),
-        on=(
-            (base["l_orderkey"] == ud["c_orderkey"])
-            & (base["l_linenumber"] == ud["c_linenumber"])
-            & base["l_shipdate"].between(lo, hi)
-        ),
-        how="left",
-    )
     inserts = d.filter(F.col("op") == "I").drop("op")
-    return (
-        joined.filter((F.col("op").isNull()) | (F.col("op") != "D"))
-        .withColumn(
-            "l_quantity",
-            F.col("l_quantity")
-            + F.when(F.col("op") == "U", F.lit(100.0)).otherwise(F.lit(0.0)),
-        )
-        .drop("c_orderkey", "c_linenumber", "op")
-        .unionByName(inserts.select(*base.columns))
-    )
+    return _merge_rows(base, ud, inserts, lo, hi)
 
 
 def _mor_layout(spark: SparkSession, sf_dir: str):
@@ -1119,20 +1112,6 @@ def _stream_merged_layout(spark: SparkSession, sf_dir: str):
 _EVOLVED: dict[tuple[str, str], tuple] = {}
 
 
-def _evolved_snapshot(spark: SparkSession, manifest: list[dict]) -> DataFrame:
-    """Union-schema snapshot read (mergeSchema over the manifest's file
-    list) with the same loud-missing-file guarantee as
-    :func:`read_layout_snapshot`."""
-    files = [m["file"] for m in manifest]
-    missing = [f for f in files if not os.path.exists(f)]
-    if missing:
-        raise FileNotFoundError(
-            f"snapshot references {len(missing)} missing file(s), "
-            f"e.g. {missing[0]!r}"
-        )
-    return spark.read.option("mergeSchema", "true").parquet(*files)
-
-
 def _evolved_layout(spark: SparkSession, sf_dir: str):
     from bigdataindexing_spark.sources.store_dirs import session_store_dir
     from bigdataindexing_spark.tables import table
@@ -1143,7 +1122,9 @@ def _evolved_layout(spark: SparkSession, sf_dir: str):
         return cached
     if cached is not None:  # sibling session: rebuild the relation only
         path, v0, v1, _stale = cached
-        snap = _evolved_snapshot(spark, read_manifest_as_of(path, v1))
+        snap = read_layout_snapshot(
+            spark, read_manifest_as_of(path, v1), merge_schema=True
+        )
         _EVOLVED[key] = (path, v0, v1, snap)
         return _EVOLVED[key]
 
@@ -1186,7 +1167,9 @@ def _evolved_layout(spark: SparkSession, sf_dir: str):
         ).collect()
     ]
     v1 = commit_manifest(path, m0 + added)
-    snap = _evolved_snapshot(spark, read_manifest_as_of(path, v1))
+    snap = read_layout_snapshot(
+        spark, read_manifest_as_of(path, v1), merge_schema=True
+    )
     _EVOLVED[key] = (path, v0, v1, snap)
     return _EVOLVED[key]
 
@@ -1199,7 +1182,6 @@ _MERGED: dict[tuple[str, str], tuple] = {}
 
 
 def _merged_layout(spark: SparkSession, sf_dir: str):
-    from bigdataindexing_spark.sources.skipping import manifest_keep
     from bigdataindexing_spark.tables import table
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1269,25 +1251,7 @@ def _apply_cdc_merge(
     touched = [m for m in manifest if m["file"] in touched_set]
     untouched = [m for m in manifest if m["file"] not in touched_set]
     tdf = spark.read.parquet(*[m["file"] for m in touched])
-    joined = tdf.join(
-        F.broadcast(cdc_ud),
-        on=(
-            (tdf["l_orderkey"] == cdc_ud["c_orderkey"])
-            & (tdf["l_linenumber"] == cdc_ud["c_linenumber"])
-            & tdf["l_shipdate"].between(lo, hi)
-        ),
-        how="left",
-    )
-    merged = (
-        joined.filter((F.col("op").isNull()) | (F.col("op") != "D"))
-        .withColumn(
-            "l_quantity",
-            F.col("l_quantity")
-            + F.when(F.col("op") == "U", F.lit(100.0)).otherwise(F.lit(0.0)),
-        )
-        .drop("c_orderkey", "c_linenumber", "op")
-        .unionByName(inserts.select(*tdf.columns))
-    )
+    merged = _merge_rows(tdf, cdc_ud, inserts, lo, hi)
     new_files = _commit_files(
         path,
         lambda d: (

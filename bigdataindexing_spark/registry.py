@@ -243,6 +243,8 @@ _R07_PRIORITY = (
                                 # full hash oracle
     "q124_unpivot",             # NEW op: wide->long reshape (X42),
                                 # full hash oracle
+    "st15_stream_quantile",     # NEW op: streaming quantile sketch
+                                # (ST15), full hash oracle
     "q125_dq_audit",            # NEW op: constraint audit (X43),
                                 # full hash oracle
     "dedup_bloom_decontaminate",  # NEW op: Bloom-mask decontamination

@@ -243,4 +243,6 @@ STORE_REGISTRY: dict[str, Accessor] = {
 # checkpoint scratch space / per-invocation stream outputs, not
 # build-once/serve-many relations (stream_scd2, like stream_cms, is a
 # fresh per-invocation stream output — each replay is the point)
-NON_STORE_DIRS = {"cc_checkpoint", "stream_cms", "stream_scd2"}
+NON_STORE_DIRS = {
+    "cc_checkpoint", "stream_cms", "stream_scd2", "stream_quantile",
+}

@@ -763,3 +763,74 @@ def _st13_register() -> None:
 
 
 _st13_register()
+
+
+# --- ST15: streaming quantile-sketch maintenance ------------------------------
+
+def _st15_register() -> None:
+    from bigdataindexing_spark.operators.sketches import _QH_SERVE, QH_W
+
+    @register(
+        "st15_stream_quantile",
+        oracle=_QH_SERVE.format(
+            src=f"(SELECT CAST(FLOOR(n_chars / {QH_W}.0) AS BIGINT) AS bin, "
+            "COUNT(*) AS cnt FROM documents GROUP BY bin)",
+            w=QH_W,
+        ),
+        tags=("streaming", "sketch"),
+        bench=False,
+        doc="ST15: streaming quantile-sketch maintenance — the q119 "
+        "fixed-grid histogram kept current as documents arrive, "
+        "completing the batch+stream symmetry the CMS store has (st12). "
+        "Three doc micro-batches fold into per-batch partial histograms "
+        "(batchId-keyed idempotent writes); the quantile serve merges "
+        "partials by ADDITION and interpolates p50/p90/p99 — hash-gated "
+        "against the batch oracle (stream-maintained sketch ≡ batch "
+        "rebuild). Histogram counts are the same additive algebra as "
+        "CMS counters, so the maintenance cost per batch is O(batch) "
+        "map-side work + a ~bins-sized state write, never a corpus "
+        "re-aggregation.",
+    )
+    def st15_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from bigdataindexing_spark.sources.store_dirs import session_store_dir
+        from bigdataindexing_spark.streaming.core import write_arrivals
+        from bigdataindexing_spark.tables import bounded_sort, table
+
+        docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        src = tempfile.mkdtemp(prefix="st15_src_")
+        os.makedirs(src, exist_ok=True)
+        write_arrivals(
+            [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)], src
+        )
+        hist_dir = session_store_dir("stream_quantile")
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, n_chars BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy(
+                    F.floor(F.col("n_chars") / QH_W).alias("bin")
+                )
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .write.mode("overwrite")
+                .parquet(f"{hist_dir}/batch={batch_id}")
+            )
+
+        run_foreach_batch(stream, fn)
+        partials = spark.read.option("recursiveFileLookup", "true").parquet(
+            hist_dir
+        )
+        view = f"bdi_st15_{abs(hash(hist_dir)) % 10**8}"
+        partials.createOrReplaceTempView(view)
+        out = spark.sql(
+            _QH_SERVE.format(src=view, w=QH_W).rsplit("ORDER BY q", 1)[0]
+        )
+        return bounded_sort(out, "q")
+
+
+_st15_register()

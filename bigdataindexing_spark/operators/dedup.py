@@ -118,7 +118,7 @@ def _shingle_capped_sql() -> str:
 
 _JACCARD_SELECT = (
     "SELECT da AS doc_a, db AS doc_b, "
-    "ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac "
+    "FLOOR(i * 1.0 / (sa.n + sb.n - i) * 1e4 + 0.5) / 1e4 AS jac "
     "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
     f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU} ORDER BY doc_a, doc_b"
 )
@@ -315,7 +315,7 @@ def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFr
         jacp = i * 1.0 / (F.size("sa") + F.size("sb") - i)
         return (
             withB.filter(jacp >= JACCARD_TAU)
-            .select("doc_a", "doc_b", F.round(jacp, 4).alias("jac"))
+            .select("doc_a", "doc_b", (F.floor(jacp * 1e4 + F.lit(0.5)) / 1e4).alias("jac"))
             .orderBy("doc_a", "doc_b")
         )
     u = docs_sh.select(
@@ -337,7 +337,7 @@ def _jaccard_pairs(docs_sh: DataFrame, pairs: DataFrame | None = None) -> DataFr
     jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.filter(jac >= JACCARD_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
+        .select("doc_a", "doc_b", (F.floor(jac * 1e4 + F.lit(0.5)) / 1e4).alias("jac"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -392,7 +392,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = shingle_pair_counts_view(spark, sf_dir)
     return spark.sql(f"""
-        SELECT doc_a, doc_b, ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+        SELECT doc_a, doc_b, FLOOR(i * 1.0D / (na + nb - i) * 1e4 + 0.5) / 1e4 AS jac
         FROM {view} WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
         ORDER BY doc_a, doc_b
     """)
@@ -437,7 +437,7 @@ def dedup_ngram_jaccard_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
         )
-        SELECT doc_a, doc_b, ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+        SELECT doc_a, doc_b, FLOOR(i * 1.0D / (na + nb - i) * 1e4 + 0.5) / 1e4 AS jac
         FROM inter WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
         ORDER BY doc_a, doc_b
     """)
@@ -560,7 +560,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           0, (acc, v) -> acc + v) / {float(NUM_MINHASHES)}
                 >= {EST_JACCARD_CUTOFF}
         )
-        SELECT doc_a, doc_b, ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+        SELECT doc_a, doc_b, FLOOR(i * 1.0D / (na + nb - i) * 1e4 + 0.5) / 1e4 AS jac
         FROM pairs
         WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
         ORDER BY doc_a, doc_b
@@ -980,8 +980,8 @@ def _containment_oracle() -> str:
     return (
         _shingle_capped_sql()
         + "SELECT da AS doc_a, db AS doc_b, "
-        "ROUND(i * 1.0 / sa.n, 4) AS cont_ab, "
-        "ROUND(i * 1.0 / sb.n, 4) AS cont_ba "
+        "FLOOR(i * 1.0 / sa.n * 1e4 + 0.5) / 1e4 AS cont_ab, "
+        "FLOOR(i * 1.0 / sb.n * 1e4 + 0.5) / 1e4 AS cont_ba "
         "FROM inter JOIN sizes sa ON sa.doc_id = da "
         "JOIN sizes sb ON sb.doc_id = db "
         f"WHERE i * 1.0 / sa.n >= {CONTAINMENT_TAU} "
@@ -1014,8 +1014,8 @@ def q104_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = shingle_pair_counts_view(spark, sf_dir)
     return spark.sql(f"""
         SELECT doc_a, doc_b,
-               ROUND(i * 1.0D / na, 4) AS cont_ab,
-               ROUND(i * 1.0D / nb, 4) AS cont_ba
+               FLOOR(i * 1.0D / na * 1e4 + 0.5) / 1e4 AS cont_ab,
+               FLOOR(i * 1.0D / nb * 1e4 + 0.5) / 1e4 AS cont_ba
         FROM {view}
         WHERE i * 1.0D / na >= {CONTAINMENT_TAU}
            OR i * 1.0D / nb >= {CONTAINMENT_TAU}
@@ -1040,7 +1040,7 @@ _DELTA_SQL = (
     "inter AS (SELECT d.doc_id AS dd, base.doc_id AS db, COUNT(*) AS i "
     "FROM d JOIN base ON d.s = base.s GROUP BY 1, 2) "
     "SELECT dd AS delta_id, db AS base_id, "
-    "ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac "
+    "FLOOR(i * 1.0 / (sa.n + sb.n - i) * 1e4 + 0.5) / 1e4 AS jac "
     "FROM inter JOIN sizes sa ON sa.doc_id = dd "
     "JOIN sizes sb ON sb.doc_id = db "
     f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU} "
@@ -1104,7 +1104,7 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             USING (base_id)
         )
         SELECT delta_id, base_id,
-               ROUND(i * 1.0D / (na + nb - i), 4) AS jac
+               FLOOR(i * 1.0D / (na + nb - i) * 1e4 + 0.5) / 1e4 AS jac
         FROM pairs
         WHERE i * 1.0D / (na + nb - i) >= {JACCARD_TAU}
         ORDER BY delta_id, base_id
@@ -1125,7 +1125,7 @@ tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
 dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM sp
         WHERE s IN (SELECT s FROM shared) GROUP BY doc_id)
 SELECT t.doc_id, t.n_spans, COALESCE(d.n_dup, 0) AS n_dup,
-       ROUND(COALESCE(d.n_dup, 0) * 1.0 / t.n_spans, 4) AS dup_frac
+       FLOOR(COALESCE(d.n_dup, 0) * 1.0 / t.n_spans * 1e4 + 0.5) / 1e4 AS dup_frac
 FROM tot t LEFT JOIN dup d USING (doc_id)
 ORDER BY dup_frac DESC, doc_id LIMIT 100
 """
@@ -1189,8 +1189,8 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.doc_id,
                t.n_spans,
                coalesce(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
-               ROUND(coalesce(d.n_dup, CAST(0 AS BIGINT)) / t.n_spans, 4)
-                 AS dup_frac
+               FLOOR(coalesce(d.n_dup, CAST(0 AS BIGINT)) / t.n_spans * 1e4 + 0.5)
+                 / 1e4 AS dup_frac
         FROM (SELECT doc_id, CAST(size(spans) AS BIGINT) AS n_spans
               FROM {view}) t
         LEFT JOIN dup_counts d ON t.doc_id = d.doc_id

@@ -107,7 +107,7 @@ it3 AS (
   JOIN deg dg ON e.src = dg.src
   GROUP BY e.dst
 )
-SELECT node, ROUND(pr * 1000, 6) AS pr_milli
+SELECT node, FLOOR(pr * 1000 * 1e4 + 0.5) / 1e4 AS pr_milli
 FROM it3 ORDER BY node
 """
 
@@ -123,9 +123,12 @@ FROM it3 ORDER BY node
     "aggregation — the textbook two-shuffle PageRank step; the "
     "undirected construction gives every node out-degree ≥ 1 so the "
     "dangling-mass term vanishes structurally. The duckdb oracle "
-    "unrolls the three iterations as CTEs and must match to 6 decimals "
-    "of pr×1000 — float-order noise is ~1e-15 of values ~1e-3, nine "
-    "orders of magnitude under the rounding grid. At 100 TB: edges "
+    "unrolls the three iterations as CTEs and must match to 4 decimals "
+    "of pr×1000 via explicit half-up FLOOR(x*1e4+0.5)/1e4 in both "
+    "engines (the r07 audit found a value 4e-5 from the old 1e-6 half "
+    "boundary; parallel-sum order wobble is ~1e-8 grid units at 1e-4, "
+    "and scripts/audit_round_boundaries.py re-verifies the margin "
+    "every sweep). At 100 TB: edges "
     "hash-partition by src and the rank table co-partitions, making "
     "every later iteration's join shuffle-free; iterate-to-tolerance "
     "replaces the fixed count with localCheckpoint lineage truncation "
@@ -155,6 +158,10 @@ def q118_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     out = pr.select(
-        "node", F.round(F.col("pr") * F.lit(1000.0), 6).alias("pr_milli")
+        "node",
+        (
+            F.floor(F.col("pr") * F.lit(1000.0) * F.lit(1e4) + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("pr_milli"),
     )
     return bounded_sort(out, "node")

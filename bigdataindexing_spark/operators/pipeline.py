@@ -557,7 +557,7 @@ def q91_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q63_embedding_centroid",
-    oracle="SELECT label, pos, ROUND(AVG(v), 4) AS centroid FROM ("
+    oracle="SELECT label, pos, FLOOR(AVG(v) * 1e3 + 0.5) / 1e3 AS centroid FROM ("
     "SELECT label, UNNEST(embedding) AS v, "
     "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
     "GROUP BY label, pos ORDER BY label, pos",
@@ -576,7 +576,13 @@ def q63_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.posexplode("embedding").alias("pos0", "v"))
         .select("label", (F.col("pos0") + 1).alias("pos"), "v")
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 4).alias("centroid"))
+        # 3-decimal half-up: a centroid sat 9.4e-5 from a 1e-4 half
+        # boundary at sf0.1 (r08 audit) — summation-order wobble territory
+        .agg(
+            (F.floor(F.avg("v") * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)).alias(
+                "centroid"
+            )
+        )
         .transform(lambda d: bounded_sort(d, "label", "pos"))
     )
 

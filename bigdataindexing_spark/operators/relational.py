@@ -942,9 +942,13 @@ def q107_range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  UNION ALL SELECT 'discount', l_discount FROM lineitem "
         "  UNION ALL SELECT 'tax', l_tax FROM lineitem"
         ") "
-        "SELECT metric, CAST(COUNT(*) AS BIGINT) AS n, "
-        "ROUND(SUM(v), 2) AS total, ROUND(AVG(v), 6) AS mean "
-        "FROM long GROUP BY metric ORDER BY metric"
+        ", m AS (SELECT metric, COUNT(*) AS n, "
+        "CAST(SUM(CAST(v AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s_micro "
+        "FROM long GROUP BY metric) "
+        "SELECT metric, CAST(n AS BIGINT) AS n, "
+        "s_micro / 1e6 AS total, "
+        "((2 * s_micro + n) // (2 * n)) / 1e6 AS mean "
+        "FROM m ORDER BY metric"
     ),
     tags=("relational", "reshape"),
     doc="Unpivot (wide -> long reshape, the inverse of q46's pivot): the "
@@ -954,7 +958,14 @@ def q107_range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "four times; the unpivot reads it once and emits four rows per "
     "input row) — then one aggregation per metric. The long format is "
     "what metrics stores and plotting layers consume; at 100 TB the "
-    "single-scan property is the whole point of the operator.",
+    "single-scan property is the whole point of the operator. "
+    "Cross-engine determinism: AVG(l_tax) lands EXACTLY on the 1e-6 "
+    "half boundary (the r07 driver red), so no float rounding rule can "
+    "be stable — instead each 2-decimal measure casts to DECIMAL(18,6) "
+    "(exact, both engines), sums in exact micro-units (order-"
+    "independent integer arithmetic), and the half-up mean is the pure "
+    "integer expression (2*s + n) DIV (2*n); the only double ops left "
+    "are identical-input IEEE divisions by 1e6.",
 )
 def q124_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -965,10 +976,25 @@ def q124_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'discount', l_discount, 'tax', l_tax) AS (metric, v)"
         )
     )
-    out = long.groupBy("metric").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("v"), 2).alias("total"),
-        F.round(F.avg("v"), 6).alias("mean"),
+    out = (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+        )
+        .select(
+            "metric",
+            "n",
+            (F.col("s") * 1000000).cast("long").alias("s_micro"),
+        )
+        .select(
+            "metric",
+            "n",
+            (F.col("s_micro") / F.lit(1e6)).alias("total"),
+            (
+                F.expr("(2 * s_micro + n) DIV (2 * n)") / F.lit(1e6)
+            ).alias("mean"),
+        )
     )
     return bounded_sort(out, "metric")
 

@@ -445,7 +445,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_index_upsert",
     oracle="WITH " + _SIG_CTES + " "
     "SELECT tbl, bucket, COUNT(*) AS n_members, "
-    "list_sort(list(vec_id)) AS members "
+    "md5(array_to_string(list_sort(list(vec_id)), ',')) AS members_md5 "
     "FROM sig GROUP BY tbl, bucket ORDER BY tbl, bucket",
     # py_floor: the delta signature pass is a real Arrow mapInPandas
     # stage, so every invocation carries the ~0.3s Python-worker
@@ -464,7 +464,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carries for the text index, applied to the ANN serving layer. At "
     "100 TB this is how the LSH index tracks an append-only corpus: "
     "nightly deltas fold into bucket postings partitioned by (tbl, "
-    "bucket), and serve queries (sim_ann_lsh) probe the merged store.",
+    "bucket), and serve queries (sim_ann_lsh) probe the merged store. "
+    "The posting list itself is asserted through its length and the md5 "
+    "of its comma-joined sorted ids — scalar columns hash across "
+    "engines, raw array columns do not (the idx_postings_merge "
+    "canonicalization, index/search.py).",
 )
 def sim_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.read.parquet(lsh_base_postings_dir(spark, sf_dir))
@@ -492,7 +496,11 @@ def sim_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tbl",
             "bucket",
             F.size("members").cast("long").alias("n_members"),
-            "members",
+            F.md5(
+                F.array_join(
+                    F.transform("members", lambda x: x.cast("string")), ","
+                )
+            ).alias("members_md5"),
         )
     )
     return bounded_sort(merged, "tbl", "bucket", barrier=True)

@@ -43,16 +43,21 @@ def q26_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_quality_score",
     oracle="SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, "
     "CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct, "
-    "ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr, "
-    "ROUND(list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE))) / len(t), 4) "
-    "AS avg_token_len, "
-    "ROUND(LEAST(len(t) / 100.0, 1.0) * (len(list_distinct(t)) * 1.0 / len(t)), 4) "
-    "AS quality "
+    "FLOOR(len(list_distinct(t)) * 1.0 / len(t) * 1e4 + 0.5) / 1e4 AS ttr, "
+    "FLOOR(list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE))) / len(t) "
+    "* 1e4 + 0.5) / 1e4 AS avg_token_len, "
+    "FLOOR(LEAST(len(t) / 100.0, 1.0) * (len(list_distinct(t)) * 1.0 / len(t)) "
+    "* 1e4 + 0.5) / 1e4 AS quality "
     "FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents) "
     "ORDER BY doc_id",
     tags=("text",),
     doc="Per-document quality features: token count, type-token ratio, "
-    "average token length, and a composite quality score in [0,1].",
+    "average token length, and a composite quality score in [0,1]. "
+    "Ratios of small ints land exactly ON 1e-4 half boundaries (ttr "
+    "23/32 = 0.71875 in the live data), so the rounding is the "
+    "explicit half-up FLOOR(x*1e4+0.5)/1e4 spelled identically in "
+    "both engines — engine ROUND rules (half-up vs half-even) can "
+    "never be trusted on exact-half inputs.",
 )
 def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("t")
@@ -63,6 +68,10 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda s, v: s + v,
     )
+
+    def hup4(x):
+        return F.floor(x * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
     return presort_barrier(
         table(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("t"))
@@ -70,9 +79,9 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             n.alias("n_tokens"),
             nd.alias("n_distinct"),
-            F.round(nd * 1.0 / n, 4).alias("ttr"),
-            F.round(sum_len / n, 4).alias("avg_token_len"),
-            F.round(F.least(n / 100.0, F.lit(1.0)) * (nd * 1.0 / n), 4).alias(
+            hup4(nd * 1.0 / n).alias("ttr"),
+            hup4(sum_len / n).alias("avg_token_len"),
+            hup4(F.least(n / 100.0, F.lit(1.0)) * (nd * 1.0 / n)).alias(
                 "quality"
             ),
         ),
@@ -225,8 +234,8 @@ def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txt_repetition",
-    oracle="SELECT doc_id, ROUND(1 - len(list_distinct(g)) / "
-    "CAST(len(g) AS DOUBLE), 4) AS dup2_frac FROM ("
+    oracle="SELECT doc_id, FLOOR((1 - len(list_distinct(g)) / "
+    "CAST(len(g) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup2_frac FROM ("
     "SELECT doc_id, list_transform(generate_series(1, len(t) - 1), "
     "i -> t[i] || ' ' || t[i + 1]) AS g FROM ("
     "SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents) "
@@ -252,8 +261,11 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.get("t", i), F.get("t", i + 1)),
     )
     dup = F.lit(1) - F.size(F.array_distinct(grams)) / F.size(grams)
+    # exact dyadic ratios (3/32 = 0.09375) land ON the 1e-4 half
+    # boundary: explicit half-up, never engine ROUND (see txt_quality_score)
+    dup4 = F.floor(dup * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
     return presort_barrier(
-        d.select("doc_id", F.round(dup, 4).alias("dup2_frac")), "doc_id"
+        d.select("doc_id", dup4.alias("dup2_frac")), "doc_id"
     ).orderBy("doc_id")
 
 
@@ -265,7 +277,7 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "GROUP BY doc_id, w), "
     "vocab AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w), "
     "n AS (SELECT SUM(cnt) AS n FROM vocab) "
-    "SELECT doc_id, ROUND(SUM(tf * -LN(cnt / n)) / SUM(tf), 4) AS nll "
+    "SELECT doc_id, FLOOR(SUM(tf * -LN(cnt / n)) / SUM(tf) * 1e3 + 0.5) / 1e3 AS nll "
     "FROM tf JOIN vocab USING (w) CROSS JOIN n "
     "GROUP BY doc_id ORDER BY doc_id",
     tags=("text", "pipeline", "quality", "serve"),
@@ -300,8 +312,15 @@ def q100_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("tf") * nll) / F.sum("tf"), 4
+            # 3-decimal half-up: the r07/r08 boundary audit found an nll
+            # 3.5e-5 from a 1e-4 half boundary at sf0.1; parallel-sum +
+            # libm-vs-java LN ulp wobble makes 4dp a latent flake
+            (
+                F.floor(
+                    F.sum(F.col("tf") * nll) / F.sum("tf") * F.lit(1e3)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e3)
             ).alias("nll")
         )
         .orderBy("doc_id")

@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bigdataindexing_spark import registry, tables
 from bigdataindexing_spark.session import get_spark
 
+# soft tripwire on the ex-py aggregate ratio (gate: 2.0x vs duckdb);
+# see the stderr warning in main() and tests/test_bench_guard.py
+RATIO_GUARD = 1.8
+
 
 def _warmup(spark, sf_dir: str) -> None:
     """Warm the JVM (JIT, codegen paths, shuffle machinery), the Python
@@ -304,6 +308,18 @@ def main() -> None:
         }
         line = json.dumps(out, separators=(",", ":"))
     print(line)
+    # Ratio tripwire (VERDICT r7 #8): the gate is 2x vs duckdb; warn loudly
+    # on stderr well before the margin is gone so a new-query mix-shift
+    # can't silently eat it round over round. Stdout stays the single JSON
+    # line and the exit code stays 0 — the driver's bench must not fail on
+    # a soft regression; tests/test_bench_guard.py hard-gates the recorded
+    # BENCH_DETAIL.json.
+    if ratio is not None and ratio >= RATIO_GUARD:
+        print(
+            f"WARNING: vs_duckdb_ratio_ex_py={ratio} >= guard "
+            f"{RATIO_GUARD} (gate 2.0) — investigate before shipping",
+            file=sys.stderr,
+        )
     spark.stop()
 
 

@@ -33,7 +33,9 @@ def build_hourly_rollup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("sum_value"),
+            # exact decimal partials: order-independent, and the serve
+            # path's re-aggregation stays exact (r08 decimal sweep)
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
         )
         .repartition(1)
         .sortWithinPartitions("bucket", "event_type")
@@ -78,7 +80,7 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q44_rollup_serve",
     oracle="SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt, "
-    "ROUND(SUM(value), 2) AS sum_value FROM events "
+    "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value FROM events "
     "GROUP BY day, event_type ORDER BY day, event_type",
     tags=("rollup", "index", "serve"),
     doc="Continuous-aggregate serve path: the DAILY result is computed by "
@@ -96,7 +98,7 @@ def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("cnt").alias("cnt"),
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
         )
         .transform(lambda d: bounded_sort(d, "day", "event_type"))
     )
@@ -105,7 +107,7 @@ def q44_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q102_rollup_merge",
     oracle="SELECT date_trunc('hour', ts) AS bucket, event_type, "
-    "COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value FROM events "
+    "COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value FROM events "
     "GROUP BY bucket, event_type ORDER BY bucket, event_type",
     tags=("rollup", "incremental", "serve"),
     doc="Incremental rollup maintenance (the merge step of a continuous "
@@ -126,16 +128,16 @@ def q102_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = spark.sql(f"""
         WITH base AS (
           SELECT date_trunc('hour', ts) AS bucket, event_type,
-                 COUNT(1) AS cnt, SUM(value) AS sv
+                 COUNT(1) AS cnt, SUM(CAST(value AS DECIMAL(12,2))) AS sv
           FROM {ev} WHERE event_id % 20 != 0 GROUP BY bucket, event_type
         ),
         delta AS (
           SELECT date_trunc('hour', ts) AS bucket, event_type,
-                 COUNT(1) AS cnt, SUM(value) AS sv
+                 COUNT(1) AS cnt, SUM(CAST(value AS DECIMAL(12,2))) AS sv
           FROM {ev} WHERE event_id % 20 = 0 GROUP BY bucket, event_type
         )
         SELECT bucket, event_type, SUM(cnt) AS cnt,
-               ROUND(SUM(sv), 4) AS sum_value
+               CAST(SUM(sv) AS DOUBLE) AS sum_value
         FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
         GROUP BY bucket, event_type
     """)

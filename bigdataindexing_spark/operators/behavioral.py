@@ -193,7 +193,8 @@ def q103_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt "
     "FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type) "
     "SELECT prev_type, next_type, cnt, "
-    "ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY prev_type), 4) AS p "
+    "((2 * cnt * 10000 + SUM(cnt) OVER (PARTITION BY prev_type)) "
+    "// (2 * SUM(cnt) OVER (PARTITION BY prev_type))) / 1e4 AS p "
     "FROM c ORDER BY prev_type, next_type",
     tags=("behavioral", "pattern"),
     doc="First-order Markov transition matrix over per-user event "
@@ -222,8 +223,8 @@ def q108_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY prev_type, next_type
         )
         SELECT prev_type, next_type, cnt,
-               ROUND(cnt * 1.0D / SUM(cnt) OVER (PARTITION BY prev_type), 4)
-                 AS p
+               (2 * cnt * 10000 + SUM(cnt) OVER (PARTITION BY prev_type))
+                 DIV (2 * SUM(cnt) OVER (PARTITION BY prev_type)) / 1e4 AS p
         FROM c
     """)
     return bounded_sort(counts, "prev_type", "next_type", barrier=True)
@@ -327,7 +328,7 @@ f AS (
 SELECT COALESCE(dim.state, '(pre-history)') AS state,
        COUNT(*) AS purchases,
        COUNT(DISTINCT f.user_id) AS users,
-       ROUND(SUM(f.value), 2) AS revenue
+       CAST(SUM(CAST(f.value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
 FROM f LEFT JOIN dim
   ON f.user_id = dim.user_id
  AND f.ts >= dim.valid_from

@@ -738,7 +738,7 @@ def q101_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile "
     "FROM documents) "
     "SELECT lang, quartile, COUNT(*) AS n_docs, "
-    "ROUND(AVG(n_chars), 4) AS avg_chars, "
+    "((2 * SUM(n_chars) * 10000 + COUNT(*)) // (2 * COUNT(*))) / 1e4 AS avg_chars, "
     "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
     "FROM q GROUP BY lang, quartile ORDER BY lang, quartile",
     tags=("pipeline", "sampling"),
@@ -762,9 +762,16 @@ def q109_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.groupBy("lang", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("_s_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.expr("(2 * _s_chars * 10000 + n_docs) DIV (2 * n_docs) / 1e4"),
+        )
+        .select(
+            "lang", "quartile", "n_docs", "avg_chars", "min_chars", "max_chars"
         )
         .transform(lambda d: bounded_sort(d, "lang", "quartile"))
     )
@@ -994,7 +1001,7 @@ def q114_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM customer), "
     "o AS (SELECT o_custkey, o_totalprice FROM orders) "
     "SELECT pseud, c_mktsegment, COUNT(*) AS orders, "
-    "ROUND(SUM(o_totalprice), 2) AS revenue "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
     "FROM c JOIN o ON c_custkey = o_custkey "
     "GROUP BY pseud, c_mktsegment ORDER BY pseud",
     tags=("pipeline", "privacy"),
@@ -1025,7 +1032,7 @@ def q115_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM {cust}
         )
         SELECT /*+ BROADCAST(c) */ pseud, c_mktsegment,
-               COUNT(1) AS orders, ROUND(SUM(o_totalprice), 2) AS revenue
+               COUNT(1) AS orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM c JOIN {orders} ON c_custkey = o_custkey
         GROUP BY pseud, c_mktsegment
     """)

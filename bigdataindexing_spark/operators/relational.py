@@ -185,29 +185,57 @@ def q08_multiway_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_tpch_q1",
     oracle="SELECT l_returnflag, l_linestatus, "
     "ROUND(SUM(l_quantity), 4) AS sum_qty, "
-    "ROUND(SUM(l_extendedprice), 4) AS sum_base_price, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
-    "ROUND(AVG(l_discount), 4) AS avg_disc, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) "
+    "AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price, "
+    "((2 * CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) * 100 AS BIGINT) * 100 "
+    "+ COUNT(*)) // (2 * COUNT(*))) / 1e4 AS avg_disc, "
     "COUNT(*) AS count_order "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
     "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     tags=("agg",),
     doc="TPC-H Q1 shape: grouped hash agg with partial/final split "
-    "(map-side combine) — the flagship query.",
+    "(map-side combine) — the flagship query. Money aggregates run on "
+    "exact DECIMAL(12,2) (the data is 2-decimal), so the sums are "
+    "order-independent and bit-identical across engines — at a 2.7e9 "
+    "sum the double-summation cross-engine delta reaches ~1e-4, a full "
+    "1e-4 rounding grid unit, so ROUND(SUM(double),4) is a latent coin "
+    "flip (the measured r08 finding behind the repo-wide decimal sweep). "
+    "avg_disc is exact integer half-up: cents*100/n via (2s+n) DIV (2n). "
+    "sum_qty stays a double SUM: quantities are integers, and integer "
+    "sums below 2^53 are exact in doubles regardless of order.",
 )
 def q09_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = table(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
     return (
         line.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec2("l_discount")) * 100).cast("long").alias("_disc_cents"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_disc",
+            F.expr(
+                "(2 * _disc_cents * 100 + count_order) "
+                "DIV (2 * count_order) / 1e4"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "avg_disc",
+            "count_order",
         )
         .transform(
             lambda d: bounded_sort(d, "l_returnflag", "l_linestatus")
@@ -298,9 +326,11 @@ def q13_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_running_sum",
-    oracle="SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER ("
+    oracle="SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ("
     "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "AS running_total "
     "FROM orders WHERE o_custkey <= 20 ORDER BY o_custkey, o_orderkey",
     tags=("window",),
 )
@@ -316,7 +346,10 @@ def q14_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -716,8 +749,10 @@ def q49_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q50_filtered_agg",
     oracle="SELECT o_orderpriority, COUNT(*) AS n, "
     "COUNT(*) FILTER (WHERE o_totalprice > 150000) AS big, "
-    "ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) "
-    "AS avg_f "
+    "((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) "
+    "FILTER (WHERE o_orderstatus = 'F') * 100 AS BIGINT) * 100 "
+    "+ COUNT(*) FILTER (WHERE o_orderstatus = 'F')) "
+    "// (2 * COUNT(*) FILTER (WHERE o_orderstatus = 'F'))) / 1e4 AS avg_f "
     "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     tags=("agg",),
     doc="Filtered aggregation (SQL FILTER clause ≡ count_if / "
@@ -731,13 +766,24 @@ def q50_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_if(F.col("o_totalprice") > 150000).alias("big"),
-            F.round(
-                F.avg(
-                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
-                ),
-                4,
-            ).alias("avg_f"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F",
+                        F.col("o_totalprice").cast("decimal(12,2)"),
+                    )
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("_f_cents"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("_f_n"),
         )
+        .withColumn(
+            "avg_f",
+            F.expr("(2 * _f_cents * 100 + _f_n) DIV (2 * _f_n) / 1e4"),
+        )
+        .select("o_orderpriority", "n", "big", "avg_f")
         .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )
 
@@ -1060,17 +1106,35 @@ def dq_checks(docs, ev, li, orders, cust) -> DataFrame:
     nulls = ev.filter(F.col("props").isNull()).agg(
         F.count(F.lit(1)).alias("violations")
     )
-    domain = li.filter(F.col("l_quantity") <= 0).agg(
-        F.count(F.lit(1)).alias("violations")
-    )
+    # ONE lineitem pass serves both fact-side checks (VERDICT r7 #5): the
+    # LEFT join keeps every lineitem row, so the domain count (qty <= 0)
+    # and the referential count (no orders match -> null join key) ride
+    # the same scan + join + aggregate instead of two scans + two aggs.
     # NO broadcast hint on the orders side: it is fact-sized (grows with
-    # SF), so the referential check must stay a shuffled anti-join AQE
-    # can plan; only the genuinely bounded customer dimension broadcasts
-    orphan_li = li.join(
-        orders.select("o_orderkey"),
-        li["l_orderkey"] == F.col("o_orderkey"),
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("violations"))
+    # SF), so the referential check must stay a shuffled join AQE can
+    # plan; only the genuinely bounded customer dimension broadcasts.
+    li_checks = (
+        li.select("l_orderkey", "l_quantity")
+        .join(
+            orders.select(F.col("o_orderkey").alias("_ok")),
+            F.col("l_orderkey") == F.col("_ok"),
+            "left",
+        )
+        .agg(
+            F.count_if(F.col("l_quantity") <= 0).alias("domain_v"),
+            F.count_if(F.col("_ok").isNull()).alias("orphan_v"),
+        )
+    )
+    # both lineitem rows come off the ONE aggregate via stack — two
+    # DataFrame branches would re-execute the join (no CSE across
+    # branches), which is exactly the double-scan this rewrite removes
+    li_rows = li_checks.select(
+        F.expr(
+            "stack(2, 'lineitem_nonpositive_qty', CAST(domain_v AS BIGINT), "
+            "'lineitem_orphan_orderkey', CAST(orphan_v AS BIGINT)) "
+            "AS (chk, violations)"
+        )
+    )
     orphan_o = orders.join(
         F.broadcast(cust.select("c_custkey")),
         orders["o_custkey"] == F.col("c_custkey"),
@@ -1080,8 +1144,7 @@ def dq_checks(docs, ev, li, orders, cust) -> DataFrame:
     out = (
         row("documents_dup_doc_id", dup)
         .unionByName(row("events_null_props", nulls))
-        .unionByName(row("lineitem_nonpositive_qty", domain))
-        .unionByName(row("lineitem_orphan_orderkey", orphan_li))
+        .unionByName(li_rows)
         .unionByName(row("orders_orphan_custkey", orphan_o))
     )
     return bounded_sort(out, "chk")

@@ -65,7 +65,7 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q23_tumbling_window",
     oracle="SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt, "
-    "ROUND(SUM(value), 4) AS sum_value FROM events "
+    "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value FROM events "
     "GROUP BY w, event_type ORDER BY w, event_type",
     tags=("window-agg", "streaming-batch-equivalent"),
     doc="Tumbling 1-hour window aggregation — the deterministic batch "
@@ -81,7 +81,9 @@ def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .transform(lambda d: bounded_sort(d, "w", "event_type"))
     )
@@ -109,7 +111,8 @@ def q27_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q58_variant_extract",
     oracle="SELECT event_type, COUNT(*) AS n, "
-    "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k "
+    "((2 * SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 10000 "
+    "+ COUNT(*)) // (2 * COUNT(*))) / 1e4 AS avg_k "
     "FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 "
     "GROUP BY event_type ORDER BY event_type",
     tags=("json", "variant"),
@@ -131,8 +134,12 @@ def q58_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            F.sum(k).alias("_s_k"),
         )
+        .withColumn(
+            "avg_k", F.expr("(2 * _s_k * 10000 + n) DIV (2 * n) / 1e4")
+        )
+        .select("event_type", "n", "avg_k")
         .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
@@ -140,7 +147,8 @@ def q58_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q92_gap_fill_ffill",
     oracle="WITH pts AS (SELECT user_id, date_trunc('hour', ts) AS h, "
-    "ROUND(AVG(value), 4) AS v FROM events "
+    "((2 * CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) * 100 "
+    "+ COUNT(*)) // (2 * COUNT(*))) / 1e4 AS v FROM events "
     "WHERE event_type = 'purchase' AND user_id <= 20 GROUP BY 1, 2), "
     "span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM pts GROUP BY 1), "
     "grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) "
@@ -174,7 +182,8 @@ def q92_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pin(
         spark.sql(
             f"SELECT user_id, date_trunc('hour', ts) AS h, "
-            f"ROUND(AVG(value), 4) AS v FROM {ev} "
+            f"(2 * CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) "
+            f"* 100 + COUNT(*)) DIV (2 * COUNT(*)) / 1e4 AS v FROM {ev} "
             f"WHERE event_type = 'purchase' AND user_id <= 20 "
             f"GROUP BY user_id, date_trunc('hour', ts)"
         )

@@ -364,3 +364,161 @@ def q119_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _QH_SERVE.format(src=view, w=QH_W).rsplit("ORDER BY q", 1)[0]
     )
     return bounded_sort(out, "q")
+
+
+# --- adaptive two-pass quantile sketch (VERDICT r7 #7) -------------------------
+#
+# X35's fixed grid has rank error <= one bin's mass, which degrades wherever
+# the data concentrates. This variant adapts resolution in two passes while
+# keeping BOTH properties that make the fixed grid production-worthy:
+#   - merge-by-addition: boundaries are decided GLOBALLY (pass 1), so every
+#     shard bins identically and partial counts sum — the KLL/t-digest serve
+#     algebra without their nondeterministic compaction;
+#   - full SQL oracle: every binning decision is INTEGER arithmetic over
+#     BIGINT n_chars (coarse bin = (x-mn)*G DIV span; sub-bin budget
+#     k_g = ceil(B*c_g/n); sub = (x-lo_g)*k_g DIV w_g), bit-exact in any
+#     engine — no float edge can flip a bin.
+# Pass 1 collects G+3 scalars (driver-bounded); pass 2 is one row-local
+# scan into (source, bin, cnt) partials. Max refined-bin mass is
+# ~n/B + one coarse-granularity slack, so rank error stays under 1%
+# at B=256 (pinned by tests/test_sketches.py::test_adaptive_quantile_*).
+
+AQ_G = 16   # pass-1 coarse bins
+AQ_B = 256  # refined bin budget (max bin mass ~ n/AQ_B)
+
+
+def _aq_layout(spark: SparkSession, sf_dir: str):
+    """Pass 1: global integer stats -> per-coarse-bin refined layout."""
+    docs = table_view(spark, sf_dir, "documents")
+    row = spark.sql(
+        f"SELECT COUNT(1) AS n, MIN(n_chars) AS mn, "
+        f"MAX(n_chars) - MIN(n_chars) + 1 AS span FROM {docs}"
+    ).collect()[0]
+    n, mn, span = row["n"], row["mn"], row["span"]
+    coarse = {
+        r["g"]: r["c"]
+        for r in spark.sql(
+            f"SELECT CAST((n_chars - {mn}) * {AQ_G} DIV {span} AS INT) AS g, "
+            f"COUNT(1) AS c FROM {docs} GROUP BY g"
+        ).collect()
+    }
+    lo = [mn + (g * span + AQ_G - 1) // AQ_G for g in range(AQ_G + 1)]
+    k, off, cum = [], [], 0
+    for g in range(AQ_G):
+        c = coarse.get(g, 0)
+        kg = (AQ_B * c + n - 1) // n if c else 0
+        k.append(kg)
+        off.append(cum)
+        cum += kg
+    return n, mn, span, lo, k, off
+
+
+def _build_adaptive_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 2: shard-local (source, bin, blo, bhi, cnt) partials under the
+    pass-1 global layout — additive across shards by construction."""
+    _n, mn, span, lo, k, off = _aq_layout(spark, sf_dir)
+    docs = table_view(spark, sf_dir, "documents")
+    arr = lambda xs: "array(" + ", ".join(str(x) for x in xs) + ")"  # noqa: E731
+    return spark.sql(f"""
+        WITH v AS (
+          SELECT source, n_chars AS x,
+                 CAST((n_chars - {mn}) * {AQ_G} DIV {span} AS INT) AS g
+          FROM {docs}
+        ),
+        a AS (
+          SELECT source, x,
+                 element_at({arr(k)}, g + 1) AS k,
+                 element_at({arr(off)}, g + 1) AS off,
+                 element_at({arr(lo[:AQ_G])}, g + 1) AS lo,
+                 element_at({arr(lo[1:])}, g + 1)
+                   - element_at({arr(lo[:AQ_G])}, g + 1) AS w
+          FROM v
+        ),
+        sb AS (
+          SELECT source, (x - lo) * k DIV w AS sub, k, off, lo, w FROM a
+        )
+        SELECT source, off + sub AS bin,
+               MIN(lo + (sub * w + k - 1) DIV k) AS blo,
+               MIN(lo + ((sub + 1) * w + k - 1) DIV k) AS bhi,
+               COUNT(1) AS cnt
+        FROM sb GROUP BY source, off + sub
+    """)
+
+
+_AQ_STORE = SessionParquetStore(
+    "adaptive_quantile_hist", _build_adaptive_hist, sort_cols=("source", "bin")
+)
+
+# serve: merge partials by addition, rank into the covering refined bin,
+# interpolate inside [blo, bhi) — same shape as _QH_SERVE but the bin
+# bounds come from the sketch rows (they are layout-derived integers)
+_AQ_SERVE = """
+WITH h AS (SELECT bin, MIN(blo) AS blo, MIN(bhi) AS bhi, SUM(cnt) AS cnt
+           FROM {src} GROUP BY bin),
+c AS (SELECT bin, blo, bhi, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+n AS (SELECT SUM(cnt) AS n FROM h),
+t AS (SELECT 'p50' AS q, CAST(CEIL(0.5e0 * n) AS BIGINT) AS rnk FROM n
+      UNION ALL
+      SELECT 'p90', CAST(CEIL(0.9e0 * n) AS BIGINT) FROM n
+      UNION ALL
+      SELECT 'p99', CAST(CEIL(0.99e0 * n) AS BIGINT) FROM n),
+b AS (SELECT t.q, t.rnk, MIN(c.bin) AS bin
+      FROM t JOIN c ON c.cum >= t.rnk GROUP BY t.q, t.rnk)
+SELECT b.q,
+       ROUND(c.blo + (c.bhi - c.blo) * 1e0 * (b.rnk - (c.cum - c.cnt))
+             / c.cnt, 4) AS est
+FROM b JOIN c ON b.bin = c.bin
+ORDER BY q
+"""
+
+# the duckdb oracle rebuilds BOTH passes from raw documents in integer
+# arithmetic — layout CTEs mirror _aq_layout, binning mirrors pass 2
+_AQ_ORACLE_SRC = f"""(
+  WITH s AS (SELECT COUNT(*) AS n, MIN(n_chars) AS mn,
+                    MAX(n_chars) - MIN(n_chars) + 1 AS span FROM documents),
+  cg AS (SELECT ((n_chars - mn) * {AQ_G}) // span AS g, COUNT(*) AS c
+         FROM documents, s GROUP BY g),
+  kk AS (SELECT g, ({AQ_B} * c + n - 1) // n AS k,
+                COALESCE(SUM(({AQ_B} * c + n - 1) // n) OVER (ORDER BY g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM cg, s),
+  vals AS (SELECT kk.k, kk.off,
+                  s.mn + (kk.g * s.span + {AQ_G - 1}) // {AQ_G} AS lo,
+                  ((kk.g + 1) * s.span + {AQ_G - 1}) // {AQ_G}
+                    - (kk.g * s.span + {AQ_G - 1}) // {AQ_G} AS w,
+                  d.n_chars AS x
+           FROM documents d, s
+           JOIN kk ON ((d.n_chars - s.mn) * {AQ_G}) // s.span = kk.g),
+  sb AS (SELECT off + ((x - lo) * k) // w AS bin, ((x - lo) * k) // w AS sub,
+                lo, w, k
+         FROM vals)
+  SELECT bin, MIN(lo + (sub * w + k - 1) // k) AS blo,
+         MIN(lo + ((sub + 1) * w + k - 1) // k) AS bhi,
+         COUNT(*) AS cnt
+  FROM sb GROUP BY bin
+)"""
+
+
+@register(
+    "q126_adaptive_quantile",
+    oracle=_AQ_SERVE.format(src=_AQ_ORACLE_SRC),
+    tags=("sketch", "serve"),
+    doc="Adaptive-resolution mergeable quantile sketch (two-pass): pass 1 "
+    "fixes a GLOBAL layout — 16 coarse integer bins get sub-bin budgets "
+    "proportional to their mass, 256 refined bins total — and pass 2 "
+    "bins every shard against that shared layout into additive "
+    "(source, bin, count) partials served from the session store. "
+    "Equi-depth-ish refinement bounds any refined bin's mass near n/256, "
+    "so rank error stays under 1% where the fixed-grid X35 sketch "
+    "degrades on concentrated data; the merge-by-addition serve algebra "
+    "is unchanged (the reason warehouses keep KLL/t-digest columns per "
+    "partition — this is that design made oracle-exact by doing every "
+    "binning decision in BIGINT arithmetic, which no float edge can "
+    "flip). The duckdb oracle replays both passes from raw documents; "
+    "the 1%-rank and shard-additivity contracts live in "
+    "tests/test_sketches.py.",
+)
+def q126_adaptive_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _AQ_STORE.view(spark, sf_dir)
+    out = spark.sql(_AQ_SERVE.format(src=view).rsplit("ORDER BY q", 1)[0])
+    return bounded_sort(out, "q")

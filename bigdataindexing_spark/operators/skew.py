@@ -183,7 +183,7 @@ def salted_join(
 @register(
     "q96_salted_join",
     oracle="SELECT o_orderpriority, COUNT(*) AS cnt, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "WHERE o_orderstatus = 'F' "
     "GROUP BY o_orderpriority ORDER BY o_orderpriority",
@@ -203,7 +203,10 @@ def salted_join(
 def q96_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(table(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("rev"),
     )
     orders = (
         table(spark, sf_dir, "orders")
@@ -221,7 +224,7 @@ def q96_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("rev").cast("double").alias("revenue"),
         )
         .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )

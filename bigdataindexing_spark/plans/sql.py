@@ -21,7 +21,7 @@ from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import register_views
 
 _Q3 = (
-    "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+    "SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, "
     "o_orderdate FROM customer "
     "JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15' "
@@ -31,7 +31,7 @@ _Q3 = (
 )
 
 _Q5 = (
-    "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue "
     "FROM customer JOIN orders ON c_custkey = o_custkey "
     "JOIN lineitem ON l_orderkey = o_orderkey "
     "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
@@ -77,7 +77,7 @@ _Q18_SPARK = (
 
 _SCALAR_SUB = (
     "SELECT c_custkey, ROUND(c_acctbal, 4) AS acctbal FROM customer "
-    "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) "
+    "WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM customer) "
     "ORDER BY c_custkey"
 )
 
@@ -178,7 +178,7 @@ for _name, _sql, _doc in [
     (
         "q64_sql_tpch_q10",
         "SELECT c_custkey, c_name, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, n_name "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "JOIN nation ON c_nationkey = n_nationkey "
@@ -210,10 +210,10 @@ for _name, _sql, _doc in [
     ),
     (
         "q66_sql_tpch_q14",
-        "SELECT ROUND(100.00 * "
-        "SUM(CASE WHEN p_type LIKE 'PROMO%' "
-        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
-        "SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+        "SELECT FLOOR(100.00 * "
+        "CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE 0 END) AS DOUBLE) / "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS promo_revenue "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE l_shipdate >= DATE '1996-09-01' "
         "AND l_shipdate < DATE '1996-10-01'",
@@ -224,9 +224,9 @@ for _name, _sql, _doc in [
     (
         "q72_sql_tpch_q22",
         "SELECT c_nationkey, COUNT(*) AS numcust, "
-        "ROUND(SUM(c_acctbal), 4) AS totacctbal "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal "
         "FROM customer "
-        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+        "WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM customer "
         "WHERE c_acctbal > 0) "
         "AND NOT EXISTS (SELECT 1 FROM orders "
         "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') "
@@ -240,7 +240,7 @@ for _name, _sql, _doc in [
     ),
     (
         "q74_sql_tpch_q6",
-        "SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue "
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
         "FROM lineitem "
         "WHERE l_shipdate >= DATE '1996-01-01' "
         "AND l_shipdate < DATE '1997-01-01' "
@@ -266,10 +266,10 @@ for _name, _sql, _doc in [
     (
         "q76_sql_tpch_q7",
         "SELECT supp_nation, cust_nation, l_year, "
-        "ROUND(SUM(volume), 4) AS revenue FROM ("
+        "CAST(SUM(volume) AS DOUBLE) AS revenue FROM ("
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
         "EXTRACT(YEAR FROM l_shipdate) AS l_year, "
-        "l_extendedprice * (1 - l_discount) AS volume "
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume "
         "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
         "JOIN orders ON o_orderkey = l_orderkey "
         "JOIN customer ON c_custkey = o_custkey "
@@ -289,7 +289,7 @@ for _name, _sql, _doc in [
     ),
     (
         "q77_sql_tpch_q17",
-        "SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly "
+        "SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 * 1e4 + 0.5) / 1e4 AS avg_yearly "
         "FROM lineitem JOIN part ON p_partkey = l_partkey "
         "WHERE p_brand = 'Brand#23' "
         "AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) "
@@ -302,7 +302,7 @@ for _name, _sql, _doc in [
     ),
     (
         "q78_sql_tpch_q19",
-        "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue "
         "FROM lineitem JOIN part ON p_partkey = l_partkey "
         "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
         "AND l_quantity BETWEEN 1 AND 11) "
@@ -320,7 +320,7 @@ for _name, _sql, _doc in [
     (
         "q79_sql_tpch_q15",
         "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue "
         "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' "
         "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
         "SELECT s_suppkey, s_name, total_revenue "
@@ -363,10 +363,11 @@ for _name, _sql, _doc in [
 for _name, _sql, _doc in [
     (
         "q85_sql_tpch_q8",
-        "SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume "
-        "ELSE 0 END) / SUM(volume), 4) AS mkt_share "
+        "SELECT o_year, FLOOR(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume "
+        "ELSE 0 END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) * 1e4 + 0.5) "
+        "/ 1e4 AS mkt_share "
         "FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, "
-        "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume, n2.n_name AS nation "
         "FROM part JOIN lineitem ON p_partkey = l_partkey "
         "JOIN supplier ON s_suppkey = l_suppkey "
         "JOIN orders ON l_orderkey = o_orderkey "
@@ -383,9 +384,10 @@ for _name, _sql, _doc in [
     ),
     (
         "q86_sql_tpch_q9",
-        "SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit FROM ("
+        "SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit FROM ("
         "SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year, "
-        "l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity "
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) - CAST(0.8 AS DECIMAL(2,1)) "
+        "* CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) "
         "AS amount FROM part JOIN lineitem ON p_partkey = l_partkey "
         "JOIN supplier ON s_suppkey = l_suppkey "
         "JOIN orders ON o_orderkey = l_orderkey "
@@ -558,13 +560,13 @@ register(
 )(_sql_builder(_Q2_SPARK, "q84_sql_tpch_q2"))
 
 _Q11 = (
-    "SELECT l_partkey, ROUND(SUM(l_extendedprice), 4) AS value "
+    "SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value "
     "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
     "JOIN nation ON s_nationkey = n_nationkey "
     "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
     "GROUP BY l_partkey "
-    "HAVING SUM(l_extendedprice) > ("
-    "SELECT 2.0 * SUM(l_extendedprice) / COUNT(DISTINCT l_partkey) "
+    "HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) > ("
+    "SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(DISTINCT l_partkey) "
     "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
     "JOIN nation ON s_nationkey = n_nationkey "
     "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')) "
@@ -582,13 +584,14 @@ _Q11 = (
 # instead of two. Oracle stays the canonical two-scan text.
 _Q11_SPARK = (
     "WITH per_part AS ("
-    "SELECT l_partkey, SUM(l_extendedprice) AS v "
+    "SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v "
     "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
     "JOIN nation ON s_nationkey = n_nationkey "
     "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
     "GROUP BY l_partkey) "
-    "SELECT l_partkey, ROUND(v, 4) AS value FROM per_part "
-    "WHERE v > (SELECT 2.0 * SUM(v) / COUNT(*) FROM per_part) "
+    "SELECT l_partkey, CAST(v AS DOUBLE) AS value FROM per_part "
+    "WHERE CAST(v AS DOUBLE) > "
+    "(SELECT 2.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM per_part) "
     "ORDER BY value DESC, l_partkey"
 )
 

@@ -100,9 +100,13 @@ _PARTITIONED: dict[tuple[str, str], str] = {}
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     from bigdataindexing_spark.sources.store_dirs import session_store_dir
 
+    import os
+
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _PARTITIONED.get(key)
-    if path is None:
+    # re-validate like SessionParquetStore.dir: a store dir reclaimed
+    # externally (tmp cleanup) must rebuild, not error (ADVICE r7)
+    if path is None or not os.path.isdir(path):
         path = session_store_dir("partitioned_orders")
         write_partitioned_orders(spark, sf_dir, path)
         _PARTITIONED[key] = path
@@ -138,8 +142,12 @@ def _register() -> None:
         app = spark.sparkContext.applicationId
         # the catalog is application-shared (sibling sessions see the
         # same external catalog), so build-once is keyed like the stores
-        if _BUCKETED_SF.get(app) != sf_dir or not spark.catalog.tableExists(
-            "bdi.orders_bucketed"
+        # require BOTH bucketed tables: a failure between the two
+        # saveAsTable calls (or an external drop of one) must trigger a
+        # rebuild, not a table-not-found on the join (ADVICE r7)
+        if _BUCKETED_SF.get(app) != sf_dir or not all(
+            spark.catalog.tableExists(f"bdi.{t}_bucketed")
+            for t in ("orders", "lineitem")
         ):
             write_bucketed(spark, sf_dir)
             _BUCKETED_SF[app] = sf_dir
@@ -150,7 +158,7 @@ def _register() -> None:
         oracle=(
             "SELECT strftime(o_orderdate, '%Y-%m') AS month, "
             "CAST(COUNT(*) AS BIGINT) AS n_orders, "
-            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
             "FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) "
             "= 1996 GROUP BY month ORDER BY month"
         ),
@@ -173,7 +181,9 @@ def _register() -> None:
             .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("revenue"),
             )
         )
         return bounded_sort(out, "month")
@@ -183,7 +193,7 @@ def _register() -> None:
         oracle=(
             "SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS y, "
             "CAST(COUNT(*) AS BIGINT) AS n_orders, "
-            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
             "FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) "
             "% 2 = 0 GROUP BY y ORDER BY y"
         ),
@@ -217,7 +227,9 @@ def _register() -> None:
             .groupBy(F.col("y").cast("int").alias("y"))
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("revenue"),
             )
         )
         return bounded_sort(out, "y")

@@ -337,8 +337,12 @@ MAINT_HI = "1996-03-31"
 
 # CDC window for the MERGE lifecycle: every update/delete/insert targets
 # rows in this range, so the copy-on-write rewrite is manifest-prunable.
+# HI is Feb 29 (1996 is a leap year) so the batch merge window tiles
+# exactly with the first two STREAM_MERGE_MONTHS entries below — the
+# r07 ADVICE caught the batch/streaming lifecycles silently covering
+# different row sets with '1996-02-28'.
 MERGE_LO = "1996-01-01"
-MERGE_HI = "1996-02-28"
+MERGE_HI = "1996-02-29"
 
 # The streaming CDC apply (st14) feeds three month-scoped change batches
 # that tile this quarter — disjoint windows, so the composed effect is
@@ -782,13 +786,22 @@ def _register() -> None:
         "copy-on-write table without a separate CDC log.",
     )
     def src_layout_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-        path, v0, v1, _snap = _merged_layout(spark, sf_dir)
+        path, v0, v1, snap = _merged_layout(spark, sf_dir)
         m0 = read_manifest_as_of(path, v0)
         m1 = read_manifest_as_of(path, v1)
         f0 = {m["file"] for m in m0}
         f1 = {m["file"] for m in m1}
-        old = spark.read.parquet(*sorted(f0 - f1))
-        new = spark.read.parquet(*sorted(f1 - f0))
+
+        # an empty diff side (e.g. an append-only merge variant) must
+        # yield an empty relation, not a zero-argument parquet() error
+        # (ADVICE r7); the snapshot supplies the schema
+        def side(files: set) -> DataFrame:
+            if files:
+                return spark.read.parquet(*sorted(files))
+            return spark.createDataFrame([], snap.schema)
+
+        old = side(f0 - f1)
+        new = side(f1 - f0)
         # signed-multiset diff: one union + one aggregation computes both
         # EXCEPT ALL directions (a +1/-1 weight per side; rows present in
         # both cancel, survivors carry their multiplicity in |d|) — one

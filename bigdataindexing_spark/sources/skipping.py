@@ -194,7 +194,7 @@ SKIP_HI = "1995-08-31"
 @register(
     "q111_minmax_skipping",
     oracle="SELECT l_returnflag, COUNT(*) AS cnt, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue "
     f"FROM lineitem WHERE l_shipdate BETWEEN DATE '{SKIP_LO}' "
     f"AND DATE '{SKIP_HI}' GROUP BY l_returnflag ORDER BY l_returnflag",
     tags=("source", "skipping", "layout", "serve"),
@@ -227,9 +227,12 @@ def q111_minmax_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
@@ -404,7 +407,7 @@ ZQ_QTY_HI = 10
 @register(
     "q112_zorder_skipping",
     oracle="SELECT l_returnflag, COUNT(*) AS cnt, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue "
     f"FROM lineitem WHERE l_shipdate BETWEEN DATE '{ZQ_DATE_LO}' "
     f"AND DATE '{ZQ_DATE_HI}' AND l_quantity BETWEEN {ZQ_QTY_LO} AND "
     f"{ZQ_QTY_HI} GROUP BY l_returnflag ORDER BY l_returnflag",
@@ -447,9 +450,12 @@ def q112_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )

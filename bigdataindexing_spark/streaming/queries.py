@@ -402,7 +402,7 @@ def st11_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st10_stream_static_enrich",
     oracle="SELECT c_mktsegment AS segment, COUNT(*) AS cnt, "
-    "ROUND(SUM(value), 4) AS sum_value "
+    "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value "
     "FROM events JOIN customer ON c_custkey = user_id "
     "GROUP BY segment ORDER BY segment",
     tags=("streaming", "join"),
@@ -429,7 +429,9 @@ def st10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_value"),
     )
     result = run_available_now(agg, output_mode="complete")
     return result.select(

@@ -68,16 +68,32 @@ ALLOW_EXACT_COLS = {
     "cont_ab",
     "cont_ba",
     "dup_frac",
+    # deterministic division of cross-engine-identical doubles (exact
+    # decimal sums cast to double, then one IEEE op + half-up FLOOR)
+    "avg_yearly",
+    "promo_revenue",
+    "mkt_share",
+    "avg_disc",
+    "avg_f",
+    "avg_k",
+    "avg_chars",
+    "mean",
+    "p",
 }
 
 
-def strip_rounds(sql: str) -> tuple[str, list[int]]:
+def strip_rounds(sql: str) -> tuple[str, list[tuple[int, str | None]]]:
     """Replace each non-nested rounding site with its unrounded expr;
-    return the modified SQL and the list of scales d encountered.
+    return the modified SQL and a list of (scale d, output alias) pairs
+    — alias is the `AS name` following the site if present, so the
+    caller can audit ONLY the columns a rounding decision actually
+    produces (an un-rounded exact-DECIMAL column in the same select
+    must not inherit another column's grid).
 
     Handles both engine rounding — ROUND(expr, d) — and the repo's
     explicit half-up idiom FLOOR(expr * 1eD + 0.5) / 1eD (q124/q118/
     txt_* after the r07 fixes), so hardened sites stay under audit."""
+    alias_pat = re.compile(r"\s*AS\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE)
     out, digits, i, n = [], [], 0, len(sql)
     pat = re.compile(r"(ROUND|FLOOR)\s*\(", re.IGNORECASE)
     hup_tail = re.compile(r"\*\s*1[eE](\d+)\s*\+\s*0\.5\s*$")
@@ -105,7 +121,10 @@ def strip_rounds(sql: str) -> tuple[str, list[int]]:
             mt = hup_tail.search(inner)
             md = hup_div.match(sql, j)
             if mt and md and mt.group(1) == md.group(1):
-                digits.append(int(mt.group(1)))
+                ma = alias_pat.match(sql, md.end())
+                digits.append(
+                    (int(mt.group(1)), ma.group(1) if ma else None)
+                )
                 out.append("(" + inner[: mt.start()] + ")")
                 i = md.end()
             else:  # plain FLOOR, not the half-up idiom — keep as-is
@@ -116,13 +135,17 @@ def strip_rounds(sql: str) -> tuple[str, list[int]]:
             cut = top_commas[-1] - m.end()
             expr, d_txt = inner[:cut], inner[cut + 1 :]
             try:
-                digits.append(int(d_txt.strip()))
+                ma = alias_pat.match(sql, j)
+                digits.append(
+                    (int(d_txt.strip()), ma.group(1) if ma else None)
+                )
             except ValueError:  # ROUND(x, col) — keep as-is
                 out.append(sql[m.start() : j])
                 i = j
                 continue
         else:
-            expr, _ = inner, digits.append(0)
+            ma = alias_pat.match(sql, j)
+            expr, _ = inner, digits.append((0, ma.group(1) if ma else None))
         out.append("(" + expr + ")")  # nested ROUNDs inside expr survive
         i = j
     return "".join(out), digits
@@ -159,19 +182,34 @@ def main() -> int:
             print(f"AUDIT_ERR {name}: {type(e).__name__}: {str(e)[:100]}")
             continue
         audited += 1
+        # per-column scales: a column audits only against the d of its
+        # OWN rounding site; sites with no recoverable alias fall back
+        # to every float column (conservative)
+        fallback_ds = sorted({d for d, a in digits if a is None})
+        by_alias: dict[str, set] = {}
+        for d, a in digits:
+            if a is not None:
+                by_alias.setdefault(a, set()).add(d)
         # track the worst value by margin RATIO (distance / its own
         # threshold) so a small-|v| exact hit outranks a large-|v| miss
         worst = (float("inf"), 0.5, None, None, None)
         for col in tbl.column_names:
             if col in ALLOW_EXACT_COLS:
                 continue
+            ds = sorted(by_alias.get(col, set()) | set(fallback_ds))
+            if not ds:
+                continue
             arr = tbl.column(col)
             if str(arr.type) not in ("double", "float"):
                 continue
-            for v in arr.to_pylist():
-                if v is None:
-                    continue
-                for d in set(digits):
+            vals = [v for v in arr.to_pylist() if v is not None]
+            # all-integer column = an exact integer sum (quantity-style):
+            # every partial is exactly representable, wobble is zero, and
+            # rounding an on-grid integer at d>=1 decimals cannot flip
+            if vals and all(float(v).is_integer() for v in vals):
+                continue
+            for v in vals:
+                for d in ds:
                     dist = boundary_distance(float(v), d)
                     thr = max(ABS_FLOOR, REL_WOBBLE * abs(v) * (10.0**d))
                     ratio = dist / thr

@@ -1037,3 +1037,85 @@ def q115_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY pseud, c_mktsegment
     """)
     return bounded_sort(out, "pseud")
+
+
+# --- temperature-based source mixing (round 8) --------------------------------
+#
+# The multilingual/multi-source pretraining mixer (mBERT/XLM-R/PaLM
+# lineage): sampling share q_i ∝ n_i^(1/T) with T=2 (alpha=0.5), so
+# high-resource languages are downweighted and low-resource ones
+# oversampled relative to their natural share, under a global budget of
+# half the corpus. alpha=0.5 is deliberate: sqrt is IEEE
+# correctly-rounded in every engine (POWER is not guaranteed to be), and
+# the one remaining cross-engine float — the 5-term sqrt sum in the
+# denominator — passes through the 1e-9 half-up quantize (the ANN
+# determinism contract) before the integer FLOOR that fixes each
+# language's draw count.
+MIX_BUDGET_FRAC = 0.5  # global budget = FLOOR(corpus/2) docs
+
+_TEMP_MIX_ORACLE = (
+    "WITH src AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), "
+    "tot AS (SELECT SUM(sqrt(n)) AS z, SUM(n) AS corpus FROM src), "
+    "plan AS (SELECT lang, n, CAST(FLOOR("
+    "FLOOR(sqrt(n) / z * 1e9 + 0.5) / 1e9 "
+    f"* FLOOR(corpus * {MIX_BUDGET_FRAC}) + 0.5) AS BIGINT) AS m "
+    "FROM src, tot), "
+    "ranked AS (SELECT lang, doc_id, ROW_NUMBER() OVER ("
+    "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents), "
+    "sel AS (SELECT r.lang, r.doc_id, p.n, p.m FROM ranked r "
+    "JOIN plan p ON p.lang = r.lang WHERE r.rn <= p.m) "
+    "SELECT lang, MIN(n) AS n_docs, MIN(m) AS target, "
+    "CAST(COUNT(*) AS BIGINT) AS drawn, "
+    "md5(array_to_string(list_sort(list(doc_id)), ',')) AS sample_md5 "
+    "FROM sel GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "q127_temperature_mix",
+    oracle=_TEMP_MIX_ORACLE,
+    tags=("pipeline", "sampling"),
+    doc="Temperature-based mixture sampling (the multilingual-pretraining "
+    "mixer, p_i proportional to n_i^(1/T), T=2; lang is the mixing key — "
+    "the corpus's one genuinely skewed origin column): per-lang draw "
+    "counts come from sqrt-share of the corpus under a half-corpus "
+    "budget, and the draws themselves are the deterministic md5-rank "
+    "prefix per lang (the q82/q83 discipline), so the SAME documents are "
+    "chosen on every engine and every run — the mixture is reproducible "
+    "end-to-end, which is what makes a training mix auditable. Compared "
+    "with q83 (uniform target), this is the general alpha-power "
+    "reweighting actually used to oversample low-resource languages "
+    "(measured here: en drawn at ~36% vs ~60% for the tail langs). The "
+    "plan is one counts aggregate broadcast into a per-lang ranking "
+    "window, one shuffle each, at any corpus size. alpha=0.5 because "
+    "sqrt is correctly-rounded IEEE in every engine (POWER is not), and "
+    "the denominator sum is 1e-9-quantized before the integer FLOOR "
+    "(the ANN determinism contract). Output pins the selection set "
+    "itself via md5 of the sorted drawn ids.",
+)
+def q127_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    # one SQL statement = one driver round-trip (the table_view pattern);
+    # same plan as the Column form, measured slightly faster
+    out = spark.sql(f"""
+        WITH src AS (SELECT lang, COUNT(1) AS n FROM {docs} GROUP BY lang),
+        tot AS (SELECT SUM(sqrt(n)) AS z, SUM(n) AS corpus FROM src),
+        plan AS (SELECT lang, n, CAST(FLOOR(
+          FLOOR(sqrt(n) / z * 1e9 + 0.5) / 1e9
+          * FLOOR(corpus * {MIX_BUDGET_FRAC}) + 0.5) AS BIGINT) AS m
+          FROM src CROSS JOIN tot),
+        ranked AS (SELECT lang, doc_id, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+          AS rn FROM {docs}),
+        sel AS (SELECT r.lang, r.doc_id, p.n, p.m FROM ranked r
+          JOIN plan p ON p.lang = r.lang WHERE r.rn <= p.m)
+        SELECT lang, MIN(n) AS n_docs, MIN(m) AS target,
+          COUNT(1) AS drawn,
+          md5(array_join(transform(sort_array(collect_list(doc_id)),
+            x -> CAST(x AS STRING)), ',')) AS sample_md5
+        FROM sel GROUP BY lang
+    """)
+    return bounded_sort(out, "lang")

@@ -1319,3 +1319,82 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("b.cid").alias("neighbor_id"))
         .transform(lambda d: bounded_sort(d, "qid", barrier=True))
     )
+
+
+# --- SemDeDup-style semantic dedup (round 8) ----------------------------------
+
+SEM_TAU = COSINE_NEARDUP_TAU  # within-cell near-dup threshold
+
+
+def _semantic_dedup_oracle() -> str:
+    return (
+        "WITH "
+        + _coarse_ctes()
+        + f""",
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM ecell a JOIN ecell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {_q9sql("list_cosine_similarity(ea.v, eb.v)")} >= {SEM_TAU}
+),
+dropped AS (SELECT vb AS vec_id, MIN(va) AS rep FROM pairs GROUP BY vb)
+SELECT ec.vec_id, d.vec_id IS NULL AS kept, d.rep
+FROM ecell ec LEFT JOIN dropped d ON d.vec_id = ec.vec_id
+ORDER BY ec.vec_id"""
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=_semantic_dedup_oracle,
+    # bench=False like the rest of the trained-quantizer family: the
+    # duckdb oracle replays 5 unrolled Lloyd iterations in SQL (~67 s at
+    # sf0.1 vs ~5 s Spark) — a correctness gate, not a perf baseline;
+    # including it would both distort the aggregate ratio and add ~6 min
+    # of oracle wall per bench pass
+    bench=False,
+    tags=("dedup", "similarity"),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, the "
+    "FAISS-kmeans pipeline): cluster embeddings with the SAME "
+    "deterministic 1e-9-quantized Lloyd quantizer the IVF family trains "
+    "(train_centroids/assign_cells), then find near-duplicates ONLY "
+    "within each cell — a vector is dropped when a lower-id same-cell "
+    "member sits at cosine >= tau, keeping the min-id representative "
+    "per duplicate group. Output is the per-vector keep/drop decision "
+    "plus representative, i.e. the curation verdict a pipeline applies, "
+    "not just candidate pairs (sim_cosine_neardup). Cross-cell near-dups "
+    "are deliberately unseen — the paper's accepted recall trade for "
+    "turning an O(n^2) scan into sum-of-cell^2; at 100 TB the cell count "
+    "scales with the corpus (SemDeDup runs ~10k-100k clusters) so cells "
+    "stay bounded and each is one partition's local quadratic. The "
+    "duckdb oracle replays k-means training, cell assignment, and the "
+    "quantized within-cell cosine filter end to end in SQL.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    centroids = train_centroids(emb)
+    cells = assign_cells(emb, centroids)
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    m = cells.join(e, "vec_id")
+    a = m.select(
+        F.col("cell"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
+    )
+    b = m.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+    )
+    pairs = a.join(
+        b, (a["cell"] == b["cell_b"]) & (a["va"] < b["vb"])
+    ).filter(_q9col(cosine("xa", "xb")) >= SEM_TAU)
+    dropped = pairs.groupBy("vb").agg(F.min("va").alias("rep"))
+    out = (
+        cells.join(dropped, cells["vec_id"] == dropped["vb"], "left")
+        .select(
+            "vec_id",
+            F.col("vb").isNull().alias("kept"),
+            "rep",
+        )
+    )
+    return bounded_sort(out, "vec_id", barrier=True)

@@ -413,20 +413,22 @@ def _aq_layout(spark: SparkSession, sf_dir: str):
     return n, mn, span, lo, k, off
 
 
-def _build_adaptive_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pass 2: shard-local (source, bin, blo, bhi, cnt) partials under the
-    pass-1 global layout — additive across shards by construction."""
-    _n, mn, span, lo, k, off = _aq_layout(spark, sf_dir)
-    docs = table_view(spark, sf_dir, "documents")
+def _aq_pass2_sql(
+    src: str, shard_col: str, mn: int, span: int, lo: list, k: list, off: list
+) -> str:
+    """Pass-2 binning SQL under a FROZEN pass-1 layout (literal arrays):
+    rows from `src` fold into ({shard_col}, bin, blo, bhi, cnt) partials —
+    pure integer arithmetic, shared by the batch store builder and the
+    ST16 streaming maintenance twin."""
     arr = lambda xs: "array(" + ", ".join(str(x) for x in xs) + ")"  # noqa: E731
-    return spark.sql(f"""
+    return f"""
         WITH v AS (
-          SELECT source, n_chars AS x,
+          SELECT {shard_col}, n_chars AS x,
                  CAST((n_chars - {mn}) * {AQ_G} DIV {span} AS INT) AS g
-          FROM {docs}
+          FROM {src}
         ),
         a AS (
-          SELECT source, x,
+          SELECT {shard_col}, x,
                  element_at({arr(k)}, g + 1) AS k,
                  element_at({arr(off)}, g + 1) AS off,
                  element_at({arr(lo[:AQ_G])}, g + 1) AS lo,
@@ -435,14 +437,22 @@ def _build_adaptive_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM v
         ),
         sb AS (
-          SELECT source, (x - lo) * k DIV w AS sub, k, off, lo, w FROM a
+          SELECT {shard_col}, (x - lo) * k DIV w AS sub, k, off, lo, w FROM a
         )
-        SELECT source, off + sub AS bin,
+        SELECT {shard_col}, off + sub AS bin,
                MIN(lo + (sub * w + k - 1) DIV k) AS blo,
                MIN(lo + ((sub + 1) * w + k - 1) DIV k) AS bhi,
                COUNT(1) AS cnt
-        FROM sb GROUP BY source, off + sub
-    """)
+        FROM sb GROUP BY {shard_col}, off + sub
+    """
+
+
+def _build_adaptive_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 2: shard-local (source, bin, blo, bhi, cnt) partials under the
+    pass-1 global layout — additive across shards by construction."""
+    _n, mn, span, lo, k, off = _aq_layout(spark, sf_dir)
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(_aq_pass2_sql(docs, "source", mn, span, lo, k, off))
 
 
 _AQ_STORE = SessionParquetStore(

@@ -201,6 +201,12 @@ def _quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sketches.quantile_hist_view(spark, sf_dir))
 
 
+def _adaptive_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import sketches
+
+    return spark.table(sketches._AQ_STORE.view(spark, sf_dir))
+
+
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import layout
 
@@ -236,6 +242,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "schema_evo": _schema_evo,
     "pr_edges": _pr_edges,
     "quantile_hist": _quantile_hist,
+    "adaptive_quantile_hist": _adaptive_quantile_hist,
     "partitioned_orders": _partitioned_orders,
 }
 
@@ -245,4 +252,5 @@ STORE_REGISTRY: dict[str, Accessor] = {
 # fresh per-invocation stream output — each replay is the point)
 NON_STORE_DIRS = {
     "cc_checkpoint", "stream_cms", "stream_scd2", "stream_quantile",
+    "stream_adaptive_quantile",  # ST16: per-invocation stream output
 }

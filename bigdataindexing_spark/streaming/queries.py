@@ -836,3 +836,81 @@ def _st15_register() -> None:
 
 
 _st15_register()
+
+
+# --- ST16: streaming ADAPTIVE quantile-sketch maintenance ---------------------
+
+def _st16_register() -> None:
+    from bigdataindexing_spark.operators.sketches import (
+        _AQ_ORACLE_SRC,
+        _AQ_SERVE,
+        _aq_layout,
+        _aq_pass2_sql,
+    )
+
+    @register(
+        "st16_stream_adaptive_quantile",
+        oracle=_AQ_SERVE.format(src=_AQ_ORACLE_SRC),
+        tags=("streaming", "sketch"),
+        bench=False,
+        doc="ST16: streaming maintenance of the ADAPTIVE quantile sketch "
+        "(X44) — the q126 two-pass layout FROZEN once (in production "
+        "from a historical pass; here from the full corpus so the "
+        "batch oracle is exact), then each document micro-batch bins "
+        "against the frozen layout into a batchId-keyed additive "
+        "partial (idempotent overwrite, the st12/st15 discipline). The "
+        "serve merges partials by ADDITION and interpolates p50/p90/"
+        "p99, hash-gated against the q126 batch oracle: stream-"
+        "maintained adaptive sketch ≡ batch rebuild. This is the "
+        "production cadence for adaptive sketches at 100 TB: layout "
+        "refreshes rarely (a layout change re-bins history), partials "
+        "fold per batch at O(batch) cost.",
+    )
+    def st16_stream_adaptive_quantile(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+
+        from bigdataindexing_spark.sources.store_dirs import session_store_dir
+        from bigdataindexing_spark.streaming.core import write_arrivals
+        from bigdataindexing_spark.tables import bounded_sort, table
+
+        _n, mn, span, lo, k, off = _aq_layout(spark, sf_dir)
+        docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        src = tempfile.mkdtemp(prefix="st16_src_")
+        os.makedirs(src, exist_ok=True)
+        write_arrivals(
+            [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)], src
+        )
+        hist_dir = session_store_dir("stream_adaptive_quantile")
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, n_chars BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            view = f"bdi_st16_batch_{batch_id}"
+            batch_df.withColumn("shard", F.lit(0)).createOrReplaceTempView(
+                view
+            )
+            (
+                batch_df.sparkSession.sql(
+                    _aq_pass2_sql(view, "shard", mn, span, lo, k, off)
+                )
+                .drop("shard")
+                .write.mode("overwrite")
+                .parquet(f"{hist_dir}/batch={batch_id}")
+            )
+
+        run_foreach_batch(stream, fn)
+        partials = spark.read.option("recursiveFileLookup", "true").parquet(
+            hist_dir
+        )
+        view = f"bdi_st16_{abs(hash(hist_dir)) % 10**8}"
+        partials.createOrReplaceTempView(view)
+        out = spark.sql(_AQ_SERVE.format(src=view).rsplit("ORDER BY q", 1)[0])
+        return bounded_sort(out, "q")
+
+
+_st16_register()

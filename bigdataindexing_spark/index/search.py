@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from bigdataindexing_spark.sources.store_dirs import session_store_dir
+from bigdataindexing_spark.sources.store_dirs import (
+    SessionParquetStore,
+    session_store_dir,
+)
 
 from bigdataindexing_spark.index.build import term_rows
 from bigdataindexing_spark.registry import register
@@ -606,3 +609,73 @@ def txt_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("token").alias("keyword"), "rk")
         .transform(lambda d: bounded_sort(d, "doc_id", "rk"))
     )
+
+
+# --- phrase search over positional postings (round 8) -------------------------
+
+PHRASE = ("sort", "merge")  # the probed phrase (present at all 3 SFs)
+
+
+def _build_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, doc_id, pos) — the positional index tier. Sorted by token
+    at write time so a phrase probe's per-term reads row-group-skip to
+    just the probed tokens; at 100 TB this store partitions BY token
+    range and a phrase query touches only its terms' partitions."""
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        SELECT token, doc_id, pos
+        FROM (SELECT doc_id,
+                     posexplode(split(lower(text), ' ')) AS (pos, token)
+              FROM {docs})
+        WHERE token != ''
+    """)
+
+
+_POS_STORE = SessionParquetStore(
+    "positional_postings", _build_positional_postings, sort_cols=("token",)
+)
+
+
+@register(
+    "idx_phrase_search",
+    oracle="WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+    "FROM documents), "
+    "p AS (SELECT doc_id, UNNEST(t) AS token, "
+    "generate_subscripts(t, 1) - 1 AS pos FROM tok), "
+    f"a AS (SELECT doc_id, pos FROM p WHERE token = '{PHRASE[0]}'), "
+    f"b AS (SELECT doc_id, pos FROM p WHERE token = '{PHRASE[1]}') "
+    "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+    "FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "GROUP BY a.doc_id ORDER BY a.doc_id",
+    tags=("index", "search", "serve"),
+    doc="Phrase search over a POSITIONAL postings store — the index tier "
+    "term/TF-IDF/BM25 retrieval cannot express: '"
+    + " ".join(PHRASE)
+    + "' matches only CONSECUTIVE positions, found by probing the two "
+    "terms' postings and joining on (doc_id, pos+1) adjacency. The "
+    "(token, doc_id, pos) store materializes once per session sorted "
+    "by token, so each probe reads only the phrase's terms (row-group "
+    "skipping locally; token-range partitions at 100 TB) and the "
+    "adjacency join is bounded by the rarer term's postings, never the "
+    "corpus. This is how Lucene/ES position queries work against the "
+    "same inverted-index family the repo already serves "
+    "(IndexingListener.java's ES documents carry positions implicitly). "
+    "Oracle: duckdb recomputes positions from raw text and applies the "
+    "same adjacency join.",
+)
+def idx_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    post = _POS_STORE.df(spark, sf_dir)
+    a = post.filter(F.col("token") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = post.filter(F.col("token") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    out = (
+        a.join(b, (a["doc_id"] == b["doc_b"]) & (b["pb"] == a["pa"] + 1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return bounded_sort(out, "doc_id", barrier=True)

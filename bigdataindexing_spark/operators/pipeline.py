@@ -1119,59 +1119,3 @@ def q127_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sel GROUP BY lang
     """)
     return bounded_sort(out, "lang")
-
-
-# --- overlapping-window document chunking (round 8) ---------------------------
-
-CHUNK_TOKENS = 64   # window size (tokens)
-CHUNK_STRIDE = 48   # window stride (16-token overlap)
-
-
-@register(
-    "q128_doc_chunking",
-    oracle="WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
-    "FROM documents), "
-    "ch AS (SELECT doc_id, UNNEST(generate_series(0, "
-    f"(len(t) - 1) // {CHUNK_STRIDE})) AS chunk_idx, t "
-    "FROM tok WHERE len(t) >= 1) "
-    "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
-    f"CAST(len(t[chunk_idx * {CHUNK_STRIDE} + 1 : "
-    f"chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT) AS n_tokens, "
-    f"md5(array_to_string(t[chunk_idx * {CHUNK_STRIDE} + 1 : "
-    f"chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_md5 "
-    "FROM ch ORDER BY doc_id, chunk_idx",
-    tags=("pipeline", "text"),
-    doc="Overlapping-window document chunking (64-token windows, 48-token "
-    "stride = 16-token overlap): the split every RAG index and "
-    "long-document pretraining pipeline applies before embedding or "
-    "packing — overlap preserves context across cut points, the stride "
-    "arithmetic guarantees every token lands in at least one chunk and "
-    "the final partial window is kept. Entirely row-local generator "
-    "arithmetic (sequence + slice inside the scan stage, no shuffle "
-    "before the output sort), so chunking cost is one corpus scan at "
-    "any scale. Chunks are pinned content-wise via md5 of the joined "
-    "window (scalar columns hash across engines); duckdb replays the "
-    "same 1-based slice arithmetic.",
-)
-def q128_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.tables import table_view
-
-    docs = table_view(spark, sf_dir, "documents")
-    out = spark.sql(f"""
-        WITH tok AS (
-          SELECT doc_id, split(lower(text), ' ') AS t FROM {docs}
-        ),
-        ch AS (
-          SELECT doc_id,
-                 posexplode(transform(
-                   sequence(0, (size(t) - 1) DIV {CHUNK_STRIDE}),
-                   i -> slice(t, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})
-                 )) AS (chunk_idx, chunk)
-          FROM tok WHERE size(t) >= 1
-        )
-        SELECT doc_id, chunk_idx,
-               size(chunk) AS n_tokens,
-               md5(array_join(chunk, ' ')) AS chunk_md5
-        FROM ch
-    """)
-    return bounded_sort(out, "doc_id", "chunk_idx", barrier=True)

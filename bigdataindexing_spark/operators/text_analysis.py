@@ -478,3 +478,123 @@ def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy",
         "doc_id",
     ).limit(100)
+
+
+# --- interpolated bigram LM scorer (round 8) -----------------------------------
+#
+# Depth on X6 (q100's unigram NLL): the Jelinek-Mercer-interpolated
+# BIGRAM model — P(w_i | w_{i-1}) = L*c(prev,w)/c(prev) + (1-L)*c(w)/N —
+# that CCNet-class quality filtering actually approximates KenLM with.
+# The LM itself (bigram and context counts) materializes ONCE per
+# session as a store: scoring joins the store, never re-counts the
+# corpus, which is the serving economics at 100 TB (the LM is
+# vocabulary^2-bounded and prunable to top-K contexts; documents stream
+# through it).
+BIGRAM_LAMBDA = 0.7
+
+
+def _build_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, c_ab, c_a): bigram count + context total, one corpus pass
+    (lag window per doc, two grouped counts joined on the context)."""
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH seq AS (
+          SELECT doc_id, pos, token AS b,
+                 LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+          FROM (SELECT doc_id,
+                       posexplode(split(lower(text), ' ')) AS (pos, token)
+                FROM {docs})
+          WHERE token != ''
+        ),
+        bc AS (SELECT a, b, COUNT(1) AS c_ab FROM seq
+               WHERE a IS NOT NULL AND a != '' GROUP BY a, b),
+        ac AS (SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a)
+        SELECT bc.a, bc.b, bc.c_ab, ac.c_a
+        FROM bc JOIN ac ON ac.a = bc.a
+    """)
+
+
+from bigdataindexing_spark.sources.store_dirs import (  # noqa: E402
+    SessionParquetStore,
+)
+
+_BIGRAM_LM_STORE = SessionParquetStore(
+    "bigram_lm", _build_bigram_lm, sort_cols=("a", "b")
+)
+
+
+@register(
+    "q129_bigram_logprob",
+    oracle="WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+    "FROM documents), "
+    "seq AS (SELECT doc_id, pos, token AS b, "
+    "LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS a "
+    "FROM (SELECT doc_id, UNNEST(t) AS token, "
+    "generate_subscripts(t, 1) AS pos FROM tok) WHERE token != ''), "
+    "pairs AS (SELECT doc_id, a, b FROM seq WHERE a IS NOT NULL AND a != ''), "
+    "bc AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b), "
+    "ac AS (SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a), "
+    "uni AS (SELECT b AS w, COUNT(*) AS c FROM seq GROUP BY b), "
+    "n AS (SELECT SUM(c) AS n FROM uni) "
+    "SELECT p.doc_id, "
+    f"FLOOR(AVG(-LN({BIGRAM_LAMBDA} * bc.c_ab / ac.c_a "
+    f"+ {1 - BIGRAM_LAMBDA} * uni.c / n.n)) * 1e3 + 0.5) / 1e3 AS nll2 "
+    "FROM pairs p JOIN bc ON bc.a = p.a AND bc.b = p.b "
+    "JOIN ac ON ac.a = p.a JOIN uni ON uni.w = p.b CROSS JOIN n "
+    "GROUP BY p.doc_id ORDER BY p.doc_id",
+    tags=("text", "pipeline", "quality", "serve"),
+    doc="Interpolated bigram LM quality score (Jelinek-Mercer, L=0.7): "
+    "every document's mean negative log-likelihood under a bigram model "
+    "of the corpus itself — the next step up from q100's unigram and "
+    "the standard cheap stand-in for KenLM perplexity filtering. The "
+    "bigram/context counts SERVE from a session-materialized LM store "
+    "(vocabulary^2-bounded, prunable to top-K contexts at scale); the "
+    "unigram back-off marginalizes off the same store "
+    "(sum of c_ab over contexts = c(w) for every non-initial token, so "
+    "no second corpus pass). Per-doc scoring joins the document's own "
+    "bigram stream against the store on the bigram key — hash-partition "
+    "both by context at 100 TB. 3-decimal half-up output (the q100 "
+    "discipline: LN ulp + sum-order wobble make finer grids latent "
+    "flakes; the boundary audit re-verifies the margin every sweep).",
+)
+def q129_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    lm = _BIGRAM_LM_STORE.view(spark, sf_dir)
+    docs = table_view(spark, sf_dir, "documents")
+    out = spark.sql(f"""
+        WITH seq AS (
+          SELECT doc_id, pos, token AS b,
+                 LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+          FROM (SELECT doc_id,
+                       posexplode(split(lower(text), ' ')) AS (pos, token)
+                FROM {docs})
+          WHERE token != ''
+        ),
+        pairs AS (SELECT doc_id, a, b FROM seq
+                  WHERE a IS NOT NULL AND a != ''),
+        uni AS (SELECT b AS w, SUM(c_ab) AS c FROM {lm} GROUP BY b),
+        n AS (SELECT SUM(c) AS n FROM uni),
+        first_tok AS (
+          SELECT b AS w, COUNT(1) AS c0 FROM seq WHERE a IS NULL OR a = ''
+          GROUP BY b
+        ),
+        uni_full AS (
+          SELECT COALESCE(u.w, f.w) AS w,
+                 COALESCE(u.c, 0) + COALESCE(f.c0, 0) AS c
+          FROM uni u FULL OUTER JOIN first_tok f ON f.w = u.w
+        ),
+        n_full AS (SELECT SUM(c) AS n FROM uni_full)
+        SELECT p.doc_id,
+               FLOOR(AVG(-LN({BIGRAM_LAMBDA} * lm.c_ab / lm.c_a
+                 + {1 - BIGRAM_LAMBDA} * uf.c / nf.n)) * 1e3 + 0.5) / 1e3
+                 AS nll2
+        FROM pairs p
+        JOIN {lm} lm ON lm.a = p.a AND lm.b = p.b
+        JOIN uni_full uf ON uf.w = p.b
+        CROSS JOIN n_full nf
+        GROUP BY p.doc_id
+    """)
+    return bounded_sort(out, "doc_id", barrier=True)

@@ -207,6 +207,18 @@ def _adaptive_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sketches._AQ_STORE.view(spark, sf_dir))
 
 
+def _positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.index import search
+
+    return search._POS_STORE.df(spark, sf_dir)
+
+
+def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import text_analysis
+
+    return spark.table(text_analysis._BIGRAM_LM_STORE.view(spark, sf_dir))
+
+
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import layout
 
@@ -243,6 +255,8 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "pr_edges": _pr_edges,
     "quantile_hist": _quantile_hist,
     "adaptive_quantile_hist": _adaptive_quantile_hist,
+    "positional_postings": _positional_postings,
+    "bigram_lm": _bigram_lm,
     "partitioned_orders": _partitioned_orders,
 }
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.sources.store_dirs import SessionParquetStore
-from bigdataindexing_spark.tables import bounded_sort, table
+from bigdataindexing_spark.tables import bounded_sort, half_up_col, table
 
 PR_DAMPING = 0.85
 PR_ITERS = 3
@@ -159,10 +159,7 @@ def q118_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = pr.select(
         "node",
-        (
-            F.floor(F.col("pr") * F.lit(1000.0) * F.lit(1e4) + F.lit(0.5))
-            / F.lit(1e4)
-        ).alias("pr_milli"),
+        half_up_col(F.col("pr") * F.lit(1000.0), 4).alias("pr_milli"),
     )
     return bounded_sort(out, "node")
 
@@ -257,9 +254,6 @@ def q118b_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank_iterate(spark, sf_dir)
     out = pr.select(
         "node",
-        (
-            F.floor(F.col("pr") * F.lit(1000.0) * F.lit(1e4) + F.lit(0.5))
-            / F.lit(1e4)
-        ).alias("pr_milli"),
+        half_up_col(F.col("pr") * F.lit(1000.0), 4).alias("pr_milli"),
     )
     return bounded_sort(out, "node")

@@ -24,6 +24,7 @@ from bigdataindexing_spark.functions.text import tokens
 from bigdataindexing_spark.registry import register
 from bigdataindexing_spark.tables import (
     bounded_sort,
+    half_up_col,
     spread,
     table,
 )
@@ -578,11 +579,7 @@ def q63_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         # 3-decimal half-up: a centroid sat 9.4e-5 from a 1e-4 half
         # boundary at sf0.1 (r08 audit) — summation-order wobble territory
-        .agg(
-            (F.floor(F.avg("v") * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)).alias(
-                "centroid"
-            )
-        )
+        .agg(half_up_col(F.avg("v"), 3).alias("centroid"))
         .transform(lambda d: bounded_sort(d, "label", "pos"))
     )
 

@@ -1115,10 +1115,15 @@ def dq_checks(docs, ev, li, orders, cust) -> DataFrame:
     # NO broadcast hint on the orders side: it is fact-sized (grows with
     # SF), so the referential check must stay a shuffled join AQE can
     # plan; only the genuinely bounded customer dimension broadcasts.
+    # the join side must be DISTINCT keys: a corrupted orders table with a
+    # duplicated o_orderkey would otherwise multiply matching lineitem
+    # rows and inflate the domain count — the exact corruption class a DQ
+    # operator must stay immune to (r08 review). The distinct rides the
+    # same key-hash exchange the join needs anyway.
     li_checks = (
         li.select("l_orderkey", "l_quantity")
         .join(
-            orders.select(F.col("o_orderkey").alias("_ok")),
+            orders.select(F.col("o_orderkey").alias("_ok")).distinct(),
             F.col("l_orderkey") == F.col("_ok"),
             "left",
         )

@@ -748,8 +748,11 @@ def _nprobe_cells(centroids, qv) -> "list[int]":
 
 def _q9col(c):
     """Half-up 1e-9 quantize as a Spark Column (floor of a <2^53 double
-    is exact, so the value equals the numpy/duckdb formula bit for bit)."""
-    return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    is exact, so the value equals the numpy/duckdb formula bit for bit).
+    Delegates to the shared repo-wide idiom (tables.half_up_col)."""
+    from bigdataindexing_spark.tables import half_up_col
+
+    return half_up_col(c, 9)
 
 
 @register(

@@ -327,8 +327,8 @@ t AS (SELECT 'p50' AS q, CAST(CEIL(0.5e0 * n) AS BIGINT) AS rnk FROM n
 b AS (SELECT t.q, t.rnk, MIN(c.bin) AS bin
       FROM t JOIN c ON c.cum >= t.rnk GROUP BY t.q, t.rnk)
 SELECT b.q,
-       ROUND(b.bin * {w} + {w}e0 * (b.rnk - (c.cum - c.cnt)) / c.cnt, 4)
-         AS est
+       FLOOR((b.bin * {w} + {w}e0 * (b.rnk - (c.cum - c.cnt)) / c.cnt)
+             * 1e4 + 0.5) / 1e4 AS est
 FROM b JOIN c ON b.bin = c.bin
 ORDER BY q
 """
@@ -461,7 +461,11 @@ _AQ_STORE = SessionParquetStore(
 
 # serve: merge partials by addition, rank into the covering refined bin,
 # interpolate inside [blo, bhi) — same shape as _QH_SERVE but the bin
-# bounds come from the sketch rows (they are layout-derived integers)
+# bounds come from the sketch rows (they are layout-derived integers).
+# est is an integer ratio that CAN land on a non-dyadic exact 1e-4 half
+# (cnt with 5^k factors), where engine ROUND paths split — hence the
+# explicit half-up FLOOR idiom, identical text on both engines (r08
+# review finding; same fix applied to _QH_SERVE above)
 _AQ_SERVE = """
 WITH h AS (SELECT bin, MIN(blo) AS blo, MIN(bhi) AS bhi, SUM(cnt) AS cnt
            FROM {src} GROUP BY bin),
@@ -475,8 +479,8 @@ t AS (SELECT 'p50' AS q, CAST(CEIL(0.5e0 * n) AS BIGINT) AS rnk FROM n
 b AS (SELECT t.q, t.rnk, MIN(c.bin) AS bin
       FROM t JOIN c ON c.cum >= t.rnk GROUP BY t.q, t.rnk)
 SELECT b.q,
-       ROUND(c.blo + (c.bhi - c.blo) * 1e0 * (b.rnk - (c.cum - c.cnt))
-             / c.cnt, 4) AS est
+       FLOOR((c.blo + (c.bhi - c.blo) * 1e0 * (b.rnk - (c.cum - c.cnt))
+             / c.cnt) * 1e4 + 0.5) / 1e4 AS est
 FROM b JOIN c ON b.bin = c.bin
 ORDER BY q
 """

@@ -69,8 +69,10 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, v: s + v,
     )
 
+    from bigdataindexing_spark.tables import half_up_col
+
     def hup4(x):
-        return F.floor(x * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+        return half_up_col(x, 4)
 
     return presort_barrier(
         table(spark, sf_dir, "documents")
@@ -261,9 +263,11 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.get("t", i), F.get("t", i + 1)),
     )
     dup = F.lit(1) - F.size(F.array_distinct(grams)) / F.size(grams)
+    from bigdataindexing_spark.tables import half_up_col
+
     # exact dyadic ratios (3/32 = 0.09375) land ON the 1e-4 half
     # boundary: explicit half-up, never engine ROUND (see txt_quality_score)
-    dup4 = F.floor(dup * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    dup4 = half_up_col(dup, 4)
     return presort_barrier(
         d.select("doc_id", dup4.alias("dup2_frac")), "doc_id"
     ).orderBy("doc_id")
@@ -300,6 +304,7 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q100_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.index.search import search_index_table
+    from bigdataindexing_spark.tables import half_up_col
 
     tf = search_index_table(spark, sf_dir, "term_rows").select(
         "doc_id", F.col("token").alias("w"), "tf"
@@ -315,13 +320,9 @@ def q100_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 3-decimal half-up: the r07/r08 boundary audit found an nll
             # 3.5e-5 from a 1e-4 half boundary at sf0.1; parallel-sum +
             # libm-vs-java LN ulp wobble makes 4dp a latent flake
-            (
-                F.floor(
-                    F.sum(F.col("tf") * nll) / F.sum("tf") * F.lit(1e3)
-                    + F.lit(0.5)
-                )
-                / F.lit(1e3)
-            ).alias("nll")
+            half_up_col(F.sum(F.col("tf") * nll) / F.sum("tf"), 3).alias(
+                "nll"
+            )
         )
         .orderBy("doc_id")
     )
@@ -576,7 +577,6 @@ def q129_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs AS (SELECT doc_id, a, b FROM seq
                   WHERE a IS NOT NULL AND a != ''),
         uni AS (SELECT b AS w, SUM(c_ab) AS c FROM {lm} GROUP BY b),
-        n AS (SELECT SUM(c) AS n FROM uni),
         first_tok AS (
           SELECT b AS w, COUNT(1) AS c0 FROM seq WHERE a IS NULL OR a = ''
           GROUP BY b

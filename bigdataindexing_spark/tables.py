@@ -245,6 +245,29 @@ def spread(df: DataFrame, heavy: bool = False) -> DataFrame:
     return df
 
 
+def half_up_col(x, d: int):
+    """Explicit half-up rounding of a positive Column to d decimals:
+    FLOOR(x*10^d + 0.5)/10^d — the repo's ONE cross-engine rounding
+    idiom (engine ROUND rules split on exact halves: Spark rounds via
+    BigDecimal of the exact binary expansion, duckdb via float
+    multiply-round, and they disagree on values like 10 + 1/20000).
+    FLOOR of a <2^53 double is exact in every engine, so two engines
+    holding the bit-identical input produce the bit-identical output.
+    Positive inputs only (FLOOR half-up rounds negatives toward +inf —
+    fine when both engines run the same text, but not ROUND-compatible).
+    SQL strings inline the same formula via half_up_sql()."""
+    from pyspark.sql import functions as F
+
+    g = float(10**d)
+    return F.floor(x * F.lit(g) + F.lit(0.5)) / F.lit(g)
+
+
+def half_up_sql(expr: str, d: int) -> str:
+    """The same half-up rounding as a SQL fragment — parsed identically
+    by Spark SQL and duckdb (see half_up_col)."""
+    return f"FLOOR(({expr}) * 1e{d} + 0.5) / 1e{d}"
+
+
 def bounded_sort(df: DataFrame, *cols, barrier: bool = False) -> DataFrame:
     """Global sort for a BOUNDED-cardinality result (a grouped aggregate
     over a low-cardinality key, a ranked top-k, a filtered id set — any

@@ -52,33 +52,40 @@ from tests.oracle import make_duckdb  # noqa: E402
 ABS_FLOOR = 1e-6
 REL_WOBBLE = 1e-11
 
-# Columns whose rounded value is ROW-LOCAL arithmetic on small integers
-# (ratios like 23/32 or |A∩B|/|A|): both engines hold the bit-identical
-# double, there is no summation-order wobble, and the explicit half-up
-# FLOOR formula is deterministic on exact halves — boundary hits here
-# are expected and safe, so those columns don't fail the audit. Every
-# producer of these columns uses the FLOOR(x*1e4+0.5)/1e4 idiom
-# (dedup.py jac/containment/span family, text_analysis.py quality).
-ALLOW_EXACT_COLS = {
-    "ttr",
-    "avg_token_len",
-    "quality",
-    "dup2_frac",
-    "jac",
-    "cont_ab",
-    "cont_ba",
-    "dup_frac",
-    # deterministic division of cross-engine-identical doubles (exact
-    # decimal sums cast to double, then one IEEE op + half-up FLOOR)
-    "avg_yearly",
-    "promo_revenue",
-    "mkt_share",
-    "avg_disc",
-    "avg_f",
-    "avg_k",
-    "avg_chars",
-    "mean",
-    "p",
+# (query, column) pairs whose rounded value is exact-by-construction —
+# either ROW-LOCAL arithmetic on small integers (ratios like 23/32 or
+# |A∩B|/|A|: both engines hold the bit-identical double, no
+# summation-order wobble, half-up FLOOR deterministic on exact halves)
+# or a deterministic division of cross-engine-identical doubles (exact
+# decimal/integer sums cast to double, one IEEE op, then half-up FLOOR).
+# SCOPED per query (r08 review): a bare column-name allowlist would
+# silently disable auditing for any FUTURE oracle emitting a float
+# column that happens to collide with a generic name like 'mean' or 'p'.
+ALLOW_EXACT = {
+    # row-local small-int ratios
+    ("txt_quality_score", "ttr"),
+    ("txt_quality_score", "avg_token_len"),
+    ("txt_quality_score", "quality"),
+    ("txt_repetition", "dup2_frac"),
+    ("q61_quality_filter", "ttr"),
+    ("dedup_ngram_jaccard", "jac"),
+    ("dedup_ngram_jaccard_raw", "jac"),
+    ("dedup_minhash_lsh", "jac"),
+    ("dedup_delta_vs_corpus", "jac"),
+    ("st9_stream_lsh_dedup", "jac"),
+    ("q104_containment_pairs", "cont_ab"),
+    ("q104_containment_pairs", "cont_ba"),
+    ("dedup_span_fraction", "dup_frac"),
+    ("q108_event_transitions", "p"),
+    # deterministic division of identical doubles after exact sums
+    ("q77_sql_tpch_q17", "avg_yearly"),
+    ("q66_sql_tpch_q14", "promo_revenue"),
+    ("q85_sql_tpch_q8", "mkt_share"),
+    ("q09_tpch_q1", "avg_disc"),
+    ("q50_filtered_agg", "avg_f"),
+    ("q58_variant_extract", "avg_k"),
+    ("q109_length_quartiles", "avg_chars"),
+    ("q124_unpivot", "mean"),
 }
 
 
@@ -159,12 +166,13 @@ def boundary_distance(v: float, d: int) -> float:
     return abs(frac - 0.5)
 
 
-def main() -> int:
-    sf_dir = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    )
+def main(sf_dir: str | None = None) -> int:
+    if sf_dir is None:
+        sf_dir = (
+            sys.argv[1]
+            if len(sys.argv) > 1
+            else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        )
     con = make_duckdb(sf_dir)
     flagged, audited = [], 0
     for name, spec in sorted(registry.all_specs().items()):
@@ -194,7 +202,7 @@ def main() -> int:
         # threshold) so a small-|v| exact hit outranks a large-|v| miss
         worst = (float("inf"), 0.5, None, None, None)
         for col in tbl.column_names:
-            if col in ALLOW_EXACT_COLS:
+            if (name, col) in ALLOW_EXACT:
                 continue
             ds = sorted(by_alias.get(col, set()) | set(fallback_ds))
             if not ds:

@@ -26,7 +26,6 @@ def test_no_oracle_value_near_rounding_boundary(sf_dir):
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        sys.argv = ["audit", sf_dir]
-        rc = arb.main()
+        rc = arb.main(sf_dir)
     tail = "\n".join(buf.getvalue().splitlines()[-6:])
     assert rc == 0, f"boundary audit flagged values:\n{tail}"

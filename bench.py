@@ -23,6 +23,12 @@ from bigdataindexing_spark.session import get_spark
 # soft tripwire on the ex-py aggregate ratio (gate: 2.0x vs duckdb);
 # see the stderr warning in main() and tests/test_bench_guard.py
 RATIO_GUARD = 1.8
+# A run whose measured hypervisor steal stays under this is "calm" and
+# may refresh BENCH_CALM.json, the artifact the hard guard gates on.
+CALM_STEAL_SEC = 150.0
+# Index-build throughput gate (docs/s vs duckdb's), judged on the calm
+# artifact alongside the query-ratio guard.
+BUILD_RATIO_GATE = 2.0
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -285,6 +291,19 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    # Calm-window gating artifact (VERDICT r8 #3): BENCH_DETAIL.json is
+    # ALWAYS the latest run (storm or calm, informational), but the hard
+    # perf gate (tests/test_bench_guard.py) reads BENCH_CALM.json, which
+    # only a run with measured steal < CALM_STEAL_SEC may refresh. A
+    # storm run can therefore never grant itself an allowance — it
+    # simply doesn't qualify as gating evidence — and a genuinely
+    # regressed 1.9x measured in calm weather fails the gate outright.
+    if host_steal_sec is not None and host_steal_sec < CALM_STEAL_SEC:
+        calm_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_CALM.json"
+        )
+        with open(calm_path, "w") as f:
+            json.dump(detail, f, indent=1)
 
     out = {
         "metric": "total_query_wall_sec",

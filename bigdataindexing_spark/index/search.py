@@ -679,3 +679,91 @@ def idx_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     return bounded_sort(out, "doc_id", barrier=True)
+
+
+# --- incremental positional-postings maintenance (round 9) --------------------
+#
+# VERDICT r8 #6: the phrase tier was the one serve store without an
+# incremental maintenance path. Same arrival convention as
+# idx_postings_merge (doc_id % 10 >= 8 plays the newly-arrived 20%),
+# same contract (merged store hash-equals a from-scratch rebuild over
+# ALL documents), applied to the PACKED per-token positional layout:
+# each (doc_id, pos) occurrence encodes as one BIGINT key
+# doc_id * POS_SHIFT + pos, so a token's postings are a sorted integer
+# array that concat-merges row-locally and hashes identically across
+# engines (the idx_postings_merge / sim_ann_index_upsert
+# canonicalization).
+POS_SHIFT = 1 << 20  # max tokens/doc the packing supports; the corpus'
+# synthetic docs run a few hundred tokens, and a 100 TB deployment
+# bumps the shift (or packs a struct) long before 1M-token documents.
+
+_PACKED_POS_BASE = SessionParquetStore(
+    "positional_packed_base",
+    lambda spark, sf_dir: _build_positional_postings(spark, sf_dir)
+    .filter(F.col("doc_id") % 10 < 8)
+    .select(
+        "token",
+        (F.col("doc_id") * F.lit(POS_SHIFT) + F.col("pos")).alias("key"),
+    )
+    .groupBy("token")
+    .agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(F.collect_list("key")).alias("ks"),
+    ),
+    sort_cols=("token",),
+)
+
+
+@register(
+    "idx_positional_merge",
+    oracle="WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+    "FROM documents), "
+    "p AS (SELECT doc_id, UNNEST(t) AS token, "
+    "generate_subscripts(t, 1) - 1 AS pos FROM tok), "
+    f"k AS (SELECT token, doc_id * {POS_SHIFT} + pos AS key FROM p "
+    "WHERE token <> ''), "
+    "g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_postings, "
+    "list_sort(list(key)) AS ks FROM k GROUP BY token) "
+    "SELECT token, n_postings, md5(array_to_string(ks, ',')) AS "
+    "postings_md5 FROM g ORDER BY token",
+    tags=("index", "incremental", "serve"),
+    doc="Incremental maintenance for the POSITIONAL index tier "
+    "(idx_phrase_search's store): newly arrived documents "
+    "(doc_id % 10 >= 8) tokenize with positions and fold into the "
+    "materialized base store via ONE vocabulary-sized full-outer join "
+    "on token with row-local sorted-concat of the packed postings "
+    "(doc_id * 2^20 + pos BIGINT keys — disjoint inputs, one sort_array "
+    "restores global order). Maintenance cost is a position pass over "
+    "the 20% DELTA plus the token-keyed merge, never a corpus "
+    "re-tokenize — the idx_postings_merge contract extended to the one "
+    "store that lacked it (VERDICT r8 #6). The oracle rebuilds the "
+    "packed layout from ALL documents in duckdb, proving incremental "
+    "merge ≡ from-scratch rebuild; postings are asserted through their "
+    "count and the md5 of the comma-joined sorted keys (scalar columns "
+    "hash across engines, raw arrays do not).",
+)
+def idx_positional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import table_view
+
+    docs = table_view(spark, sf_dir, "documents")
+    base = _PACKED_POS_BASE.view(spark, sf_dir)
+    merged = spark.sql(f"""
+        WITH delta AS (
+          SELECT token, COUNT(1) AS n,
+                 sort_array(collect_list(key)) AS ks
+          FROM (SELECT token, doc_id * {POS_SHIFT}L + pos AS key
+                FROM (SELECT doc_id,
+                             posexplode(split(lower(text), ' ')) AS (pos, token)
+                      FROM {docs} WHERE doc_id % 10 >= 8)
+                WHERE token != '')
+          GROUP BY token
+        )
+        SELECT token,
+               coalesce(b.n, 0L) + coalesce(d.n, 0L) AS n_postings,
+               md5(array_join(transform(sort_array(concat(
+                 coalesce(b.ks, CAST(array() AS array<bigint>)),
+                 coalesce(d.ks, CAST(array() AS array<bigint>)))),
+                 x -> CAST(x AS STRING)), ',')) AS postings_md5
+        FROM {base} b FULL OUTER JOIN delta d USING (token)
+    """)
+    return bounded_sort(merged, "token")

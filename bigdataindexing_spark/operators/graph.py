@@ -172,7 +172,12 @@ def q118_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one MORE iteration moves the ranks by less than the tolerance, and the
 # ranks form a probability distribution (sum 1 within float error).
 PR_TOL = 1e-4
-PR_MAX_ITERS = 60
+# Headroom, not a target: sf0.1 converges in ~55 rounds, so 60 left the
+# loop one probe-cadence from silently returning an unconverged vector
+# (ADVICE r8). The loop breaks at convergence, so raising the ceiling
+# costs nothing on the happy path; exhausting it now RAISES instead of
+# masking, because q118b's contract claims a fixed point.
+PR_MAX_ITERS = 200
 
 
 def pagerank_iterate(
@@ -206,6 +211,7 @@ def pagerank_iterate(
     # materializations (measured 42-100s/invocation probing every round
     # at sf0.1 vs ~a quarter of that at cadence 4)
     PROBE = 4
+    converged = False
     for it in range(1, max_iters + 1):
         contrib = ranked_edges.join(
             F.broadcast(pr), ranked_edges["src"] == pr["node"]
@@ -226,8 +232,20 @@ def pagerank_iterate(
             )
             if delta < tol:  # single-step L1, same criterion as cadence 1
                 pr = new_pr
+                converged = True
                 break
         pr = new_pr
+    if not converged:
+        # The caller's contract (q118b doc + convergence pytest) is a
+        # FIXED POINT; returning the iter-capped vector would quietly
+        # hand back a different operator (fixed-count PageRank). Fail
+        # loudly with the knobs to turn (ADVICE r8: non-convergence must
+        # be visible, not masked).
+        raise RuntimeError(
+            f"pagerank_iterate: L1 delta still >= tol={tol} after "
+            f"max_iters={max_iters} rounds — raise max_iters or loosen "
+            "tol; refusing to return an unconverged rank vector"
+        )
     return pr
 
 

@@ -219,6 +219,22 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", byte_histogram("payload").alias("features"))
 
 
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def byte_histogram_counts(payload: pd.Series) -> pd.Series:
+    """Raw 16-bin byte-histogram COUNTS — same Arrow dataflow as
+    ``byte_histogram`` but integer-valued, so the extracted features are
+    engine-hashable scalars with zero float risk (VERDICT r8 #5: the
+    feature extractor's output itself becomes oracle-checkable, not just
+    its shape)."""
+    import numpy as np
+
+    out = []
+    for payload_bytes in payload:
+        arr = np.frombuffer(payload_bytes, dtype=np.uint8)
+        out.append(np.bincount(arr >> 4, minlength=N_HIST_BINS).tolist())
+    return pd.Series(out)
+
+
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize step — metadata-only: rewrites the typed meta to the target
     dimensions and passes the payload through, so downstream schema and
@@ -289,6 +305,33 @@ _DECODER_SQL = (
     f"CASE WHEN doc_id IN ({', '.join(map(str, PNG_DOC_IDS))}) "
     "THEN 'png-pure' ELSE 'fake-byte-stats' END"
 )
+# Uppercase hex of each payload: planted PNGs as import-time literals,
+# everything else recomputed from the text bytes — this is what lets the
+# oracle verify the BYTE-level histogram without byte indexing: the
+# high nibble of byte i is character 2i of the hex string.
+_HEX_SQL = (
+    "CASE doc_id "
+    + " ".join(
+        f"WHEN {i} THEN '{b.hex().upper()}'" for i, b in PNG_PAYLOADS.items()
+    )
+    + " ELSE upper(hex(encode(text))) END"
+)
+_NIBBLE_DIGITS = "0123456789ABCDEF"
+_FEATURE_ORACLE = (
+    # hi = the string of high nibbles (first hex char of every byte):
+    # regexp_replace collapses each 2-char pair to its first char, then
+    # each bin count is a plain single-char replace-and-diff — pure
+    # string arithmetic, no codec, no floats.
+    f"WITH m AS (SELECT doc_id, {_HEX_SQL} AS h FROM documents "
+    "WHERE doc_id <= 200), "
+    "nib AS (SELECT doc_id, regexp_replace(h, '(.).', '\\1', 'g') AS hi FROM m) "
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(length(hi) - length(replace(hi, '{d}', '')) AS BIGINT) AS nib{k}"
+        for k, d in enumerate(_NIBBLE_DIGITS)
+    )
+    + " FROM nib ORDER BY doc_id"
+)
 
 
 @register(
@@ -336,10 +379,21 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_feature_extract",
-    oracle=None,  # vectorized Pandas-UDF path; verified by pytest contract
-    tags=("multimodal", "pandas-udf"),
+    oracle=_FEATURE_ORACLE,
+    # "py": the Spark side runs the Arrow feature-extractor while the
+    # oracle re-derives the histogram through hex-string arithmetic —
+    # a correctness recompute, not comparable work (mm_decode_stats
+    # precedent), so the row is excluded from the headline ratio.
+    tags=("multimodal", "pandas-udf", "py"),
     doc="Arrow-batched feature extraction (16-bin byte histogram) over the "
-    "media table — the embedding-extractor dataflow shape.",
+    "media table — the embedding-extractor dataflow shape. The extracted "
+    "features themselves are oracle-checked (VERDICT r8 #5): the operator "
+    "emits the 16 bins as integer counts, and duckdb recomputes every bin "
+    "from the payload's hex expansion (planted PNG payloads as "
+    "import-time hex literals, text payloads via hex(encode(text))) — "
+    "high nibble of byte i is hex char 2i, so each bin is a "
+    "replace-and-diff character count. Integer-valued end to end: no "
+    "float normalization crosses the engine boundary.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size the Arrow Python stage to its ~200-row filtered input (one
@@ -349,10 +403,16 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") <= 200)
         .repartition(4)
     )
-    feats = extract_features(media)
+    feats = media.select(
+        "doc_id", byte_histogram_counts("payload").alias("counts")
+    )
     return bounded_sort(
         feats.select(
-            "doc_id", F.round(F.element_at("features", 1), 4).alias("bin0")
+            "doc_id",
+            *[
+                F.element_at("counts", k + 1).alias(f"nib{k}")
+                for k in range(N_HIST_BINS)
+            ],
         ),
         "doc_id",
         barrier=True,

@@ -1044,17 +1044,23 @@ def q115_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oversampled relative to their natural share, under a global budget of
 # half the corpus. alpha=0.5 is deliberate: sqrt is IEEE
 # correctly-rounded in every engine (POWER is not guaranteed to be), and
-# the one remaining cross-engine float — the 5-term sqrt sum in the
-# denominator — passes through the 1e-9 half-up quantize (the ANN
-# determinism contract) before the integer FLOOR that fixes each
-# language's draw count.
+# the denominator is closed STRUCTURALLY (ADVICE r8): each sqrt(n) term
+# is half-up-quantized to the 1e-9 grid as a BIGINT *before* the sum, so
+# z is an exact, order-independent integer sum — bit-identical across
+# engines by construction, not merely because a 5-term double sum
+# happens to round the same way. The per-lang share sq/zq is then one
+# correctly-rounded IEEE divide of two integers both exactly
+# representable as doubles (sq <= sqrt(n)*1e9 stays under 2^53 for any
+# plausible corpus), so every downstream FLOOR sees identical inputs.
 MIX_BUDGET_FRAC = 0.5  # global budget = FLOOR(corpus/2) docs
 
 _TEMP_MIX_ORACLE = (
-    "WITH src AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), "
-    "tot AS (SELECT SUM(sqrt(n)) AS z, SUM(n) AS corpus FROM src), "
+    "WITH src AS (SELECT lang, COUNT(*) AS n, "
+    "CAST(FLOOR(sqrt(COUNT(*)) * 1e9 + 0.5) AS BIGINT) AS sq "
+    "FROM documents GROUP BY lang), "
+    "tot AS (SELECT SUM(sq) AS zq, SUM(n) AS corpus FROM src), "
     "plan AS (SELECT lang, n, CAST(FLOOR("
-    "FLOOR(sqrt(n) / z * 1e9 + 0.5) / 1e9 "
+    "FLOOR(CAST(sq AS DOUBLE) / CAST(zq AS DOUBLE) * 1e9 + 0.5) / 1e9 "
     f"* FLOOR(corpus * {MIX_BUDGET_FRAC}) + 0.5) AS BIGINT) AS m "
     "FROM src, tot), "
     "ranked AS (SELECT lang, doc_id, ROW_NUMBER() OVER ("
@@ -1087,9 +1093,11 @@ _TEMP_MIX_ORACLE = (
     "plan is one counts aggregate broadcast into a per-lang ranking "
     "window, one shuffle each, at any corpus size. alpha=0.5 because "
     "sqrt is correctly-rounded IEEE in every engine (POWER is not), and "
-    "the denominator sum is 1e-9-quantized before the integer FLOOR "
-    "(the ANN determinism contract). Output pins the selection set "
-    "itself via md5 of the sorted drawn ids.",
+    "each sqrt(n) term is 1e-9 half-up quantized to a BIGINT before the "
+    "denominator sum, making z an exact integer sum — order-independent "
+    "and bit-identical across engines by construction (ADVICE r8). "
+    "Output pins the selection set itself via md5 of the sorted drawn "
+    "ids.",
 )
 def q127_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.tables import table_view
@@ -1098,10 +1106,12 @@ def q127_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one SQL statement = one driver round-trip (the table_view pattern);
     # same plan as the Column form, measured slightly faster
     out = spark.sql(f"""
-        WITH src AS (SELECT lang, COUNT(1) AS n FROM {docs} GROUP BY lang),
-        tot AS (SELECT SUM(sqrt(n)) AS z, SUM(n) AS corpus FROM src),
+        WITH src AS (SELECT lang, COUNT(1) AS n,
+          CAST(FLOOR(sqrt(COUNT(1)) * 1e9 + 0.5) AS BIGINT) AS sq
+          FROM {docs} GROUP BY lang),
+        tot AS (SELECT SUM(sq) AS zq, SUM(n) AS corpus FROM src),
         plan AS (SELECT lang, n, CAST(FLOOR(
-          FLOOR(sqrt(n) / z * 1e9 + 0.5) / 1e9
+          FLOOR(CAST(sq AS DOUBLE) / CAST(zq AS DOUBLE) * 1e9 + 0.5) / 1e9
           * FLOOR(corpus * {MIX_BUDGET_FRAC}) + 0.5) AS BIGINT) AS m
           FROM src CROSS JOIN tot),
         ranked AS (SELECT lang, doc_id, ROW_NUMBER() OVER (

@@ -1401,3 +1401,124 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bounded_sort(out, "vec_id", barrier=True)
+
+
+# --- multi-probe SemDeDup (round 9) -------------------------------------------
+
+SEM_NPROBE = 2  # home cell + 2nd-nearest: the standard boundary repair
+
+
+def assign_cells_topk(
+    emb: DataFrame, centroids: "list[list[float]]", k: int
+) -> DataFrame:
+    """(vec_id, cell, rk): each vector's k nearest centroids by quantized
+    distance, rk = 1..k, ties to the smaller cell id (stable argsort) —
+    the multi-cell generalization of assign_cells, matching the oracle's
+    ROW_NUMBER() ... ORDER BY d, cell with r <= k."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(centroids)
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "cell": [], "rk": []})
+                continue
+            V = np.stack(pdf["embedding"].map(np.asarray)).astype("float64")
+            d = _q9np(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+            top = np.argsort(d, axis=1, kind="stable")[:, :k]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cell": top.ravel(),
+                    "rk": np.tile(np.arange(1, k + 1), n),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_id BIGINT, cell INT, rk INT"
+    )
+
+
+def _semantic_multiprobe_oracle() -> str:
+    cf = f"c{IVF_KMEANS_ITERS}"
+    return (
+        "WITH "
+        + _coarse_ctes()
+        + f""",
+ecell2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_q9sql(_D2_CORPUS)}, c.cell) AS r
+    FROM e CROSS JOIN {cf} c) t WHERE r <= {SEM_NPROBE}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM ecell2 a JOIN ecell2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+near AS (
+  SELECT p.va, p.vb FROM pairs p
+  JOIN e ea ON ea.vec_id = p.va
+  JOIN e eb ON eb.vec_id = p.vb
+  WHERE {_q9sql("list_cosine_similarity(ea.v, eb.v)")} >= {SEM_TAU}
+),
+dropped AS (SELECT vb AS vec_id, MIN(va) AS rep FROM near GROUP BY vb)
+SELECT ec.vec_id, d.vec_id IS NULL AS kept, d.rep
+FROM ecell ec LEFT JOIN dropped d ON d.vec_id = ec.vec_id
+ORDER BY ec.vec_id"""
+    )
+
+
+@register(
+    "dedup_semantic_multiprobe",
+    oracle=_semantic_multiprobe_oracle,
+    bench=False,  # trained-quantizer family: the oracle replays Lloyd in SQL
+    tags=("dedup", "similarity"),
+    doc="SemDeDup with multi-probe boundary repair (VERDICT r8 #7): the "
+    "single-cell variant's accepted miss class is near-dup pairs that "
+    "straddle a cell boundary, so each vector here probes its TWO "
+    "nearest centroids (home + 2nd-nearest, the standard FAISS nprobe "
+    "mitigation) and candidate pairs are any two vectors sharing ANY "
+    "probed cell — a strict superset of dedup_semantic's candidates, so "
+    "recall against the exact quadratic pairs can only improve "
+    "(contracted in tests/test_semdedup_recall.py). Cost rises from "
+    "sum-of-cell^2 to ~4x that bound (each vector appears in 2 cells) — "
+    "still linear in cells, never all-pairs, and the keep/drop verdict "
+    "stays min-id-representative on the union of found pairs. The "
+    "duckdb oracle replays training, 2-nearest assignment, the "
+    "DISTINCT pair union, and the quantized cosine filter end to end.",
+)
+def dedup_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    centroids = train_centroids(emb)
+    cells = assign_cells(emb, centroids)  # home cells: the output spine
+    cells2 = assign_cells_topk(emb, centroids, SEM_NPROBE)
+    e = emb.select("vec_id", as_double("embedding").alias("v"))
+    a = cells2.select("cell", F.col("vec_id").alias("va"))
+    b = cells2.select(
+        F.col("cell").alias("cell_b"), F.col("vec_id").alias("vb")
+    )
+    # DISTINCT before the vector join: a pair sharing both probed cells
+    # must score once, and deduping on bare ids is cheaper than carrying
+    # two 64-dim vectors through the exchange
+    pairs = (
+        a.join(b, (a["cell"] == b["cell_b"]) & (a["va"] < b["vb"]))
+        .select("va", "vb")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("va"), F.col("v").alias("xa"))
+    eb = e.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb"))
+    near = (
+        pairs.join(ea, "va")
+        .join(eb, "vb")
+        .filter(_q9col(cosine("xa", "xb")) >= SEM_TAU)
+    )
+    dropped = near.groupBy("vb").agg(F.min("va").alias("rep"))
+    out = cells.join(dropped, cells["vec_id"] == dropped["vb"], "left").select(
+        "vec_id",
+        F.col("vb").isNull().alias("kept"),
+        "rep",
+    )
+    return bounded_sort(out, "vec_id", barrier=True)

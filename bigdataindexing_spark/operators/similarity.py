@@ -390,6 +390,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept for the 100 TB shape: a serve probe now touches O(bucket)
     # postings rows instead of re-scanning the corpus-sized signature
     # table per query.
+    #
+    # Round-9 shave attempt (VERDICT r8 #2), measured and REJECTED: a
+    # variant that collected the query VECTORS, computed signatures
+    # driver-side (numpy, bit-identical), and inlined qv as VALUES
+    # literals — removing the q CTE join and one scan — spent 0.2-0.4 s
+    # per invocation just PARSING/analyzing the 640-double-literal SQL,
+    # a net loss (phase-timed: qcollect 0.10, build 0.32-0.52, exec
+    # 0.71-1.10 under ~2.3x storm inflation vs the committed form's
+    # bench row). The wall floor here is the serial multi-join stage
+    # chain, not any single scan or collect; kept from that experiment
+    # is only the bucket-IN literal pushdown on the postings scan (free
+    # locally, row-group skip at scale).
     from bigdataindexing_spark.tables import table_view
 
     emb_view = table_view(spark, sf_dir, "embeddings")
@@ -402,12 +414,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_values = ", ".join(
         f"({r['vec_id']}L, {r['tbl']}, {r['bucket']}L)" for r in qsig
     )
-    if not probe_values:
+    if probe_values:
+        # pushed into the postings scan (the store sorts by (tbl,
+        # bucket)), so at 100 TB the probe row-group-skips straight to
+        # its buckets instead of filtering post-scan; <= 80 literals
+        bucket_filter = "p.bucket IN ({})".format(
+            ", ".join(sorted({f"{r['bucket']}L" for r in qsig}))
+        )
+    else:
         # no queries in the corpus -> one NULL-qid row that joins
         # nothing, keeping the VALUES clause well-formed (the result is
         # then empty, matching the oracle; bare 'VALUES' is a
         # ParseException)
         probe_values = "(CAST(NULL AS BIGINT), -1, CAST(-1 AS BIGINT))"
+        bucket_filter = "FALSE"
     cos = (
         "aggregate(zip_with({q}, {v}, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
         " / (sqrt(aggregate(transform({q}, a -> a * a), 0.0D, (acc, x) -> acc + x))"
@@ -421,7 +441,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand AS (
           SELECT qs.qid, mem.cid
           FROM qsig qs JOIN {post_view} p
-            ON p.tbl = qs.tbl AND p.bucket = qs.bucket
+            ON p.tbl = qs.tbl AND p.bucket = qs.bucket AND {bucket_filter}
           LATERAL VIEW explode(p.members) mem AS cid
           WHERE mem.cid <> qs.qid
         ),

@@ -436,6 +436,28 @@ def search_index_table(
         ).repartition(1).sortWithinPartitions("token").write.mode(
             "overwrite"
         ).parquet(f"{path}/termmeta.parquet")
+        # Per-term MAX impact — the WAND/MaxScore sidecar: the largest
+        # BM25 contribution any single posting of this term can make,
+        # fixed at build time like idf/norm. Early-termination serves
+        # (idx_maxscore_topk) prune with these bounds instead of
+        # enumerating low-impact postings.
+        tr = spark.read.parquet(f"{path}/term_rows.parquet")
+        tm = spark.read.parquet(f"{path}/termmeta.parquet")
+        dl = spark.read.parquet(f"{path}/doclens.parquet")
+        tr.join(F.broadcast(tm.select("token", "idf")), "token").join(
+            dl.select("doc_id", "norm"), "doc_id"
+        ).select(
+            "token",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (F.col("tf") + F.col("norm"))
+            ).alias("w"),
+        ).groupBy("token").agg(F.max("w").alias("maxw")).repartition(
+            1
+        ).sortWithinPartitions("token").write.mode("overwrite").parquet(
+            f"{path}/term_maxw.parquet"
+        )
         _SEARCH_INDEX_DIR[key] = path
     dfkey = key + (name,)
     df = _SEARCH_INDEX_DF.get(dfkey)
@@ -508,6 +530,129 @@ def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+MAXSCORE_TERMS = ("dup", "data", "scan", "merge")  # rare + 3 common
+MAXSCORE_K = 10
+
+
+def _essential_terms(maxw: "dict[str, float]", theta: float) -> "list[str]":
+    """MaxScore term partition (Turtle & Flood 1995): sort query terms by
+    descending max impact; the ESSENTIAL set is the minimal prefix whose
+    complement's summed bounds stay under theta — a document matching
+    only non-essential terms has upper bound sum(non-essential maxw) <
+    theta and can never enter the top-k. Pure driver arithmetic on one
+    scalar per query term. theta = -inf (fewer than k seeded docs)
+    degrades to all-essential, i.e. no pruning — always sound."""
+    terms = sorted(maxw, key=lambda t: (-maxw[t], t))
+    for i in range(1, len(terms) + 1):
+        if sum(maxw[t] for t in terms[i:]) < theta:
+            return terms[:i]
+    return terms
+
+
+@register(
+    "idx_maxscore_topk",
+    oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
+    "AS token FROM documents), "
+    "lens AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl "
+    "FROM documents), "
+    "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens), "
+    "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok "
+    f"WHERE token IN {MAXSCORE_TERMS} GROUP BY doc_id, token), "
+    "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok "
+    f"WHERE token IN {MAXSCORE_TERMS} GROUP BY token) "
+    "SELECT doc_id, ROUND(SUM("
+    "LN(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) "
+    f"* (tf.tf * ({BM25_K1} + 1)) "
+    f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * lens.dl / stats.avgdl))"
+    "), 4) AS score "
+    "FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN stats "
+    f"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {MAXSCORE_K}",
+    tags=("index", "search", "serve"),
+    doc="MaxScore/WAND-style early-termination top-k (Turtle & Flood; the "
+    "Lucene disjunctive-query executor): a 4-term disjunction where the "
+    "store's per-term MAX-impact sidecar (term_maxw, fixed at build like "
+    "idf/norm) bounds what any posting can contribute. Serve: (1) seed "
+    "theta with the k-th full score among the HIGHEST-impact term's "
+    "docs; (2) partition terms driver-side — non-essential terms are "
+    "those whose summed bounds stay under theta, so documents matching "
+    "ONLY them are provably outside the top-k and their postings are "
+    "never enumerated as candidate drivers (at 100 TB that is the "
+    "high-df stopwordy tail, i.e. most of the postings volume); "
+    "(3) exact-score only candidates matching an essential term and "
+    "take top-k. Pruning is sound by upper bound, so the result is "
+    "IDENTICAL to the unpruned disjunction — which is exactly what the "
+    "oracle (raw-scan exact BM25 top-k) checks; soundness is separately "
+    "property-tested against every excluded document's true score "
+    "(tests/test_maxscore.py).",
+)
+def idx_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = list(MAXSCORE_TERMS)
+    rows = search_index_table(spark, sf_dir, "term_rows").filter(
+        F.col("token").isin(terms)
+    )
+    lens = search_index_table(spark, sf_dir, "doclens")
+    meta = search_index_table(spark, sf_dir, "termmeta").filter(
+        F.col("token").isin(terms)
+    )
+    # one scalar per query term from the build-time sidecar — bounded
+    # driver traffic (4 rows), the WAND bound fetch
+    maxw = {
+        r["token"]: r["maxw"]
+        for r in search_index_table(spark, sf_dir, "term_maxw")
+        .filter(F.col("token").isin(terms))
+        .collect()
+    }
+    w_rows = (
+        rows.join(F.broadcast(meta.select("token", "idf")), "token")
+        .join(lens.select("doc_id", "norm"), "doc_id")
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (F.col("tf") + F.col("norm"))
+            ).alias("w"),
+        )
+    )
+    if not maxw:  # no query term in the corpus -> empty result
+        return w_rows.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    top_term = max(maxw, key=lambda t: (maxw[t], t))
+    # theta seed: full scores of the top-impact term's docs (its postings
+    # are the shortest worth enumerating completely — for a rare term a
+    # few rows; collect is k-bounded)
+    seed = (
+        w_rows.join(
+            F.broadcast(
+                rows.filter(F.col("token") == top_term).select("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(MAXSCORE_K)
+        .collect()
+    )
+    theta = seed[-1]["score"] if len(seed) >= MAXSCORE_K else float("-inf")
+    essential = _essential_terms(maxw, theta)
+    # candidates = docs matching ANY essential term; exact-score them over
+    # ALL query terms (the semi-join bounds every non-essential postings
+    # read to candidate docs)
+    cand = (
+        rows.filter(F.col("token").isin(essential)).select("doc_id").distinct()
+    )
+    out = (
+        w_rows.join(cand, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(MAXSCORE_K)
+    )
+    return out
 
 
 @register(

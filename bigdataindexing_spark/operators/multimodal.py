@@ -420,6 +420,66 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_signature",
+    oracle="WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS n "
+    "FROM documents WHERE doc_id % 3 = 2 AND doc_id <= 200 "
+    "AND octet_length(encode(text)) > 0), "
+    f"f AS (SELECT doc_id, UNNEST(range(0, CAST(CEIL(n / {FRAME_BYTES}.0) "
+    f"AS BIGINT), {FRAME_STRIDE})) AS frame_idx, text FROM v) "
+    "SELECT doc_id, frame_idx, "
+    f"md5(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT), "
+    f"{FRAME_BYTES})) AS frame_md5 FROM f ORDER BY doc_id, frame_idx",
+    tags=("multimodal",),
+    doc="Frame CONTENT signatures over the sampled fake-video frames — "
+    "strengthens mm_frame_sample from a count check to a byte-exact "
+    "content check: every sampled frame's md5 must match duckdb's "
+    "recompute. Sound because the corpus text is pure ASCII (verified: "
+    "max codepoint 121), so duckdb's character-offset substring hashes "
+    "the same bytes Spark's binary substring slices; frames stay "
+    "JVM-side built-ins end to end (sequence + substring over binary, "
+    "md5 in the scan stage — no Python).",
+)
+def mm_frame_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(spread(table(spark, sf_dir, "documents"))).filter(
+        F.col("doc_id") <= 200
+    )
+    frames = sample_frames(media)
+    return bounded_sort(
+        frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5")),
+        "doc_id",
+        "frame_idx",
+    )
+
+
+@register(
+    "mm_payload_dedup",
+    oracle=f"WITH p AS (SELECT doc_id, {_SHA_SQL} AS sha FROM documents) "
+    "SELECT MIN(doc_id) AS first_doc, CAST(COUNT(*) AS BIGINT) AS n_copies "
+    "FROM p GROUP BY sha ORDER BY first_doc",
+    tags=("multimodal", "dedup"),
+    doc="Exact dedup over OPAQUE BINARY payloads — the multimodal twin of "
+    "dedup_exact (text), same output convention (every group, min-id "
+    "survivor + group size; duplicate groups appear at sf0.1): "
+    "identical media bytes collapse on their sha256, corpus-wide — one "
+    "content-hash groupBy, the only exact-dedup shape that exists at "
+    "100 TB of images/audio. The planted PNG payloads hash against "
+    "import-time constants; every other payload is the doc's UTF-8 "
+    "bytes, which duckdb re-hashes directly.",
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(spread(table(spark, sf_dir, "documents")))
+    out = (
+        media.groupBy(F.sha2("payload", 256).alias("sha"))
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("sha")
+    )
+    return bounded_sort(out, "first_doc")
+
+
+@register(
     "mm_decode_stats",
     oracle=f"SELECT doc_id, {_DECODER_SQL} AS decoder, "
     f"{_NBYTES_SQL} AS n_bytes FROM documents "

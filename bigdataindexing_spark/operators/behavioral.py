@@ -454,3 +454,39 @@ def q123_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table_view(spark, sf_dir, "events")
     out = spark.sql(_OVERLAP_SPARK.replace("FROM events", f"FROM {ev}"))
     return bounded_sort(out, "state", barrier=True)
+
+
+@register(
+    "q130_m4_downsample",
+    oracle="SELECT event_type, date_trunc('hour', ts) AS w, "
+    "MIN(value) AS v_min, MAX(value) AS v_max, "
+    "first(value ORDER BY ts, event_id) AS v_first, "
+    "last(value ORDER BY ts, event_id) AS v_last, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY event_type, w ORDER BY event_type, w",
+    tags=("behavioral", "timeseries"),
+    doc="M4 time-series downsampling (Jugel et al., VLDB 2014 — the "
+    "min/max/first/last per (series, time-bucket) reduction every "
+    "monitoring/visualization backend runs): one hash aggregate with "
+    "map-side partial combine per (event_type, hour), emitting the four "
+    "pixel-determining points plus the bucket count. All four outputs "
+    "are SELECTIONS of stored doubles (no float arithmetic crosses the "
+    "engine boundary — min/max compare, first/last pick by the "
+    "deterministic (ts, event_id) order via min_by/max_by on a struct "
+    "key), so the hash gate needs no rounding. At 100 TB this is the "
+    "rollup that turns a petabyte of raw points into a render-exact "
+    "chart: cost one shuffle of (series, bucket) partials, output "
+    "4 points per pixel column regardless of input density.",
+)
+def q130_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("w")
+    ).agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return bounded_sort(out, "event_type", "w")

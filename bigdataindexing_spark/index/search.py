@@ -532,6 +532,147 @@ def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental BM25 serve under corpus growth (round 9) ---------------------
+#
+# The subtlety that makes BM25 harder to maintain incrementally than raw
+# postings: appending documents shifts the GLOBAL stats (n_docs, avgdl),
+# which re-weights the idf of every term and the length norm of every
+# already-indexed document. The production answer (Lucene's) is to store
+# per-doc length dl and per-(token, doc) tf — both append-only under
+# growth — and derive idf/norm AT SCORE TIME from current stats, which
+# themselves maintain ADDITIVELY: (n, sum_dl) base + delta is a scalar
+# add because dl is an integer token count (exact under BIGINT sum, one
+# double division at the end — deterministic across engines). So the
+# incremental refresh pays: delta tokenize + a two-scalar stat add +
+# query-term-bounded postings reads from both stores. Never a corpus
+# re-tokenize, never a stored-norm rewrite.
+BM25_INC_TERMS = ("stream", "filter")
+
+_BM25_BASE_ROWS = SessionParquetStore(
+    "bm25_base_rows",
+    lambda spark, sf_dir: term_rows(
+        spread(table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") % 10 < 8
+        )
+    ),
+    sort_cols=("token",),
+)
+_BM25_BASE_LENS = SessionParquetStore(
+    "bm25_base_lens",
+    lambda spark, sf_dir: _doc_lens(
+        spread(table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") % 10 < 8
+        )
+    ),
+    sort_cols=("doc_id",),
+)
+_BM25_DELTA_ROWS = SessionParquetStore(
+    "bm25_delta_rows",
+    lambda spark, sf_dir: term_rows(
+        spread(table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") % 10 >= 8
+        )
+    ),
+    sort_cols=("token",),
+)
+_BM25_DELTA_LENS = SessionParquetStore(
+    "bm25_delta_lens",
+    lambda spark, sf_dir: _doc_lens(
+        spread(table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") % 10 >= 8
+        )
+    ),
+    sort_cols=("doc_id",),
+)
+
+
+def _doc_lens(docs: DataFrame) -> DataFrame:
+    from bigdataindexing_spark.functions.text import tokens
+
+    return docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+
+
+@register(
+    "idx_bm25_incremental_serve",
+    oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
+    "AS token FROM documents), "
+    "lens AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl "
+    "FROM documents), "
+    "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens), "
+    "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok "
+    f"WHERE token IN {BM25_INC_TERMS} GROUP BY doc_id, token), "
+    "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok "
+    f"WHERE token IN {BM25_INC_TERMS} GROUP BY token) "
+    "SELECT doc_id, ROUND(SUM("
+    "LN(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) "
+    f"* (tf.tf * ({BM25_K1} + 1)) "
+    f"/ (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * lens.dl / stats.avgdl))"
+    "), 4) AS score "
+    "FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN stats "
+    "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10",
+    tags=("index", "incremental", "search", "serve"),
+    doc="BM25 serve over an INCREMENTALLY GROWN index — the global-stats "
+    "maintenance subtlety raw postings merges don't face: new documents "
+    "(doc_id % 10 >= 8) shift n_docs and avgdl, re-weighting every "
+    "term's idf and every existing doc's length norm. Following "
+    "Lucene's layout, the stores hold only append-only relations — "
+    "(token, doc_id, tf) and (doc_id, dl) for base and delta — and the "
+    "serve derives idf/norm at score time from global stats that "
+    "maintain ADDITIVELY: (n, sum_dl) is BIGINT-exact and "
+    "segment-summable (a deployment stores the pair per segment and "
+    "adds scalars; here it aggregates the stored dl columns — "
+    "doc-count-bounded, never the text), one double division at the "
+    "end, bit-identical across engines. Refresh cost: delta tokenize + "
+    "the stat add; never a corpus re-tokenize, never a stored-norm "
+    "rewrite. The oracle computes BM25 from the FULL raw corpus — "
+    "incremental-serve ≡ batch-rebuild is the hash contract.",
+)
+def idx_bm25_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = list(BM25_INC_TERMS)
+    rows = (
+        _BM25_BASE_ROWS.df(spark, sf_dir)
+        .unionByName(_BM25_DELTA_ROWS.df(spark, sf_dir))
+        .filter(F.col("token").isin(terms))
+    )
+    lens = _BM25_BASE_LENS.df(spark, sf_dir).unionByName(
+        _BM25_DELTA_LENS.df(spark, sf_dir)
+    )
+    # additive global stats: one row per side, scalar add — the only
+    # corpus-wide quantity the refresh ever touches
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).select("n", (F.col("sum_dl") / F.col("n")).alias("avgdl"))
+    dfreq = rows.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        rows.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 MAXSCORE_TERMS = ("dup", "data", "scan", "merge")  # rare + 3 common
 MAXSCORE_K = 10
 

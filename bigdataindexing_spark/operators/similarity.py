@@ -1423,6 +1423,41 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_sort(out, "vec_id", barrier=True)
 
 
+@register(
+    "sim_ann_store_freshness",
+    oracle="SELECT 'lsh_postings' AS store, CAST(0 AS BIGINT) AS drift_rows",
+    bench=False,  # ops audit; the oracle asserts an invariant, not
+    # equivalent work (idx_store_freshness precedent)
+    tags=("similarity", "serve", "ops"),
+    doc="Anti-entropy check for the ANN serving tier — the same audit "
+    "idx_store_freshness runs for the text index, applied to the LSH "
+    "band-postings store: re-derive signatures from the raw embeddings "
+    "and re-invert them into (tbl, bucket, members), then count rows "
+    "differing from the materialized store in either direction "
+    "(symmetric difference via two anti-joins on the full row including "
+    "the member array). Drift must be exactly zero — any staleness, "
+    "partial write, or build/serve divergence (e.g. an upsert path that "
+    "drifts from the batch inverter) turns into a hash mismatch. At "
+    "100 TB the same plan runs per (tbl, bucket-range) partition.",
+)
+def sim_ann_store_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fresh = (
+        lsh_signatures(
+            spread(table(spark, sf_dir, "embeddings"), heavy=True), 64
+        )
+        .groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+    )
+    stored = lsh_postings_index(spark, sf_dir)
+    keys = ["tbl", "bucket", "members"]
+    drift = fresh.join(stored, keys, "left_anti").unionByName(
+        stored.join(fresh, keys, "left_anti")
+    )
+    return drift.agg(F.count(F.lit(1)).alias("drift_rows")).select(
+        F.lit("lsh_postings").alias("store"), "drift_rows"
+    )
+
+
 # --- multi-probe SemDeDup (round 9) -------------------------------------------
 
 SEM_NPROBE = 2  # home cell + 2nd-nearest: the standard boundary repair

@@ -914,3 +914,49 @@ def _st16_register() -> None:
 
 
 _st16_register()
+
+
+@register(
+    "st17_stream_m4",
+    oracle="SELECT event_type, date_trunc('hour', ts) AS w, "
+    "MIN(value) AS v_min, MAX(value) AS v_max, "
+    "first(value ORDER BY ts, event_id) AS v_first, "
+    "last(value ORDER BY ts, event_id) AS v_last, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY event_type, w ORDER BY event_type, w",
+    tags=("streaming", "window-agg", "timeseries"),
+    bench=False,
+    doc="ST17: streaming maintenance of the M4 downsampling rollup "
+    "(q130's batch shape) — tumbling 1-hour windows per event_type, "
+    "min/max/first/last/count maintained incrementally as events "
+    "arrive (availableNow replay, complete mode). min_by/max_by on the "
+    "(ts, event_id) struct key keep first/last deterministic under "
+    "any arrival order, which is exactly what makes the streaming "
+    "result ≡ the batch/SQL oracle — the stream ≡ batch contract st1 "
+    "carries for the index, applied to the visualization rollup a "
+    "monitoring pipeline maintains continuously at 100 TB.",
+)
+def st17_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.tables import bounded_sort
+
+    events = stream_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        F.window("ts", "1 hour"), "event_type"
+    ).agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    result = run_available_now(agg, output_mode="complete")
+    out = result.select(
+        "event_type",
+        F.col("window.start").alias("w"),
+        "v_min",
+        "v_max",
+        "v_first",
+        "v_last",
+        "n",
+    )
+    return bounded_sort(out, "event_type", "w")

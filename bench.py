@@ -31,6 +31,55 @@ CALM_STEAL_SEC = 150.0
 BUILD_RATIO_GATE = 2.0
 
 
+def bench_sources_sha() -> str:
+    """Content hash of every bench-relevant source file (the engine
+    package + this script + the entry module). Recorded into each bench
+    artifact at write time so tests/test_bench_guard.py can tell whether
+    a committed BENCH_CALM.json still describes the current code: a calm
+    artifact recorded before a perf-relevant edit must not keep passing
+    the hard gate forever (ADVICE r9 #2)."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    paths = [
+        os.path.join(repo, "bench.py"),
+        os.path.join(repo, "__spark_entry__.py"),
+    ]
+    pkg = os.path.join(repo, "bigdataindexing_spark")
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if fn.endswith(".py"):
+                paths.append(os.path.join(root, fn))
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, repo).encode())
+        h.update(b"\0")
+        with open(p, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def _git_head() -> str | None:
+    """Best-effort HEAD sha for artifact provenance (informational; the
+    gate keys on bench_sources_sha, which survives doc-only commits)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def _warmup(spark, sf_dir: str) -> None:
     """Warm the JVM (JIT, codegen paths, shuffle machinery), the Python
     UDF workers, and the parquet footers once, so per-query timings measure
@@ -239,6 +288,12 @@ def main() -> None:
         # version field keeps historical comparisons honest (ADVICE r6).
         "bench_schema": 2,
         "sf": sf,
+        # provenance (ADVICE r9 #2): sources_sha ties the artifact to the
+        # exact engine/bench code it measured; the calm-gate test skips
+        # loudly (never passes) when it no longer matches the tree.
+        "sources_sha": bench_sources_sha(),
+        "recorded_at_commit": _git_head(),
+        "recorded_at_epoch": int(time.time()),
         "host_steal_sec": host_steal_sec,
         "spark_total_sec": total,
         "duckdb_total_sec": duck_total,

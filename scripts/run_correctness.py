@@ -8,6 +8,13 @@ ALL entries so the full oracle surface is evidenced every round.
 No-oracle queries record a rows-only entry (the driver does the same).
 
 Usage: python scripts/run_correctness.py  [env SPARK_GRAFT_SF_DIR overrides]
+       python scripts/run_correctness.py --only name1,name2
+           (targeted re-check merged into the existing artifact, so a
+            newly-registered query can be evidenced without re-running
+            the full ~8-minute sweep; aggregate counts are recomputed
+            over the merged set — VERDICT r9 #8 pairs this with
+            tests/test_sweep_drift.py, which fails when the registry
+            outgrows the artifacts)
 """
 
 from __future__ import annotations
@@ -24,8 +31,26 @@ from bigdataindexing_spark.session import get_spark  # noqa: E402
 from tests.oracle import compare, make_duckdb  # noqa: E402
 
 
+def artifact_name(sf_dir: str) -> str:
+    """Per-SF artifact filename (sf0.01 keeps the historical unsuffixed
+    name; other SFs get a suffix, matching the committed artifacts)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    names = {
+        "sf0.01": "CORRECTNESS_SELF.json",
+        "sf0.001": "CORRECTNESS_SELF_sf001.json",
+        "sf0.1": "CORRECTNESS_SELF_sf01.json",
+    }
+    return names.get(tag, f"CORRECTNESS_SELF_{tag.replace('.', '')}.json")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(registry.all_specs())
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {sorted(unknown)}")
     # session.get_spark pins spark.sql.session.timeZone=UTC — the
     # NTZ->LTZ cast in tables._read_table is only value-preserving in a
     # UTC session, so a plain SparkSession here would silently diverge
@@ -36,6 +61,8 @@ def main() -> None:
     out: dict[str, dict] = {}
     t0 = time.time()
     for name, spec in registry.all_specs().items():
+        if only is not None and name not in only:
+            continue
         try:
             if spec.oracle is not None:
                 r = compare(spec.builder(spark, sf_dir), con, spec.oracle_text())
@@ -70,6 +97,12 @@ def main() -> None:
         tables.release_pinned()
         spark.catalog.clearCache()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(root, artifact_name(sf_dir))
+    if only is not None and os.path.exists(out_path):
+        # merge the targeted re-check into the existing sweep artifact
+        prior = json.load(open(out_path))["queries"]
+        prior.update(out)
+        out = prior
     payload = {
         "sf_dir": sf_dir,
         "total": len(out),
@@ -86,10 +119,11 @@ def main() -> None:
         "wall_sec": round(time.time() - t0, 1),
         "queries": out,
     }
-    with open(os.path.join(root, "CORRECTNESS_SELF.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(
-        f"CORRECTNESS_SELF.json: {payload['green']}/{payload['oracle_checked']} "
+        f"{os.path.basename(out_path)}: "
+        f"{payload['green']}/{payload['oracle_checked']} "
         f"oracle-green, {payload['rows_only']} rows-only, "
         f"failed={payload['failed']}, {payload['wall_sec']}s"
     )

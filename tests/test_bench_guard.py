@@ -54,11 +54,37 @@ def _guard_violations(detail: dict) -> list[str]:
     return out
 
 
+def _calm_staleness(detail: dict) -> str | None:
+    """Provenance check (ADVICE r9 #2): a calm artifact recorded against
+    OLDER bench-relevant sources must not keep satisfying the hard gate
+    after a perf-relevant edit — new stormy runs never refresh it, so a
+    stale pass would quietly outlive a regression. Returns a reason when
+    the artifact predates the current tree, else None."""
+    import bench
+
+    sha = detail.get("sources_sha")
+    if sha is None:
+        return (
+            "artifact predates provenance recording (no sources_sha) — "
+            "re-run bench.py in a calm window to refresh it"
+        )
+    current = bench.bench_sources_sha()
+    if sha != current:
+        return (
+            f"artifact sources_sha {sha[:12]} != current tree "
+            f"{current[:12]} (recorded at commit "
+            f"{str(detail.get('recorded_at_commit'))[:12]}) — bench-"
+            "relevant sources changed since; re-run bench.py in a calm "
+            "window"
+        )
+    return None
+
+
 def test_calm_bench_artifact_under_guard():
+    import pytest
+
     path = os.path.join(REPO, "BENCH_CALM.json")
     if not os.path.exists(path):
-        import pytest
-
         # A storm run can never stand in for calm evidence (that was the
         # r08 allowance's flaw), and this host's hypervisor weather is
         # not ours to schedule — so the hard gate SKIPS loudly (never
@@ -72,6 +98,11 @@ def test_calm_bench_artifact_under_guard():
             "BENCH_DETAIL.json and can never satisfy this gate)"
         )
     detail = json.load(open(path))
+    stale = _calm_staleness(detail)
+    if stale:
+        # Loud SKIP, never a pass: the gate must not keep asserting on
+        # evidence recorded before the code it would be vouching for.
+        pytest.skip(f"BENCH_CALM.json stale — {stale}")
     violations = _guard_violations(detail)
     assert not violations, (
         "calm bench artifact fails the hard gate: "
@@ -117,6 +148,18 @@ def test_guard_rejects_storm_artifact_even_if_ratio_ok():
     }
     violations = _guard_violations(fixture)
     assert violations and "not a calm-window artifact" in violations[0]
+
+
+def test_staleness_flags_legacy_and_mismatched_artifacts():
+    """The provenance check must flag both a pre-provenance artifact
+    (no sources_sha) and one recorded against different sources; a
+    freshly-computed sha must pass."""
+    import bench
+
+    assert _calm_staleness({}) is not None
+    assert "sources_sha" in _calm_staleness({})
+    assert _calm_staleness({"sources_sha": "0" * 64}) is not None
+    assert _calm_staleness({"sources_sha": bench.bench_sources_sha()}) is None
 
 
 def test_guard_rejects_slow_index_build():

@@ -256,6 +256,30 @@ def lsh_postings_view(spark: SparkSession, sf_dir: str) -> str:
     return _POST_STORE.view(spark, sf_dir)
 
 
+# Bucket-cardinality sidecar: (tbl, bucket, n) — fixed-width rows, row
+# count bounded by LSH_TABLES x 2^LSH_PLANES_PER_TABLE = 2048 at ANY
+# corpus size, so a full scan of it is O(1) IO forever. The serve probe
+# reads THIS to decide the brute-force fallback driver-side instead of
+# materializing `size(members)` off the postings store (whose member
+# arrays are corpus-sized — computing sizes there would read the whole
+# postings column at 100 TB). Kept as its own store rather than a column
+# on lsh_postings because the anti-entropy audit (sim_ann_store_freshness)
+# hash-compares the postings store's exact 3-column shape.
+_BUCKET_STATS_STORE = SessionParquetStore(
+    "lsh_bucket_stats",
+    lambda spark, sf_dir: (
+        lsh_signature_index(spark, sf_dir)
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ),
+    sort_cols=("tbl", "bucket"),
+)
+
+
+def lsh_bucket_stats_view(spark: SparkSession, sf_dir: str) -> str:
+    return _BUCKET_STATS_STORE.view(spark, sf_dir)
+
+
 # --- Incremental ANN index maintenance ---------------------------------------
 # Base postings over 90% of the corpus (vec_id % 10 != 7), built once per
 # session; the remaining 10% plays the arriving batch. The upsert merges
@@ -402,24 +426,56 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain, not any single scan or collect; kept from that experiment
     # is only the bucket-IN literal pushdown on the postings scan (free
     # locally, row-group skip at scale).
+    #
+    # Round-10 shave (VERDICT r9 #3): the fallback decision moves to the
+    # driver. The one probe action now tag-unions the query signatures
+    # with the cardinality of each probed bucket from the bounded
+    # (tbl, bucket, n) sidecar (2048 fixed-width rows at ANY corpus
+    # size — never the corpus-proportional member arrays). A query's
+    # buckets all contain the query itself (the store inverts the full
+    # corpus), so it has a candidate iff ANY probed bucket holds >1
+    # member — exactly the oracle's "found" set. Knowing the missing set
+    # up front lets the serve plan DROP the anti-join + broadcast-
+    # nested-loop fallback branch entirely on the (typical) all-found
+    # path: the r9 plan's 9 exchanges / ~8 serial broadcast jobs shrink
+    # to probe->rerank->agg (see PLANS.md). When queries ARE missing,
+    # the brute-force branch comes back scoped to literal qids,
+    # semantics unchanged.
     from bigdataindexing_spark.tables import table_view
 
     emb_view = table_view(spark, sf_dir, "embeddings")
     post_view = lsh_postings_view(spark, sf_dir)
-    qsig = (
-        lsh_signature_index(spark, sf_dir)
-        .filter(F.col("vec_id") < N_QUERIES)
-        .collect()
+    sig_view = lsh_signature_view(spark, sf_dir)
+    stats_view = lsh_bucket_stats_view(spark, sf_dir)
+    fetched = spark.sql(f"""
+        WITH qs AS (SELECT vec_id, tbl, bucket FROM {sig_view}
+                    WHERE vec_id < {N_QUERIES})
+        SELECT 'sig' AS kind, vec_id AS a, tbl AS b, bucket AS c FROM qs
+        UNION ALL
+        SELECT 'n' AS kind, s.n AS a, s.tbl AS b, s.bucket AS c
+        FROM {stats_view} s
+        JOIN (SELECT DISTINCT tbl, bucket FROM qs) k
+          ON s.tbl = k.tbl AND s.bucket = k.bucket
+    """).collect()
+    qsig = [r for r in fetched if r["kind"] == "sig"]
+    bucket_n = {(r["b"], r["c"]): r["a"] for r in fetched if r["kind"] == "n"}
+    by_qid: dict[int, list] = {}
+    for r in qsig:
+        by_qid.setdefault(r["a"], []).append((r["b"], r["c"]))
+    missing_qids = sorted(
+        qid
+        for qid, keys in by_qid.items()
+        if all(bucket_n.get(k, 0) <= 1 for k in keys)
     )
     probe_values = ", ".join(
-        f"({r['vec_id']}L, {r['tbl']}, {r['bucket']}L)" for r in qsig
+        f"({r['a']}L, {r['b']}, {r['c']}L)" for r in qsig
     )
     if probe_values:
         # pushed into the postings scan (the store sorts by (tbl,
         # bucket)), so at 100 TB the probe row-group-skips straight to
         # its buckets instead of filtering post-scan; <= 80 literals
         bucket_filter = "p.bucket IN ({})".format(
-            ", ".join(sorted({f"{r['bucket']}L" for r in qsig}))
+            ", ".join(sorted({f"{r['c']}L" for r in qsig}))
         )
     else:
         # no queries in the corpus -> one NULL-qid row that joins
@@ -433,6 +489,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (sqrt(aggregate(transform({q}, a -> a * a), 0.0D, (acc, x) -> acc + x))"
         " * sqrt(aggregate(transform({v}, a -> a * a), 0.0D, (acc, x) -> acc + x)))"
     )
+    probed = f"""
+        SELECT c.qid, c.cid, {cos.format(q='q.qv', v='e.v')} AS c
+        FROM cand c JOIN e ON e.vec_id = c.cid JOIN q ON q.qid = c.qid"""
+    if missing_qids:
+        # brute-force branch, scoped to the driver-known missing qids
+        # (literal IN pushes into q's scan; the corpus scan on the right
+        # side is the price of totality, paid only when a query's
+        # buckets are all singletons)
+        miss_in = ", ".join(f"{int(m)}L" for m in missing_qids)
+        fallback = f"""
+        UNION ALL
+        SELECT mi.qid, e.vec_id AS cid, {cos.format(q='mi.qv', v='e.v')} AS c
+        FROM (SELECT qid, qv FROM q WHERE qid IN ({miss_in})) mi
+        JOIN e ON e.vec_id <> mi.qid"""
+    else:
+        fallback = ""
     return spark.sql(f"""
         WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM {emb_view}),
@@ -445,16 +517,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           LATERAL VIEW explode(p.members) mem AS cid
           WHERE mem.cid <> qs.qid
         ),
-        -- total-result fallback: brute-force any query whose buckets
-        -- were all empty (anti side empty on this corpus; the scan
-        -- behind an empty broadcast probe produces no pair rows)
-        missing AS (SELECT qid, qv FROM q LEFT ANTI JOIN cand USING (qid)),
-        scored AS (
-          SELECT c.qid, c.cid, {cos.format(q='q.qv', v='e.v')} AS c
-          FROM cand c JOIN e ON e.vec_id = c.cid JOIN q ON q.qid = c.qid
-          UNION ALL
-          SELECT mi.qid, e.vec_id AS cid, {cos.format(q='mi.qv', v='e.v')} AS c
-          FROM missing mi JOIN e ON e.vec_id <> mi.qid
+        scored AS ({probed}{fallback}
         )
         SELECT qid, max_by(cid, struct(c, -cid)) AS neighbor_id
         FROM scored GROUP BY qid ORDER BY qid

@@ -598,3 +598,249 @@ def q129_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.doc_id
     """)
     return bounded_sort(out, "doc_id", barrier=True)
+
+
+# --- BPE vocabulary TRAINING (round 10, VERDICT r9 #7) ------------------------
+# txt_bpe_tokens pre-tokenizes; the corpus-scale pipeline op is LEARNING
+# the merge table: k iterations of (count adjacent symbol pairs over the
+# word-frequency table -> argmax with deterministic tie-break -> apply
+# the merge). State lives on a bounded word-frequency relation (top
+# BPE_VOCAB_WORDS distinct pre-tokens by frequency — the standard
+# bounded-sample trainer), so each iteration is one cheap aggregate over
+# a cached 256-row table plus a 1-row collect; the corpus itself is
+# touched exactly once to build the frequency table. Merge application
+# is single-pass, left-to-right, non-overlapping on the space-joined
+# symbol string (``replace(' l r ', ' lr ')``) — a run like ``a a a a``
+# becomes ``aa a a`` in one step, NOT ``aa aa`` (the consumed boundary
+# space is not re-matched). Both engines' ``replace`` builtins share
+# these exact semantics, so the duckdb oracle replays the whole training
+# loop (unrolled k times) bit-identically.
+
+BPE_MERGES = 16
+BPE_VOCAB_WORDS = 256
+BPE_TOP_PIECES = 30
+_BPE_PRETOK = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# learned merge tables, keyed by (applicationId, sf_dir) — the session
+# store pattern (SessionParquetStore precedent) for a driver-side
+# constant: txt_bpe_apply consumes what txt_bpe_train learned without
+# re-running the 16 training actions in the same session.
+_BPE_MERGE_CACHE: "dict[tuple[str, str], list[tuple[int, str, str, str, int]]]" = {}
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seq, f): top-frequency pre-tokens as boundary-spaced symbol
+    strings — the bounded trainer state. ' '-prefixed by the (.) ->
+    ' $1' expansion, ' '-suffixed by the concat."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PRETOK), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), "w")
+        .limit(BPE_VOCAB_WORDS)
+        .select(
+            F.concat(
+                F.regexp_replace("w", "(.)", " $1"), F.lit(" ")
+            ).alias("seq"),
+            "f",
+        )
+    )
+
+
+def learn_bpe_merges(
+    spark: SparkSession, sf_dir: str
+) -> "list[tuple[int, str, str, str, int]]":
+    """Train-and-cache: k rounds of pair-count -> argmax -> merge over
+    the cached word-frequency table. Each round's driver traffic is ONE
+    row (the winning pair) — the train_centroids bounded-collect shape."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_MERGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    wf = _bpe_word_freq(spark, sf_dir).cache()
+    try:
+        wf.count()
+        merges: "list[tuple[int, str, str, str, int]]" = []
+        cur = wf
+        for step in range(1, BPE_MERGES + 1):
+            words = cur.select(
+                F.split(F.trim("seq"), " ").alias("a"), "f"
+            ).filter(F.size("a") >= 2)
+            pair = (
+                words.select(
+                    "f",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("a"), 1, F.size("a") - 1),
+                            F.slice(F.col("a"), 2, F.size("a") - 1),
+                            lambda x, y: F.struct(
+                                x.alias("lhs"), y.alias("rhs")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("f").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not pair:
+                break
+            lhs, rhs, cnt = pair[0]["lhs"], pair[0]["rhs"], pair[0]["cnt"]
+            merges.append((step, lhs, rhs, lhs + rhs, int(cnt)))
+            cur = cur.select(
+                F.replace(
+                    "seq", F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+                ).alias("seq"),
+                "f",
+            )
+    finally:
+        wf.unpersist()
+    _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+def _bpe_train_ctes() -> "tuple[list[str], list[str]]":
+    """Unrolled duckdb replay of the training loop: (CTE parts, one
+    SELECT per learned step). Shared by the train and apply oracles."""
+    # Every per-step CTE is MATERIALIZED: w_i is referenced twice per
+    # step (directly by w_{i+1} and through b_{i+1}'s pair count), so an
+    # inlined plan re-expands the whole chain 2^k times — duckdb runs
+    # out of file handles before it runs out of patience. Materializing
+    # makes the replay linear in k, which is also what the Spark side
+    # does (one cached 256-row relation mutated per step).
+    parts = [
+        "tok AS MATERIALIZED (SELECT UNNEST(regexp_extract_all(lower(text), "
+        f"'{_BPE_PRETOK}')) AS w FROM documents)",
+        "wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok "
+        f"GROUP BY w ORDER BY f DESC, w LIMIT {BPE_VOCAB_WORDS})",
+        "w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS seq, f FROM wf)",
+    ]
+    sels = []
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""x{i} AS (SELECT f, string_split(trim(seq), ' ') AS a FROM w{i - 1}),
+p{i} AS (
+  SELECT a[i] AS lhs, a[i + 1] AS rhs, CAST(SUM(f) AS BIGINT) AS cnt
+  FROM (SELECT f, a, UNNEST(range(1, len(a))) AS i FROM x{i})
+  GROUP BY lhs, rhs),
+b{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(seq, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                 ' ' || b.lhs || b.rhs || ' ') AS seq, f
+  FROM w{i - 1} CROSS JOIN b{i} b)"""
+        )
+        sels.append(
+            f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
+            f"cnt AS pair_count FROM b{i}"
+        )
+    return parts, sels
+
+
+def _bpe_train_oracle() -> str:
+    parts, sels = _bpe_train_ctes()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + " UNION ALL ".join(sels)
+        + " ORDER BY step"
+    )
+
+
+@register(
+    "txt_bpe_train",
+    oracle=_bpe_train_oracle,
+    # bench=False, trained-quantizer-family precedent (dedup_semantic):
+    # the duckdb oracle replays the unrolled training loop — a
+    # correctness gate, not comparable work — and the Spark side's
+    # session merge-cache would make every post-first bench pass
+    # measure a createDataFrame, not training.
+    bench=False,
+    tags=("text",),
+    doc="BPE vocabulary TRAINING (Sennrich et al. 2016, the bounded-"
+    "sample trainer): k=16 iterations of pair-count -> deterministic "
+    "argmax (count DESC, pair ASC) -> single-pass merge over the top-"
+    "256 pre-token frequency table. Output is the learned merge table "
+    "(step, lhs, rhs, merged, pair_count); the table is session-cached "
+    "and txt_bpe_apply tokenizes the corpus with it. The duckdb oracle "
+    "replays all 16 unrolled iterations in SQL — training itself is "
+    "hash-gated, not just the final vocabulary. At 100 TB the frequency "
+    "table is the only corpus-sized aggregate (one shuffle); every "
+    "iteration is bounded work on the vocabulary relation.",
+)
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = learn_bpe_merges(spark, sf_dir)
+    out = spark.createDataFrame(
+        merges,
+        schema="step INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    )
+    return bounded_sort(out, "step")
+
+
+@register(
+    "txt_bpe_apply",
+    oracle=lambda: (
+        "WITH "
+        + ",\n".join(
+            _bpe_train_ctes()[0]
+            + [
+                "dw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w)",
+                "ap0 AS (SELECT regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS seq, f FROM dw)",
+            ]
+            + [
+                f"""ap{i} AS MATERIALIZED (
+  SELECT CASE WHEN b.lhs IS NULL THEN seq
+         ELSE replace(seq, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                      ' ' || b.lhs || b.rhs || ' ') END AS seq, f
+  FROM ap{i - 1} LEFT JOIN b{i} b ON TRUE)"""
+                for i in range(1, BPE_MERGES + 1)
+            ]
+        )
+        + f"""
+SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+FROM (SELECT f, UNNEST(string_split(trim(seq), ' ')) AS piece FROM ap{BPE_MERGES})
+GROUP BY piece ORDER BY cnt DESC, piece LIMIT {BPE_TOP_PIECES}"""
+    ),
+    # bench=False: the oracle must re-LEARN the merges (unrolled replay)
+    # before applying them — not comparable to the Spark side's
+    # cache-consuming apply (see txt_bpe_train).
+    bench=False,
+    tags=("text",),
+    doc="Tokenize the corpus with the vocabulary txt_bpe_train learned "
+    "in-session (cache hit: zero re-training actions when train ran "
+    "first): every distinct pre-token is symbol-split and the k merges "
+    "replay in learned order as chained JVM replace()s, weighted by "
+    "corpus frequency; output is the top-30 vocabulary pieces by "
+    "occurrence. The oracle re-learns the merges (unrolled) and applies "
+    "them the same way — LEFT JOIN ON TRUE instead of CROSS JOIN so an "
+    "exhausted merge step (empty b_i on a tiny corpus) passes sequences "
+    "through unchanged in both engines.",
+)
+def txt_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = learn_bpe_merges(spark, sf_dir)
+    docs = spread(table(spark, sf_dir, "documents"))
+    seq = F.concat(F.regexp_replace("w", "(.)", " $1"), F.lit(" "))
+    for _step, lhs, rhs, _merged, _cnt in merges:
+        seq = F.replace(seq, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} "))
+    pieces = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PRETOK), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(F.explode(F.split(F.trim(seq), " ")).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(BPE_TOP_PIECES)
+    )
+    return pieces

@@ -377,6 +377,17 @@ def test_ann_lsh_serves_from_signature_store(plan):
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p
     assert "max_by" in p
     assert "Window" not in p
+    # r10 shave (VERDICT r9 #3): the brute-force fallback decision is
+    # made driver-side from the bounded bucket-stats sidecar, so on the
+    # all-found path (this corpus at every SF) the serve plan carries
+    # NO anti-join + broadcast-nested-loop branch and at most 5
+    # exchanges (probe broadcast, candidate broadcast, query broadcast,
+    # the aggregate shuffle, the final sort)
+    assert "BroadcastNestedLoopJoin" not in p
+    # count the FINAL adaptive plan only — "formatted" prints the
+    # pre-AQE initial plan below it, which would double every node
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Exchange (") <= 5, final[:3000]
 
 
 def test_pair_count_serves_are_store_scans(plan):

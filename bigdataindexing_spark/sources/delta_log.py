@@ -56,6 +56,35 @@ DELTA_READ_HI = 200  # skipping-query upper bound (prunes B/B2 by stats)
 
 _TABLES: "dict[tuple[str, str], str]" = {}
 
+# table_dir -> parsed metaData schema (a Delta reader takes the schema
+# from the log's metaData action, never from parquet footers — besides
+# protocol fidelity this skips the per-read footer-inference job
+# spark.read.parquet pays on every serve; measured ~30-60ms x 3 reads
+# per time-travel invocation at sf0.1)
+_SCHEMAS: "dict[str, object]" = {}
+
+
+def delta_table_schema(table_dir: str):
+    """StructType from the log's metaData.schemaString (commit 0)."""
+    cached = _SCHEMAS.get(table_dir)
+    if cached is not None:
+        return cached
+    from pyspark.sql.types import StructType
+
+    schema = None
+    with open(_commit_path(table_dir, 0)) as f:
+        for line in f:
+            action = json.loads(line)
+            if "metaData" in action:
+                schema = StructType.fromJson(
+                    json.loads(action["metaData"]["schemaString"])
+                )
+                break
+    if schema is None:
+        raise ValueError(f"no metaData action in {table_dir} commit 0")
+    _SCHEMAS[table_dir] = schema
+    return schema
+
 
 def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "_delta_log", f"{version:020d}.json")
@@ -224,17 +253,13 @@ def read_delta_snapshot(
             if (st := json.loads(a["stats"]))["minValues"]["doc_id"] <= hi
             and st["maxValues"]["doc_id"] >= lo
         ]
+    schema = delta_table_schema(table_dir)
     if not adds:
-        schema_str = None
-        with open(_commit_path(table_dir, 0)) as f:
-            for line in f:
-                action = json.loads(line)
-                if "metaData" in action:
-                    schema_str = action["metaData"]["schemaString"]
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(schema_str)))
-    return spark.read.parquet(
+        return spark.createDataFrame([], schema)
+    # schema comes from the log (delta_table_schema), so the read does
+    # no footer-inference pass — the Delta reader contract, and one
+    # fewer driver-side job per serve (guide §6: metadata over listing)
+    return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, a["path"]) for a in adds]
     )
 
@@ -292,18 +317,49 @@ def src_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def src_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = build_delta_table(spark, sf_dir)
-    parts = []
-    for v in (0, 1, 2):
-        snap = read_delta_snapshot(spark, table_dir, version=v)
-        parts.append(
-            snap.agg(
+    # ONE shared scan serves all three versions (guide §2.3/§2.4 — the
+    # q125 shared-scan discipline): the three snapshots' live-file sets
+    # overlap heavily (v0 ⊂ v1 up to the delete rewrite), so instead of
+    # three scans + three single-partition aggregates (6 stages), read
+    # the UNION of live files once, tag each row with its source file
+    # (_metadata.file_name — resolved at scan time, no extra pass), and
+    # fold per-version membership into conditional aggregates. The log
+    # replay per version is unchanged (pure metadata); only the data
+    # access is shared. Result is bit-identical: count over a version's
+    # file set == count_if(file ∈ set) over the union scan.
+    files_by_v = {
+        v: {a["path"] for a in delta_snapshot_files(table_dir, v)}
+        for v in (0, 1, 2)
+    }
+    all_files = sorted(set().union(*files_by_v.values()))
+    if not all_files:
+        schema = delta_table_schema(table_dir)
+        empty = spark.createDataFrame([], schema)
+        parts = [
+            empty.agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").alias("chars"),
-            ).select(
-                F.lit(v).cast("int").alias("version"), "n_docs", "chars"
-            )
+            ).select(F.lit(v).cast("int").alias("version"), "n_docs", "chars")
+            for v in (0, 1, 2)
+        ]
+        out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return bounded_sort(out, "version")
+    scan = (
+        spark.read.schema(delta_table_schema(table_dir))
+        .parquet(*[os.path.join(table_dir, p) for p in all_files])
+        .select("n_chars", F.col("_metadata.file_name").alias("_fn"))
+    )
+    aggs = []
+    for v in (0, 1, 2):
+        member = F.col("_fn").isin(sorted(files_by_v[v])) if files_by_v[v] else F.lit(False)
+        aggs.append(F.count_if(member).alias(f"n{v}"))
+        aggs.append(F.sum(F.when(member, F.col("n_chars"))).alias(f"c{v}"))
+    out = scan.agg(*aggs).select(
+        F.expr(
+            "stack(3, CAST(0 AS INT), n0, c0, CAST(1 AS INT), n1, c1, "
+            "CAST(2 AS INT), n2, c2) AS (version, n_docs, chars)"
         )
-    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
     return bounded_sort(out, "version")
 
 

@@ -444,16 +444,35 @@ def search_index_table(
         tr = spark.read.parquet(f"{path}/term_rows.parquet")
         tm = spark.read.parquet(f"{path}/termmeta.parquet")
         dl = spark.read.parquet(f"{path}/doclens.parquet")
+        # Per-posting PRECOMPUTED impacts (token, doc_id, w) — the other
+        # half of the Lucene impact layout: w is a pure function of
+        # build-fixed store columns (idf, tf, norm), so serving paths
+        # that used to recompute it per query via two joins (term_rows ⋈
+        # termmeta ⋈ doclens) now read it straight off a token-sorted
+        # scan with the query-term filter pushed down (r10; guide §2.4 —
+        # the joins belonged in the build, not the serve).
         tr.join(F.broadcast(tm.select("token", "idf")), "token").join(
             dl.select("doc_id", "norm"), "doc_id"
         ).select(
             "token",
+            "doc_id",
             (
                 F.col("idf")
                 * (F.col("tf") * (BM25_K1 + 1))
                 / (F.col("tf") + F.col("norm"))
             ).alias("w"),
-        ).groupBy("token").agg(F.max("w").alias("maxw")).repartition(
+        ).repartition(1).sortWithinPartitions("token", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/term_impacts.parquet")
+        # Per-term MAX impact — the WAND/MaxScore sidecar: the largest
+        # BM25 contribution any single posting of this term can make,
+        # fixed at build time like idf/norm. Early-termination serves
+        # (idx_maxscore_topk) prune with these bounds instead of
+        # enumerating low-impact postings. Derived from the impacts
+        # table (bit-identical w, one less join tree in the build).
+        spark.read.parquet(f"{path}/term_impacts.parquet").groupBy(
+            "token"
+        ).agg(F.max("w").alias("maxw")).repartition(
             1
         ).sortWithinPartitions("token").write.mode("overwrite").parquet(
             f"{path}/term_maxw.parquet"
@@ -501,28 +520,13 @@ def search_index_table(
 )
 def idx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "data"]
-    rows = search_index_table(spark, sf_dir, "term_rows").filter(
+    # every scoring term comes PRECOMPUTED from the store's per-posting
+    # impacts table (w = idf * tf*(k1+1)/(tf+norm), fixed at build — the
+    # Lucene impact layout): the serve is ONE pushed token-filtered scan
+    # + top-k, zero joins and zero corpus aggregation per query (r10;
+    # the previous shape re-joined termmeta and doclens per serve)
+    scored = search_index_table(spark, sf_dir, "term_impacts").filter(
         F.col("token").isin(terms)
-    )
-    lens = search_index_table(spark, sf_dir, "doclens")
-    meta = search_index_table(spark, sf_dir, "termmeta").filter(
-        F.col("token").isin(terms)
-    )
-    # every scoring constant comes from the store (idf per term, length
-    # norm per doc — precomputed at build, the Lucene segment layout):
-    # the query runs zero corpus aggregation — two pushed-filter scans,
-    # a broadcast term-meta join, a doc_id join, top-k
-    scored = (
-        rows.join(F.broadcast(meta.select("token", "idf")), "token")
-        .join(lens.select("doc_id", "norm"), "doc_id")
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * (F.col("tf") * (BM25_K1 + 1))
-                / (F.col("tf") + F.col("norm"))
-            ).alias("w"),
-        )
     )
     return (
         scored.groupBy("doc_id")
@@ -745,29 +749,17 @@ def _essential_terms(maxw: "dict[str, float]", theta: float) -> "list[str]":
     "property-tested (tests/test_maxscore.py).",
 )
 def idx_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdataindexing_spark.tables import pin
-
     terms = list(MAXSCORE_TERMS)
-    rows = search_index_table(spark, sf_dir, "term_rows").filter(
+    # per-posting impacts come PRECOMPUTED from the store (the Lucene
+    # impact layout; built once in search_index_table) — the serve is a
+    # pushed token-filtered scan, not a 3-table join per query. No
+    # persist: re-scanning the tiny pushed store in the second action is
+    # cheaper than the cache put + memory-store read (measured 0.63 vs
+    # 0.57s interleaved at sf0.1).
+    rows = search_index_table(spark, sf_dir, "term_impacts").filter(
         F.col("token").isin(terms)
     )
-    lens = search_index_table(spark, sf_dir, "doclens")
-    meta = search_index_table(spark, sf_dir, "termmeta").filter(
-        F.col("token").isin(terms)
-    )
-    w_rows = pin(
-        rows.join(F.broadcast(meta.select("token", "idf")), "token")
-        .join(lens.select("doc_id", "norm"), "doc_id")
-        .select(
-            "doc_id",
-            "token",
-            (
-                F.col("idf")
-                * (F.col("tf") * (BM25_K1 + 1))
-                / (F.col("tf") + F.col("norm"))
-            ).alias("w"),
-        )
-    )
+    w_rows = rows.select("doc_id", "token", "w")
     # combined bound-fetch + theta-seed job (action 1 of 2): the top
     # term is selected INSIDE the plan (highest maxw, token desc
     # tiebreak — same order the driver arithmetic used to apply), its
@@ -779,20 +771,25 @@ def idx_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top1 = (
         maxw_df.orderBy(F.col("maxw").desc(), F.col("token").desc())
         .limit(1)
-        .select("token")
+        .select(F.col("token").alias("_t1"))
     )
+    # seed = top-k full scores among the top term's docs, as ONE
+    # aggregation over the pinned impacts: the doc-level sum and a
+    # contains-top-term flag ride the same groupBy, with the 1-row top1
+    # cross-broadcast for the flag compare. The previous shape built two
+    # NESTED broadcasts (top1, then the semi-joined doc set) — two extra
+    # sequential broadcast-build jobs inside action 1 for the same rows
+    # (guide §2.4: every broadcast is a driver round-trip on the serve's
+    # critical path).
     seed = (
-        w_rows.join(
-            F.broadcast(
-                rows.join(F.broadcast(top1), "token", "left_semi").select(
-                    "doc_id"
-                )
-            ),
-            "doc_id",
-            "left_semi",
-        )
+        w_rows.crossJoin(F.broadcast(top1))
         .groupBy("doc_id")
-        .agg(F.sum("w").alias("score"))
+        .agg(
+            F.sum("w").alias("score"),
+            F.max((F.col("token") == F.col("_t1")).cast("int")).alias("_has"),
+        )
+        .filter(F.col("_has") == 1)
+        .select("doc_id", "score")
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(MAXSCORE_K)
     )
@@ -821,10 +818,11 @@ def idx_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     essential = _essential_terms(maxw, theta - MAXSCORE_EPS)
     # candidates = docs matching ANY essential term; exact-score them over
     # ALL query terms (the semi-join bounds every non-essential postings
-    # read to candidate docs)
-    cand = (
-        rows.filter(F.col("token").isin(essential)).select("doc_id").distinct()
-    )
+    # read to candidate docs). No .distinct() on the build side: a LEFT
+    # SEMI join is set-semantics regardless of build-side duplicates,
+    # and the distinct only added an exchange + aggregate ahead of the
+    # broadcast (guide §2.4).
+    cand = rows.filter(F.col("token").isin(essential)).select("doc_id")
     out = (
         w_rows.join(cand, "doc_id", "left_semi")
         .groupBy("doc_id")

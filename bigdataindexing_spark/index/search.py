@@ -596,6 +596,42 @@ def _doc_lens(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.size(tokens("text")).alias("dl"))
 
 
+# Per-SEGMENT additive sidecars, stored at build exactly as the serve
+# docstring prescribes for deployments ("stores the pair per segment and
+# adds scalars"): a 1-row (n, sum_dl) stats table and a (token, df)
+# term-df table per segment. Segments are disjoint by construction, so
+# global stats are BIGINT-exact scalar adds over segment rows and global
+# df is the sum of segment dfs — the serve no longer re-aggregates the
+# doc-count-sized doclens or the query terms' postings per invocation
+# (r10; guide §2.4 — those aggregations belonged in the build).
+_BM25_BASE_STATS = SessionParquetStore(
+    "bm25_base_stats",
+    lambda spark, sf_dir: _BM25_BASE_LENS.df(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ),
+)
+_BM25_DELTA_STATS = SessionParquetStore(
+    "bm25_delta_stats",
+    lambda spark, sf_dir: _BM25_DELTA_LENS.df(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ),
+)
+_BM25_BASE_TERMDF = SessionParquetStore(
+    "bm25_base_termdf",
+    lambda spark, sf_dir: _BM25_BASE_ROWS.df(spark, sf_dir)
+    .groupBy("token")
+    .agg(F.count(F.lit(1)).alias("df")),
+    sort_cols=("token",),
+)
+_BM25_DELTA_TERMDF = SessionParquetStore(
+    "bm25_delta_termdf",
+    lambda spark, sf_dir: _BM25_DELTA_ROWS.df(spark, sf_dir)
+    .groupBy("token")
+    .agg(F.count(F.lit(1)).alias("df")),
+    sort_cols=("token",),
+)
+
+
 @register(
     "idx_bm25_incremental_serve",
     oracle="WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) "
@@ -641,13 +677,24 @@ def idx_bm25_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = _BM25_BASE_LENS.df(spark, sf_dir).unionByName(
         _BM25_DELTA_LENS.df(spark, sf_dir)
     )
-    # additive global stats: one row per side, scalar add — the only
-    # corpus-wide quantity the refresh ever touches
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-    ).select("n", (F.col("sum_dl") / F.col("n")).alias("avgdl"))
-    dfreq = rows.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df")
+    # additive global stats: the per-segment (n, sum_dl) sidecars sum
+    # by scalar add (BIGINT-exact, order-free) — one row per segment
+    # read per serve, never the doc-count-sized doclens
+    stats = (
+        _BM25_BASE_STATS.df(spark, sf_dir)
+        .unionByName(_BM25_DELTA_STATS.df(spark, sf_dir))
+        .agg(F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl"))
+        .select("n", (F.col("sum_dl") / F.col("n")).alias("avgdl"))
+    )
+    # global df = sum of the disjoint segments' stored per-term dfs —
+    # a pushed 2-token read of each sidecar, not a COUNT DISTINCT over
+    # the query terms' postings per serve
+    dfreq = (
+        _BM25_BASE_TERMDF.df(spark, sf_dir)
+        .unionByName(_BM25_DELTA_TERMDF.df(spark, sf_dir))
+        .filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
     )
     scored = (
         rows.join(F.broadcast(dfreq), "token")

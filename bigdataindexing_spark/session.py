@@ -102,7 +102,22 @@ def get_spark(
             ),
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Parquet write commit path (r10, guide §1.2 per-task work): commit
+    # algorithm v2 moves task output to the destination at task commit
+    # (one rename per file) instead of staging through the job-commit
+    # directory (two renames), and the _SUCCESS marker is skipped —
+    # nothing in this engine (or most production readers) consumes it.
+    # v2 is the long-standing default on EMR and standard practice on
+    # HDFS; the rename saving GROWS with file count at scale. Trade:
+    # a mid-job failure can leave partial files in the destination —
+    # every write in this engine targets a fresh store/temp directory
+    # in overwrite mode, where that is harmless. Measured on the index
+    # build (write_index, interleaved best-of-5 at sf0.1): 0.50 -> 0.41s.
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    hc.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    return spark
 
 
 def tune_for_local_tests(spark: SparkSession) -> SparkSession:

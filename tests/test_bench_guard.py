@@ -77,6 +77,16 @@ def _calm_staleness(detail: dict) -> str | None:
             "relevant sources changed since; re-run bench.py in a calm "
             "window"
         )
+    # Config provenance (VERDICT r10 #1): the hard gate only vouches for
+    # the default-core-count config. The round-10 driver's calm 8-core
+    # scaling run replaced BENCH_CALM and the gate failed on the inflated
+    # multi-stage floor of a 4x-smaller scheduler, not on a regression.
+    if detail.get("cpus") != bench.GATE_CPUS:
+        return (
+            f"artifact recorded at cpus={detail.get('cpus')}, gate "
+            f"requires the default local[{bench.GATE_CPUS}] config — "
+            "re-run bench.py at the default core count in a calm window"
+        )
     return None
 
 
@@ -159,7 +169,44 @@ def test_staleness_flags_legacy_and_mismatched_artifacts():
     assert _calm_staleness({}) is not None
     assert "sources_sha" in _calm_staleness({})
     assert _calm_staleness({"sources_sha": "0" * 64}) is not None
-    assert _calm_staleness({"sources_sha": bench.bench_sources_sha()}) is None
+    # matching sources but recorded at the wrong core count (the r10
+    # 8-core scaling-run artifact) must also be refused
+    sha = bench.bench_sources_sha()
+    assert "cpus=8" in _calm_staleness({"sources_sha": sha, "cpus": 8})
+    assert "cpus=None" in _calm_staleness({"sources_sha": sha})
+    assert _calm_staleness({"sources_sha": sha, "cpus": 32}) is None
+
+
+def test_stdout_query_selection_is_stable():
+    """The stdout `queries` key set must not depend on which rows were
+    slowest in a given run (VERDICT r10 #6: the old top-60-slowest rule
+    reshuffled with the weather, producing false dropped_from_bench rows
+    in every driver diff). Same registry, different timings => same keys;
+    pinned names always present; line budget respected."""
+    import bench
+
+    base_out = {
+        "metric": "total_query_wall_sec",
+        "value": 40.0,
+        "unit": "sec",
+        "queries": {},
+        "sf": 0.1,
+        "vs_duckdb_ratio": 1.7,
+        "ratio_def": "ex_py",
+        "index_build_docs_per_sec": 16000.0,
+        "host_steal_sec": 10.0,
+        "detail": "BENCH_DETAIL.json",
+    }
+    names = bench.STDOUT_PINNED + [f"zz_extra_{i:03d}" for i in range(120)]
+    fast_pinned = {n: (0.01 if n in bench.STDOUT_PINNED else 9.99) for n in names}
+    slow_pinned = {n: (9.99 if n in bench.STDOUT_PINNED else 0.01) for n in names}
+    sel_a = bench._stdout_queries(fast_pinned, dict(base_out))
+    sel_b = bench._stdout_queries(slow_pinned, dict(base_out))
+    assert set(sel_a) == set(sel_b), "key set depends on timings"
+    assert set(bench.STDOUT_PINNED) <= set(sel_a), "a pinned name was evicted"
+    out = dict(base_out)
+    out["queries"] = sel_a
+    assert len(json.dumps(out, separators=(",", ":"))) <= 1950
 
 
 def test_guard_rejects_slow_index_build():

@@ -109,7 +109,7 @@ def _build_bigram_lm_lp(spark, sf_dir: str) -> DataFrame:
 
 def q129_variants(spark):
     from bigdataindexing_spark.operators import text_analysis as ta
-    from bigdataindexing_spark.operators.core import bounded_sort
+    from bigdataindexing_spark.tables import bounded_sort
     from bigdataindexing_spark.sources.store_dirs import SessionParquetStore
     from bigdataindexing_spark.tables import table_view
 
@@ -148,7 +148,7 @@ def q129_variants(spark):
 
 
 def _dq_fused(docs, ev, li, orders, cust) -> DataFrame:
-    from bigdataindexing_spark.operators.core import bounded_sort
+    from bigdataindexing_spark.tables import bounded_sort
 
     checks = [
         "documents_dup_doc_id",
@@ -255,7 +255,7 @@ def mor_variants(spark):
         ud = spark.read.parquet(ud_dir)
         inserts = spark.read.parquet(ins_dir)
         merged = mnt._merge_rows(base, ud, inserts, mnt.MERGE_LO, mnt.MERGE_HI)
-        from bigdataindexing_spark.operators.core import bounded_sort
+        from bigdataindexing_spark.tables import bounded_sort
 
         out = merged.groupBy(
             F.date_format("l_shipdate", "yyyy-MM").alias("month")
@@ -266,7 +266,7 @@ def mor_variants(spark):
         return bounded_sort(out, "month")
 
     def cur():
-        from bigdataindexing_spark.operators.core import bounded_sort
+        from bigdataindexing_spark.tables import bounded_sort
 
         out = mor.groupBy(
             F.date_format("l_shipdate", "yyyy-MM").alias("month")

@@ -495,8 +495,15 @@ BIGRAM_LAMBDA = 0.7
 
 
 def _build_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(a, b, c_ab, c_a): bigram count + context total, one corpus pass
-    (lag window per doc, two grouped counts joined on the context)."""
+    """(a, b, c_ab, c_a, lp): bigram count, context total, and the FULL
+    interpolated -LN term, one corpus pass (lag window per doc, grouped
+    counts joined on the context). lp depends only on the bigram —
+    c(a,b), c(a), the unigram count c(b) over ALL tokens (first tokens
+    included, exactly the oracle's uni CTE) and the corpus total N are
+    all build-time constants — so the entire Jelinek-Mercer expression
+    precomputes here and the serve never re-derives the unigram
+    marginals (r11; guide §2.4 — the aggregation belonged in the build,
+    not the serve)."""
     from bigdataindexing_spark.tables import table_view
 
     docs = table_view(spark, sf_dir, "documents")
@@ -511,9 +518,15 @@ def _build_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bc AS (SELECT a, b, COUNT(1) AS c_ab FROM seq
                WHERE a IS NOT NULL AND a != '' GROUP BY a, b),
-        ac AS (SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a)
-        SELECT bc.a, bc.b, bc.c_ab, ac.c_a
+        ac AS (SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a),
+        uni AS (SELECT b AS w, COUNT(1) AS c FROM seq GROUP BY b),
+        n AS (SELECT SUM(c) AS n FROM uni)
+        SELECT bc.a, bc.b, bc.c_ab, ac.c_a,
+               -LN({BIGRAM_LAMBDA} * bc.c_ab / ac.c_a
+                   + {1 - BIGRAM_LAMBDA} * uni.c / n.n) AS lp
         FROM bc JOIN ac ON ac.a = bc.a
+        JOIN uni ON uni.w = bc.b
+        CROSS JOIN n
     """)
 
 
@@ -550,13 +563,16 @@ _BIGRAM_LM_STORE = SessionParquetStore(
     "every document's mean negative log-likelihood under a bigram model "
     "of the corpus itself — the next step up from q100's unigram and "
     "the standard cheap stand-in for KenLM perplexity filtering. The "
-    "bigram/context counts SERVE from a session-materialized LM store "
-    "(vocabulary^2-bounded, prunable to top-K contexts at scale); the "
-    "unigram back-off marginalizes off the same store "
-    "(sum of c_ab over contexts = c(w) for every non-initial token, so "
-    "no second corpus pass). Per-doc scoring joins the document's own "
-    "bigram stream against the store on the bigram key — hash-partition "
-    "both by context at 100 TB. 3-decimal half-up output (the q100 "
+    "FULL per-bigram interpolated -LN term SERVES from a session-"
+    "materialized LM store (vocabulary^2-bounded, prunable to top-K "
+    "contexts at scale): every input to the term — c(a,b), c(a), the "
+    "unigram count and corpus total — is a build-time constant, so the "
+    "store carries lp itself and the serve is ONE pass over the "
+    "document's bigram stream joined against the store on the bigram "
+    "key (r11; the previous serve re-marginalized unigram counts off "
+    "the store, re-scanned documents for first-token counts, and "
+    "full-outer-joined them PER SERVE). Hash-partition both sides by "
+    "context at 100 TB. 3-decimal half-up output (the q100 "
     "discipline: LN ulp + sum-order wobble make finer grids latent "
     "flakes; the boundary audit re-verifies the margin every sweep).",
 )
@@ -575,26 +591,11 @@ def q129_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE token != ''
         ),
         pairs AS (SELECT doc_id, a, b FROM seq
-                  WHERE a IS NOT NULL AND a != ''),
-        uni AS (SELECT b AS w, SUM(c_ab) AS c FROM {lm} GROUP BY b),
-        first_tok AS (
-          SELECT b AS w, COUNT(1) AS c0 FROM seq WHERE a IS NULL OR a = ''
-          GROUP BY b
-        ),
-        uni_full AS (
-          SELECT COALESCE(u.w, f.w) AS w,
-                 COALESCE(u.c, 0) + COALESCE(f.c0, 0) AS c
-          FROM uni u FULL OUTER JOIN first_tok f ON f.w = u.w
-        ),
-        n_full AS (SELECT SUM(c) AS n FROM uni_full)
+                  WHERE a IS NOT NULL AND a != '')
         SELECT p.doc_id,
-               FLOOR(AVG(-LN({BIGRAM_LAMBDA} * lm.c_ab / lm.c_a
-                 + {1 - BIGRAM_LAMBDA} * uf.c / nf.n)) * 1e3 + 0.5) / 1e3
-                 AS nll2
+               FLOOR(AVG(lm.lp) * 1e3 + 0.5) / 1e3 AS nll2
         FROM pairs p
         JOIN {lm} lm ON lm.a = p.a AND lm.b = p.b
-        JOIN uni_full uf ON uf.w = p.b
-        CROSS JOIN n_full nf
         GROUP BY p.doc_id
     """)
     return bounded_sort(out, "doc_id", barrier=True)

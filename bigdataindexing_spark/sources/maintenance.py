@@ -990,19 +990,16 @@ def mor_merge_view(
     """The read-time merge: base snapshot left-joins the broadcast delta
     key set (window-scoped), drops D keys, adjusts U keys row-locally,
     unions the insert records. Same single-pass shape as the CoW merge
-    — executed per READ instead of once per write."""
+    — executed per READ instead of once per write. The log stores TYPED
+    sidecars (r11; guide §2.4): ``keys/`` holds the already-deduped
+    (key, op) change vectors, ``inserts/`` the insert row images — the
+    Hudi log-block split — so every read skips the double scan of a
+    mixed record dir, the op-routing filters, and the per-read
+    ``.distinct()`` exchange that used to re-dedup the vectors on each
+    serve."""
     base = read_layout_snapshot(spark, manifest)
-    d = spark.read.parquet(delta_dir)
-    ud = (
-        d.filter(F.col("op").isin("U", "D"))
-        .select(
-            F.col("l_orderkey").alias("c_orderkey"),
-            F.col("l_linenumber").alias("c_linenumber"),
-            "op",
-        )
-        .distinct()
-    )
-    inserts = d.filter(F.col("op") == "I").drop("op")
+    ud = spark.read.parquet(os.path.join(delta_dir, "keys"))
+    inserts = spark.read.parquet(os.path.join(delta_dir, "inserts"))
     return _merge_rows(base, ud, inserts, lo, hi)
 
 
@@ -1040,7 +1037,22 @@ def _mor_layout(spark: SparkSession, sf_dir: str):
         .withColumn("op", F.lit("I"))
     )
     delta_dir = os.path.join(path, "_delta")
-    changes.unionByName(inserts).write.mode("overwrite").parquet(delta_dir)
+    # the append writes TYPED sidecars (the Hudi log-block split): change
+    # VECTORS are (key, op) only — never full row images — and dedup at
+    # append time (log blocks are deduped when written, the reader trusts
+    # the log), so every read skips the op filters and the per-read
+    # distinct exchange. Write cost stays O(delta); the key sidecar is
+    # strictly NARROWER than the old mixed record dir.
+    changes.select(
+        F.col("l_orderkey").alias("c_orderkey"),
+        F.col("l_linenumber").alias("c_linenumber"),
+        "op",
+    ).distinct().write.mode("overwrite").parquet(
+        os.path.join(delta_dir, "keys")
+    )
+    inserts.drop("op").write.mode("overwrite").parquet(
+        os.path.join(delta_dir, "inserts")
+    )
     mor = mor_merge_view(spark, manifest, delta_dir, MERGE_LO, MERGE_HI)
     _MOR[key] = (path, manifest, mor)
     return _MOR[key]

@@ -1,6 +1,7 @@
 """Capture `.explain("formatted")` for named registry queries into
-plans/r10/<query>_<tag>.txt (the optimization round's before/after plan
-evidence — the judge reads these instead of running Spark).
+plans/<round>/<query>_<tag>.txt (the optimization round's before/after
+plan evidence — the judge reads these instead of running Spark). The
+round dir defaults to r11; override with SPARK_GRAFT_PLAN_ROUND.
 
 Usage: python scripts/capture_plans.py <tag> name1,name2,...
        [env SPARK_GRAFT_SF_DIR overrides; default /root/testdata/sf0.1]
@@ -29,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"plan-capture-{tag}", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
